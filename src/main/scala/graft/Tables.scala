@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table registry for the driver-provided Parquet corpus (TESTDATA.md).
+  *
+  * Every operator in this library reads through here so that the scan
+  * layer stays uniform: one `spark.read.parquet` per table, letting
+  * Catalyst push filters/projections into the Parquet scan. At cluster
+  * scale the same entry point is where partition pruning / bucketing
+  * metadata would attach; nothing downstream would change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)     = t(s, d, "region")
+  def nation(s: SparkSession, d: String)     = t(s, d, "nation")
+  def customer(s: SparkSession, d: String)   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String)   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String)       = t(s, d, "part")
+  def orders(s: SparkSession, d: String)     = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)   = t(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy conf) and truncate to
+    * a microsecond timestamp — integer `div`, since ns-since-epoch
+    * exceeds double's 2^53 mantissa. Matches DuckDB's ns→µs cast.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String)  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+}
+
+/** Exact-arithmetic helpers for oracle parity.
+  *
+  * Monetary/ratio doubles are cast to DECIMAL before aggregation so
+  * both Spark and the DuckDB oracle do *exact* decimal arithmetic —
+  * the result is independent of partial-aggregation order, which is
+  * the property that survives a 1000-executor shuffle unchanged. The
+  * final cast back to DOUBLE yields bit-identical values in both
+  * engines.
+  */
+object Exact {
+  val D18 = DecimalType(18, 2) // prices/quantities (sf0.1 sums < 1e11)
+  val D4  = DecimalType(4, 2)  // discount/tax rates in [0,1)
+
+  def money(c: Column): Column = c.cast(D18)
+  def rate(c: Column): Column  = c.cast(D4)
+  def one: Column              = lit(1).cast(D4)
+
+  /** Exact sum of a money column, surfaced as DOUBLE. */
+  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+}

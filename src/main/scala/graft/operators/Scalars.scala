@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families: string, date/time, math, JSON, array, and
+  * conditional expressions — all `org.apache.spark.sql.functions`
+  * built-ins (codegen'd, whole-stage-compatible; zero UDFs).
+  *
+  * The reference's only scalar logic is UTF-8 length validation
+  * (`src/types.rs:16,33`); the rest of this surface is the SURVEY.md
+  * §2.2 checklist. Parity notes vs the DuckDB oracle:
+  *  - day-of-week uses ISO numbering on both sides (Spark `weekday`+1
+  *    == DuckDB `isodow`) because the default `dayofweek` bases differ;
+  *  - math sticks to exact ops / correctly-rounded IEEE (sqrt) —
+  *    no libm-dependent `exp`/`ln` whose low bits vary per platform;
+  *  - array folds run left-to-right in both engines, and outputs are
+  *    rounded to fixed decimals.
+  */
+object Scalars {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("lo_brand"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+          regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          col("p_type").like("%a%").as("has_a"))
+        .orderBy(col("p_partkey"))),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mth"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch95"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          // exact scale-4 decimal product (no re-rounding: half-case
+          // rules differ between engines)
+          (graft.Exact.money(col("l_extendedprice")) *
+            graft.Exact.rate(col("l_discount")))
+            .cast("double").as("disc_amt"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          ceil(col("l_discount") * 100).cast("long").as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).cast("long").as("tax_pct_floor"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))),
+
+    // JSON extraction over events.props (semi-structured text column).
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))),
+
+    // Array ops over the embedding vector column.
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("e_last"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+            .as("norm_sq"),
+          round(array_max(col("embedding")).cast("double"), 6).as("e_max"))
+        .orderBy(col("vec_id"))),
+
+    "q_case_when" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("band")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        |  substring(p_type, 1, 5) AS type5, CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '#', p_type) AS tag,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  p_type LIKE '%a%' AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc_amt,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |  l_orderkey % 7 AS key_mod7,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+        |  round(CAST(embedding[-1] AS DOUBLE), 6) AS e_last,
+        |  round(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |       count(*) AS n_cust
+        |FROM customer GROUP BY 1 ORDER BY band""".stripMargin
+  )
+}
