@@ -35,7 +35,13 @@ object SparkEntry {
     operators.Core.queries ++
       operators.Relational.queries ++
       operators.Windows.queries ++
-      operators.Scalars.queries
+      operators.Scalars.queries ++
+      operators.AsOf.queries ++
+      text.TextOps.queries ++
+      dedup.Dedup.queries ++
+      sim.Similarity.queries ++
+      media.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +49,11 @@ object SparkEntry {
     operators.Core.oracle ++
       operators.Relational.oracle ++
       operators.Windows.oracle ++
-      operators.Scalars.oracle
+      operators.Scalars.oracle ++
+      operators.AsOf.oracle ++
+      text.TextOps.oracle ++
+      dedup.Dedup.oracle ++
+      sim.Similarity.oracle ++
+      media.Multimodal.oracle ++
+      streaming.Streams.oracle
 }

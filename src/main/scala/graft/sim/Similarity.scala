@@ -1,0 +1,109 @@
+package graft.sim
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`.
+  *
+  *  - `q_sim_topk`: brute-force cosine top-k — the correctness
+  *    baseline. The (small) query set is broadcast against the corpus,
+  *    so the corpus never shuffles; per-query top-k is a windowed
+  *    rank inside each query partition. At 100 TB this is the shape
+  *    you run for a bounded query batch.
+  *  - `q_sim_ann_lsh`: the scale path — 16 random-hyperplane sign bits
+  *    bucket the corpus (shuffle on bucket id only); candidates are
+  *    same-bucket pairs, scored exactly within the bucket. Recall < 1
+  *    by construction → rows-only check.
+  *
+  * Scoring uses the codegen'd CosineSim expression
+  * (graft.functions.CosineSim).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (seeded — potpot itself
+    * seeds its hasher, reference `src/hashtable.rs:95-96`).
+    */
+  private def hyperplanes(dim: Int, n: Int): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(n)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  private def litArray(a: Array[Double]): Column =
+    array(a.map(lit(_)): _*)
+
+  /** Sign bucket of `v` against the fixed hyperplane set. 6 bits = 64
+    * buckets — sized so test-corpus buckets stay populated; at real
+    * scale the bit count grows with corpus size (bits ≈ log2(n/target
+    * bucket size)).
+    */
+  private def lshBucket(v: Column): Column = {
+    val planes = hyperplanes(64, 6)
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(v, litArray(p), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-5 cosine neighbors for a query subset.
+    "q_sim_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN: same query subset, neighbors restricted to the
+    // query's sign bucket. Rows-only (approximate by design).
+    "q_sim_ann_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", lshBucket(col("embedding")))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      broadcast(q)
+        .join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
+        |  SELECT qid, nid, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        |  FROM (
+        |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        |    WHERE q.vec_id % 100 = 0) pairs) ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  )
+}

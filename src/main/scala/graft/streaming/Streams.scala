@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Exact.money
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice over the `events` table (file-source
+  * replay of the parquet), plus batch sessionization equivalents.
+  *
+  * Streaming queries run through a real `readStream` → transform →
+  * `writeStream(memory)` pipeline, drained synchronously with
+  * `processAllAvailable`. Aggregations that must match the DuckDB
+  * batch oracle run in `complete` mode (append would withhold the
+  * final windows behind the watermark); watermark/append semantics are
+  * demonstrated by `q_stream_watermark` as a rows-only query.
+  *
+  * Scale notes: tumbling/sliding windows shuffle once on (window,
+  * key); session windows and `flatMapGroupsWithState` shuffle on the
+  * grouping key with per-key state in the state store — partitioned by
+  * user, so state size follows active users, not total events.
+  */
+object Streams {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.t(s, d, "events").schema // ts arrives as raw nanos
+    // The file-stream source wants a directory; expose the single
+    // events.parquet file through a per-sf symlink dir.
+    val dirName = "graft_stream_" + Integer.toHexString(d.hashCode)
+    val streamDir = java.nio.file.Paths.get("/tmp", dirName)
+    if (!java.nio.file.Files.exists(streamDir)) {
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet"))
+    }
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming aggregation to completion against the finite
+    * file source and return the materialized sink table.
+    */
+  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 10-minute windows per event type.
+    "q_stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("v_sum"))
+      drain(s, agg, "complete")
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("v_sum"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Sliding windows: 10-minute length, 5-minute slide (each event
+    // lands in exactly two windows).
+    "q_stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "complete")
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Streaming dedup on event_id, then per-type counts.
+    "q_stream_dedup" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "complete").orderBy(col("event_type"))
+    }),
+
+    // Watermark + append mode: only windows sealed by the watermark
+    // emit. Rows-only by design (the tail windows are withheld).
+    "q_stream_watermark" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "append")
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Arbitrary stateful processing: per-user running state via
+    // flatMapGroupsWithState. Rows-only (state semantics, not SQL).
+    "q_stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      val ds = eventsStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .as[(Long, Long)]
+      val out = ds.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[(Long, Long)]) =>
+            val (prevN, prevMax) = state.getOption.getOrElse((0L, Long.MinValue))
+            var n = prevN; var mx = prevMax
+            rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+            state.update((n, mx))
+            Iterator((user, n, mx))
+        }.toDF("user_id", "n_events", "last_tus")
+      drain(s, out, "append").orderBy(col("user_id"))
+    }),
+
+    // Batch session_window operator (5-minute gap) — oracled against
+    // a gaps-and-islands SQL rewrite.
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
+    // Sessionization via explicit gaps-and-islands (lag + running sum)
+    // — the hand-rolled equivalent of session_window.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("new_s",
+          when(col("tus") - lag(col("tus"), 1).over(w) > 300000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+  )
+
+  private val sessionizeSql =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(tus) AS start_us, max(tus) AS end_us
+      |FROM (
+      |  SELECT user_id, event_id, tus,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, tus,
+      |      CASE WHEN tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |                > 300000000 THEN 1 ELSE 0 END AS new_s
+      |    FROM (SELECT user_id, event_id,
+      |            epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events) e) flagged) numbered
+      |GROUP BY user_id, session_idx""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT w_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' FROM events
+        |) t GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM (SELECT DISTINCT event_id, event_type FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_session_window" ->
+      s"""SELECT user_id, start_us, end_us + 300000000 AS end_us, n_events
+         |FROM ($sessionizeSql) sess
+         |ORDER BY user_id, start_us""".stripMargin,
+    "q_sessionize" ->
+      s"""SELECT * FROM ($sessionizeSql) sess
+         |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

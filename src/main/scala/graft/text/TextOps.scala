@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents.text`: tokenization, quality
+  * scoring, language-ID heuristic, and document fingerprinting — the
+  * per-document stages of a training-data pipeline.
+  *
+  * All of it is array-lambda built-ins (`split`/`filter`/`transform`/
+  * `aggregate`) evaluated per-row with no explode/shuffle: embarrassingly
+  * parallel map work, the shape that scales linearly to 100 TB. Integer
+  * arithmetic throughout keeps DuckDB oracle parity exact.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Tokens present in a tiny English function-word list — the signal
+    * for both the quality score and the language-ID heuristic.
+    */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whitespace token counts (total + distinct) per document.
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: stopword ratio + mean token length, computed
+    // with array lambdas (no explode → no shuffle).
+    "q_text_quality" -> ((s, d) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("long")
+      val nStop = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+      val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nTok.as("n_tokens"), nStop.as("n_stop"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (charSum.cast("double") / nTok).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: function-word density → 'en-like' vs
+    // 'unknown'. (The corpus `lang` column is the labeled comparison.)
+    "q_lang_guess" -> ((s, d) => {
+      val t = toks(col("text"))
+      val ratio = size(filter(t, x => x.isin(stopwords: _*))).cast("double") / size(t)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(ratio, 6).as("stop_ratio"),
+          when(ratio >= 0.05, "en-like").otherwise("unknown").as("guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase
+    // text — the exact-dedup key.
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
+            .as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // BPE-ish regex tokenizer: letter runs / digit runs / single
+    // punctuation, counted per document.
+    "q_token_regex" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_num"),
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_other"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, lang, n_tokens, n_stop,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(char_sum AS DOUBLE) / n_tokens AS avg_token_len
+         |FROM (SELECT doc_id, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(string_split(text, ' '),
+         |          x -> list_contains($stopSql, x))) AS BIGINT) AS n_stop,
+         |        CAST(list_sum(list_transform(string_split(text, ' '),
+         |          x -> len(x))) AS BIGINT) AS char_sum
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_lang_guess" ->
+      s"""SELECT doc_id, lang, round(stop_ratio, 6) AS stop_ratio,
+         |  CASE WHEN stop_ratio >= 0.05 THEN 'en-like' ELSE 'unknown' END AS guess
+         |FROM (SELECT doc_id, lang,
+         |        CAST(len(list_filter(string_split(text, ' '),
+         |          x -> list_contains($stopSql, x))) AS DOUBLE)
+         |          / len(string_split(text, ' ')) AS stop_ratio
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
