@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Exact-expected-value specs on sf0.001 — mirrors the reference's
+  * golden-byte test style (reference `src/types.rs:182-196` pins exact
+  * encodings; here we pin exact query outputs).
+  */
+class CoreSpec extends SparkSpec {
+  test("q_point_get returns the exact lineitems of order 42") {
+    val rows = run("q_point_get").collect()
+    assert(rows.length >= 1)
+    assert(rows.map(_.getLong(0)).toSet == Set(42L))
+    assert(rows.head == Row(42L, 1, 76L, 5L, 18.0, 101193.92, "R"))
+  }
+
+  test("q_key_range covers exactly keys 100..120") {
+    val keys = run("q_key_range").select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.toSeq == (100L to 120L))
+  }
+
+  test("q_insert_append adds the two virtual rows after the base table") {
+    val rows = run("q_insert_append").collect()
+    assert(rows.length == 7) // 5 regions + 2 inserted
+    assert(rows.map(_.getString(1)).count(_.startsWith("VIRTUAL")) == 2)
+  }
+
+  test("q_text_cap flags every sf0.001 document within potpot's 1024-byte Text cap or not") {
+    val df = run("q_text_cap")
+    assert(df.count() == 500)
+    val viol = df.filter(col("fits_potpot_text") =!= (col("text_bytes") <= 1024)).count()
+    assert(viol == 0)
+  }
+
+  test("xxhash64 and crc32 are deterministic across runs") {
+    val a = run("q_hash_xxh64").collect()
+    val b = run("q_hash_xxh64").collect()
+    assert(a.sameElements(b))
+    val c = run("q_hash_crc32").limit(1).collect()
+    assert(c.head.getLong(1) >= 0) // crc32 is unsigned 32-bit in a long
+  }
+}
+
+class RelationalSpec extends SparkSpec {
+  test("q1_pricing_summary matches golden sf0.001 aggregates") {
+    val got = run("q1_pricing_summary")
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order").collect()
+    val exp = Seq(
+      Row("A", "F", 14240.0, 556L), Row("A", "O", 14019.0, 570L),
+      Row("N", "F", 17019.0, 650L), Row("N", "O", 14060.0, 567L),
+      Row("R", "F", 14443.0, 582L), Row("R", "O", 14115.0, 564L))
+    assert(got.toSeq == exp)
+  }
+
+  test("q_join_broadcast matches golden per-region rollup") {
+    val got = run("q_join_broadcast").collect()
+    val exp = Seq(
+      Row("AFRICA", 33L, 143200.69), Row("AMERICA", 33L, 157116.48),
+      Row("ASIA", 26L, 109687.31), Row("EUROPE", 24L, 92976.8),
+      Row("MIDDLE EAST", 34L, 149040.44))
+    assert(got.toSeq == exp)
+  }
+
+  test("semi + anti join partition the customer table") {
+    val semi = run("q_join_semi").count()
+    val anti = run("q_join_anti").count()
+    val all = Tables.customer(spark, sf).count()
+    assert(semi + anti == all)
+  }
+
+  test("full outer join loses no nation keys") {
+    val nk = run("q_join_full")
+    val custNations = Tables.customer(spark, sf)
+      .select(col("c_nationkey")).distinct().count()
+    assert(nk.count() >= custNations)
+    assert(nk.filter(col("n_cust") === 0 && col("n_supp") === 0).count() == 0)
+  }
+
+  test("rollup has leaf+subtotal+grand-total rows") {
+    val rows = run("q_rollup").collect()
+    assert(rows.length == 10) // 6 leaves + 3 subtotals + 1 grand total
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(3) == 6000L)
+  }
+
+  test("set ops are consistent: except + intersect = customer nation set") {
+    val inter = run("q_set_intersect").count()
+    val exc = run("q_set_except").count()
+    val custN = Tables.customer(spark, sf).select("c_nationkey").distinct().count()
+    assert(inter + exc == custN)
+  }
+
+  test("top-k per group never exceeds k and ranks start at 1") {
+    val df = run("q_topk_per_group")
+    assert(df.filter(col("rk") > 3).count() == 0)
+    val perGroup = df.groupBy("o_custkey").agg(min("rk").as("m"))
+    assert(perGroup.filter(col("m") =!= 1).count() == 0)
+  }
+}
+
+class WindowSpec extends SparkSpec {
+  test("row_number is dense from 1 within each customer") {
+    val df = run("q_window_rank")
+    val bad = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+  }
+
+  test("running total is monotone non-decreasing per customer") {
+    val df = run("q_window_running")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val viol = df.withColumn("prev", lag("run_total", 1).over(w))
+      .filter(col("prev").isNotNull && col("run_total") < col("prev"))
+    assert(viol.count() == 0)
+  }
+}

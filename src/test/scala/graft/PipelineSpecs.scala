@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  test("q_text_tokens golden rows") {
+    val rows = run("q_text_tokens").limit(2).collect()
+    assert(rows.toSeq == Seq(Row(0L, 23L, 17L), Row(1L, 78L, 27L)))
+  }
+
+  test("exact dedup: sf0.001 corpus has no duplicate texts") {
+    val df = run("q_dedup_exact")
+    assert(df.count() == 500)
+    assert(df.agg(sum("n_copies")).head.getLong(0) == 500L)
+    assert(df.filter(col("n_copies") > 1).count() == 0)
+  }
+
+  test("ngram jaccard: 28 near-dup pairs at sf0.001, all above threshold, a<b") {
+    val rows = run("q_dedup_ngram_jaccard").collect()
+    assert(rows.length == 28)
+    assert(rows.forall(r => r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash candidates verified: subset of exact jaccard pairs") {
+    val mh = run("q_dedup_minhash").select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q_dedup_ngram_jaccard").select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.size >= (exact.size * 0.8).toInt) // banding recall floor
+  }
+
+  test("simhash near-dups all within hamming bound") {
+    val rows = run("q_dedup_simhash").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 8))
+  }
+
+  test("fingerprint is stable and 32-hex") {
+    val rows = run("q_text_fingerprint").limit(5).collect()
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("brute-force top-k golden neighbors for query 0") {
+    val rows = run("q_sim_topk").filter(col("qid") === 0).collect()
+    assert(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 17L), (2, 225L), (3, 12L), (4, 483L), (5, 260L)))
+    assert(math.abs(rows.head.getDouble(3) - 0.334456) < 1e-9)
+  }
+
+  test("cosine_sim expression: self-similarity is 1, symmetric, bounded") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").as("a"), col("embedding").as("b"))
+      .withColumn("self_cos", expr("cosine_sim(a, b)"))
+    val selfs = df.select("self_cos").collect().map(_.getDouble(0))
+    assert(selfs.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("LSH ANN results are a subset of each query's bucket-mates with valid ranks") {
+    val df = run("q_sim_ann_lsh")
+    assert(df.filter(col("rk") > 5).count() == 0)
+    assert(df.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("media decode stub produces deterministic dimensions from byte length") {
+    val rows = run("q_media_decode").limit(2).collect()
+    assert(rows.toSeq == Seq(
+      Row(0L, "image", 128L, 192, 448, 3, true),
+      Row(1L, "audio", 441L, 505, 79, 3, true)))
+  }
+
+  test("media meta sha256 is 64-hex and byte length positive") {
+    val rows = run("q_media_meta").limit(5).collect()
+    assert(rows.forall(_.getString(3).matches("[0-9a-f]{64}")))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  test("tumbling windows partition all 1000 events") {
+    val df = run("q_stream_tumbling")
+    assert(df.agg(sum("n")).head.getLong(0) == 1000L)
+  }
+
+  test("sliding windows count every event exactly twice") {
+    val df = run("q_stream_sliding")
+    assert(df.agg(sum("n")).head.getLong(0) == 2000L)
+  }
+
+  test("session_window operator agrees with gaps-and-islands sessionization") {
+    val a = run("q_session_window").count()
+    val b = run("q_sessionize").count()
+    assert(a == b && a == 990L)
+  }
+
+  test("as-of join matches every sf0.001 event to a prior order") {
+    val df = run("q_asof_join")
+    assert(df.count() == 1000)
+    assert(df.filter(col("o_date_us") > col("ts_us")).count() == 0)
+  }
+
+  test("stateful per-user counts sum to the event total") {
+    val df = run("q_stream_stateful")
+    assert(df.agg(sum("n_events")).head.getLong(0) == 1000L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck invariants for the CosineSim Catalyst expression
+  * (interpreted path), mirroring the reference's property-style
+  * round-trip tests (reference `src/types.rs:164-179`).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+    val e = CosineSim(
+      Literal.create(a, ArrayType(FloatType)),
+      Literal.create(b, ArrayType(FloatType)))
+    Option(e.eval(null)).map(_.asInstanceOf[Double])
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(2, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray))
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("cosine is bounded in [-1, 1] (modulo fp eps)") {
+    check(Prop.forAll(vecGen) { a =>
+      cos(a, a.map(-_)).forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    })
+  }
+
+  test("cosine is symmetric") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val x = cos(a, b.take(a.length).padTo(a.length, 1.0f))
+      val y = cos(b.take(a.length).padTo(a.length, 1.0f), a)
+      (x, y) match {
+        case (Some(u), Some(v)) => math.abs(u - v) < 1e-12
+        case (None, None) => true
+        case _ => false
+      }
+    })
+  }
+
+  test("self-similarity is 1 for nonzero vectors") {
+    check(Prop.forAll(vecGen) { a =>
+      val nz = if (a.forall(_ == 0.0f)) a.updated(0, 1.0f) else a
+      cos(nz, nz).exists(c => math.abs(c - 1.0) < 1e-12)
+    })
+  }
+
+  test("scale invariance: cos(ka, b) == cos(a, b) for k > 0") {
+    check(Prop.forAll(vecGen, Gen.chooseNum(0.1f, 8.0f)) { (a, k) =>
+      val nz = if (a.forall(_ == 0.0f)) a.updated(0, 1.0f) else a
+      val b = nz.map(x => x + 1.0f)
+      (cos(nz.map(_ * k), b), cos(nz, b)) match {
+        case (Some(u), Some(v)) => math.abs(u - v) < 1e-6
+        case _ => false
+      }
+    })
+  }
+
+  test("length mismatch and zero vectors yield null") {
+    assert(cos(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)).isEmpty)
+    assert(cos(Array(0.0f, 0.0f), Array(1.0f, 2.0f)).isEmpty)
+  }
+}
