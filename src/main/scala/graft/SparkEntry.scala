@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Relational.queries ++
       operators.Windows.queries ++
       operators.Scalars.queries ++
+      operators.Extras.queries ++
       operators.AsOf.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Relational.oracle ++
       operators.Windows.oracle ++
       operators.Scalars.oracle ++
+      operators.Extras.oracle ++
       operators.AsOf.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage extras: non-equi (range/theta) join, exact percentiles,
+  * bag-semantics set ops, and non-parquet source/sink round-trips.
+  *
+  * Scale notes: the range join broadcasts the (tiny, constant) band
+  * dimension so the fact side streams through a nested-loop probe
+  * against an in-memory interval list — the right plan when one side
+  * is O(10) rows. Percentiles shuffle once on the grouping key; CSV /
+  * JSON round-trips exercise the DataSource write + read paths with
+  * explicit schemas (never inference at scale).
+  */
+object Extras {
+
+  /** Value bands for the range join (closed-open intervals). */
+  private val bands = Seq(
+    (0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e9, "high"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Non-equi range join: each event lands in its value band.
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val b = bands.toDF("lo", "hi", "band")
+      Tables.events(s, d)
+        .join(broadcast(b), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("value")).as("v_sum"))
+        .orderBy(col("band"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q_percentile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Bag-semantics set operations (ALL variants).
+    "q_set_intersect_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))),
+
+    "q_set_except_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))),
+
+    // CSV sink + source round-trip (integer-valued columns: CSV has no
+    // binary-exact double representation guarantee across writers).
+    "q_csv_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_csv_${Integer.toHexString(d.hashCode)}"
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("event_type STRING, n BIGINT, n_users BIGINT")
+        .csv(out)
+        .orderBy(col("event_type"))
+    }),
+
+    // JSON sink + source round-trip.
+    "q_json_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_json_${Integer.toHexString(d.hashCode)}"
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("o_totalprice")).as("total"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("o_orderstatus STRING, n BIGINT, total DOUBLE")
+        .json(out)
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  private val bandsSql =
+    bands.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      s"""SELECT band, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+         |FROM events
+         |JOIN (VALUES $bandsSql) b(lo, hi, band)
+         |  ON value >= lo AND value < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

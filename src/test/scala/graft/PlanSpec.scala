@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, partial aggregation) are pinned
+  * here so a regression in plan shape fails loudly, not just slowly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("point get pushes the key filter into the parquet scan") {
+    val p = plan("q_point_get")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), p)
+  }
+
+  test("point get prunes unused columns from the scan") {
+    val p = plan("q_point_get")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("star join broadcasts both dimension tables") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations are partial (map-side combine) before the exchange") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("range scan pushes both bounds") {
+    val p = plan("q_key_range")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,100)") &&
+      p.contains("LessThanOrEqual(o_orderkey,120)"), p)
+  }
+
+  test("semi join emits no payload columns from the probe side") {
+    val p = plan("q_join_semi")
+    assert(p.contains("LeftSemi"), p)
+    val orderScan = p.linesIterator.filter(_.contains("orders.parquet")).mkString
+    assert(!orderScan.contains("o_totalprice"), orderScan)
+  }
+}
