@@ -18,9 +18,10 @@ object TextOps {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Tokens present in a tiny English function-word list — the signal
-    * for both the quality score and the language-ID heuristic.
+    * for both the quality score and the language-ID heuristic (single
+    * source of truth in graft.functions.GraftText).
     */
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwords: Seq[String] = graft.functions.GraftText.Stopwords.toSeq
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Whitespace token counts (total + distinct) per document.
@@ -31,27 +32,28 @@ object TextOps {
           size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"))
         .orderBy(col("doc_id"))),
 
-    // Quality scoring: stopword ratio + mean token length, computed
-    // with array lambdas (no explode → no shuffle).
+    // Quality scoring: stopword ratio + mean token length via the
+    // single-pass TextStats kernel (no explode → no shuffle).
     "q_text_quality" -> ((s, d) => {
-      val t = toks(col("text"))
-      val nTok = size(t).cast("long")
-      val nStop = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
-      val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      graft.functions.TextFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          nTok.as("n_tokens"), nStop.as("n_stop"),
-          (nStop.cast("double") / nTok).as("stop_ratio"),
-          (charSum.cast("double") / nTok).as("avg_token_len"))
+          expr("text_stats(split(text, ' '))").as("st"))
+        .select(col("doc_id"), col("lang"),
+          col("st.n_tokens").as("n_tokens"), col("st.n_stop").as("n_stop"),
+          (col("st.n_stop").cast("double") / col("st.n_tokens")).as("stop_ratio"),
+          (col("st.char_sum").cast("double") / col("st.n_tokens")).as("avg_token_len"))
         .orderBy(col("doc_id"))
     }),
 
     // Language-ID heuristic: function-word density → 'en-like' vs
     // 'unknown'. (The corpus `lang` column is the labeled comparison.)
     "q_lang_guess" -> ((s, d) => {
-      val t = toks(col("text"))
-      val ratio = size(filter(t, x => x.isin(stopwords: _*))).cast("double") / size(t)
+      graft.functions.TextFunctions.register(s)
+      val ratio = col("st.n_stop").cast("double") / col("st.n_tokens")
       Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("text_stats(split(text, ' '))").as("st"))
         .select(col("doc_id"), col("lang"),
           round(ratio, 6).as("stop_ratio"),
           when(ratio >= 0.05, "en-like").otherwise("unknown").as("guess"))
