@@ -74,14 +74,19 @@ object Relational {
     }),
 
     // Left outer join preserving customers with zero orders.
+    // Aggregate-before-join: orders collapse to one row per custkey
+    // *before* the join, so the join input is |customers| + |custkeys|
+    // rows instead of |customers| + |orders| — the shape that matters
+    // when orders is the 100 TB side.
     "q_join_left" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left")
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(money(col("o_totalprice"))), lit(0)).cast("double")
-            .as("total_spent"))
+      val oAgg = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_o"), sum(money(col("o_totalprice"))).as("t_o"))
+      Tables.customer(s, d)
+        .join(oAgg, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_o"), lit(0L)).as("n_orders"),
+          coalesce(col("t_o"), lit(0)).cast("double").as("total_spent"))
         .orderBy(col("c_custkey"))
     }),
 
