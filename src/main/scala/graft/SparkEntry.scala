@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.Scalars.queries ++
       operators.Extras.queries ++
+      operators.Advanced.queries ++
       operators.AsOf.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.Scalars.oracle ++
       operators.Extras.oracle ++
+      operators.Advanced.oracle ++
       operators.AsOf.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++

@@ -53,12 +53,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val posVecGen: Gen[Array[Float]] =
+    Gen.chooseNum(2, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0.1f, 10.0f)).map(_.toArray))
+
   test("scale invariance: cos(ka, b) == cos(a, b) for k > 0") {
-    check(Prop.forAll(vecGen, Gen.chooseNum(0.1f, 8.0f)) { (a, k) =>
-      val nz = if (a.forall(_ == 0.0f)) a.updated(0, 1.0f) else a
-      val b = nz.map(x => x + 1.0f)
-      (cos(nz.map(_ * k), b), cos(nz, b)) match {
-        case (Some(u), Some(v)) => math.abs(u - v) < 1e-6
+    // positive components only: mixed-sign vectors make the cosine
+    // ill-conditioned (cancellation), which tests float rounding of
+    // the generator rather than the kernel
+    check(Prop.forAll(posVecGen, Gen.chooseNum(0.1f, 8.0f)) { (a, k) =>
+      val b = a.map(x => x + 1.0f)
+      (cos(a.map(_ * k), b), cos(a, b)) match {
+        case (Some(u), Some(v)) => math.abs(u - v) < 1e-5
         case _ => false
       }
     })
