@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Extras.queries ++
       operators.Advanced.queries ++
       operators.AsOf.queries ++
+      sources.Layouts.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Extras.oracle ++
       operators.Advanced.oracle ++
       operators.AsOf.oracle ++
+      sources.Layouts.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

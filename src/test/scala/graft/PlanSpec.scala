@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
       p.contains("LessThanOrEqual(o_orderkey,120)"), p)
   }
 
+  test("bucketed fact join plans without a shuffle exchange") {
+    val p = plan("q_bucketed_join")
+    val joinSection = p.substring(p.indexOf("Join"))
+    // the only exchange allowed is for the final aggregation/sort,
+    // which sit above the join in the plan text
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("partitioned layout prunes by partition filter") {
+    val p = plan("q_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    assert(p.contains("(o_year") && p.contains("= 1997"), p)
+  }
+
   test("semi join emits no payload columns from the probe side") {
     val p = plan("q_join_semi")
     assert(p.contains("LeftSemi"), p)
