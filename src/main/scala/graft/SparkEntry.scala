@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Scalars.queries ++
       operators.Extras.queries ++
       operators.Advanced.queries ++
+      operators.Skew.queries ++
       operators.AsOf.queries ++
       sources.Layouts.queries ++
       text.TextOps.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Scalars.oracle ++
       operators.Extras.oracle ++
       operators.Advanced.oracle ++
+      operators.Skew.oracle ++
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++
       text.TextOps.oracle ++

@@ -123,6 +123,18 @@ object Streams {
       drain(s, out, "append").orderBy(col("user_id"))
     }),
 
+    // Stream-static join: the stream side joins a static dimension
+    // (stateless — no watermark needed), then aggregates per segment.
+    "q_stream_static_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, agg, "complete").orderBy(col("c_mktsegment"))
+    }),
+
     // Batch session_window operator (5-minute gap) — oracled against
     // a gaps-and-islands SQL rewrite.
     "q_session_window" -> ((s, d) =>
@@ -181,6 +193,10 @@ object Streams {
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' FROM events
         |) t GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) t
