@@ -94,6 +94,21 @@ object Scalars {
           round(array_max(col("embedding")).cast("double"), 6).as("e_max"))
         .orderBy(col("vec_id"))),
 
+    // Map functions over parsed JSON: props → map<string,bigint>.
+    "q_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).as("m"))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          map_contains_key(col("m"), "k").as("has_k"))
+        .orderBy(col("event_id"))),
+
     "q_case_when" -> ((s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"),
@@ -152,6 +167,13 @@ object Scalars {
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  list_contains(json_keys(props), 'k') AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_case_when" ->
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
         |            WHEN c_acctbal < 3000 THEN 'low'
