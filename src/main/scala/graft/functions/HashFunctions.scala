@@ -72,6 +72,22 @@ object GraftHash {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Polynomial rolling hash (Rabin-Karp style) over UTF-8 bytes:
+    * h = Σ b_i · B^(n-1-i) mod 2^64, B = 1000000007. One pass,
+    * order-sensitive (unlike a bag-of-tokens hash) — the classic
+    * document-fingerprint primitive.
+    */
+  def rollingFp(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000000007L + (bytes(i) & 0xFF)
+      i += 1
+    }
+    h
+  }
+
   /** k-lane MinHash signature: per-shingle base hash, k cheap
     * re-hashes, running minima. One pass over the shingle set.
     */
@@ -100,6 +116,20 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
     case other => TypeCheckResult.TypeCheckFailure(
       s"${self.prettyName} expects array<string>, got ${other.simpleString}")
   }
+}
+
+case class RollingFp(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fp expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.rollingFp(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.rollingFp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 case class Shingles3(child: Expression)
@@ -142,5 +172,7 @@ object HashFunctions {
       "minhash16", exprs => MinHashSig(exprs.head, 16), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles3", exprs => Shingles3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fp", exprs => RollingFp(exprs.head), "built-in")
   }
 }

@@ -69,6 +69,17 @@ object TextOps {
             .as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Rolling-hash (Rabin-Karp) fingerprint over normalized text —
+    // order-sensitive, one kernel pass. Rows-only (the polynomial
+    // mod-2^64 fold has no tractable SQL mirror).
+    "q_text_rollhash" -> ((s, d) => {
+      graft.functions.HashFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("rolling_fp(lower(text))").as("roll_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE-ish regex tokenizer: letter runs / digit runs / single
     // punctuation, counted per document.
     "q_token_regex" -> ((s, d) =>
