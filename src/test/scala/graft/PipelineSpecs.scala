@@ -69,6 +69,41 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AnnSpec extends SparkSpec {
+  test("IVF top-k is deterministic (seeded KMeans) and rank-valid") {
+    val a = run("q_sim_ann_ivf").collect().toSeq
+    val b = run("q_sim_ann_ivf").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(_.getInt(1) <= 5))
+  }
+
+  test("multi-probe LSH recall beats nothing and scores are valid cosines") {
+    import org.apache.spark.sql.functions.col
+    val lsh = run("q_sim_ann_lsh")
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() == 0)
+  }
+
+  test("rolling fingerprint is order-sensitive and stable") {
+    import graft.functions.HashFunctions
+    val s = spark
+    HashFunctions.register(s)
+    import s.implicits._
+    val h = Seq("ab cd", "cd ab", "ab cd").toDF("t")
+      .selectExpr("rolling_fp(t) AS h").collect().map(_.getLong(0))
+    assert(h(0) != h(1) && h(0) == h(2))
+    val stable = run("q_text_rollhash").collect()
+    assert(stable.length == 500)
+  }
+
+  test("q_map_funcs parses every event's props") {
+    import org.apache.spark.sql.functions.col
+    val df = run("q_map_funcs")
+    assert(df.count() == 1000)
+    assert(df.filter(col("n_keys").isNull || !col("has_k")).count() == 0)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("media decode stub produces deterministic dimensions from byte length") {
     val rows = run("q_media_decode").limit(2).collect()
