@@ -38,6 +38,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 8))
   }
 
+  test("dedup clusters: keepers are componentwise minima and fixpoints") {
+    val rows = run("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (doc, keeper) => keeper <= doc })
+    val keepers = rows.map(_._2).toSet
+    // a keeper's own label is itself (fixpoint property)
+    val byDoc = rows.toMap
+    assert(keepers.forall(k => byDoc.get(k).forall(_ == k)))
+    // members of one cluster must actually be near-dup-connected:
+    // every pair in q_dedup_ngram_jaccard shares a cluster label
+    val pairs = run("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => byDoc(a) == byDoc(b) })
+  }
+
   test("fingerprint is stable and 32-hex") {
     val rows = run("q_text_fingerprint").limit(5).collect()
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
