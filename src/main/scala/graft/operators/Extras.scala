@@ -20,6 +20,14 @@ object Extras {
   private val bands = Seq(
     (0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e9, "high"))
 
+  /** Round-trip sinks write to a fresh directory per invocation: an
+    * `overwrite` into a shared path would delete the files a previous
+    * invocation's still-lazy DataFrame references.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sinkDir(fmt: String, d: String): String =
+    s"/tmp/graft_${fmt}_${Integer.toHexString(d.hashCode)}_${sinkCounter.incrementAndGet()}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Non-equi range join: each event lands in its value band.
     "q_range_join" -> ((s, d) => {
@@ -62,7 +70,7 @@ object Extras {
     // CSV sink + source round-trip (integer-valued columns: CSV has no
     // binary-exact double representation guarantee across writers).
     "q_csv_roundtrip" -> ((s, d) => {
-      val out = s"/tmp/graft_csv_${Integer.toHexString(d.hashCode)}"
+      val out = sinkDir("csv", d)
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
@@ -73,9 +81,20 @@ object Extras {
         .orderBy(col("event_type"))
     }),
 
+    // ORC sink + source round-trip.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val out = sinkDir("orc", d)
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("p_brand"))
+    }),
+
     // JSON sink + source round-trip.
     "q_json_roundtrip" -> ((s, d) => {
-      val out = s"/tmp/graft_json_${Integer.toHexString(d.hashCode)}"
+      val out = sinkDir("json", d)
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -118,6 +137,10 @@ object Extras {
     "q_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, min(p_size) AS min_size,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -45,6 +45,23 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // Distribution + value window functions: percent_rank/cume_dist
+    // (exact small-integer ratios — identical doubles in both
+    // engines), first/last/nth value over a running frame.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(wRun).as("first_key"),
+          last(col("o_orderkey")).over(wRun).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(wRun).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
     // Running total: ROWS UNBOUNDED PRECEDING .. CURRENT ROW.
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -88,6 +105,17 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER wr AS first_key,
+        |  last_value(o_orderkey) OVER wr AS last_key,
+        |  nth_value(o_orderkey, 2) OVER wr AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |       wr AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total,
