@@ -52,6 +52,19 @@ object Extras {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // Approximate percentile sketch (KLL-style) — rows-only: sketch
+    // internals differ across engines by construction.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("p50_p90"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("p50_p90"), 1).as("p50"),
+          element_at(col("p50_p90"), 2).as("p90"),
+          col("n"))
+        .orderBy(col("event_type"))),
+
     // Bag-semantics set operations (ALL variants).
     "q_set_intersect_all" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
