@@ -123,6 +123,28 @@ object Streams {
       drain(s, out, "append").orderBy(col("user_id"))
     }),
 
+    // foreachBatch sink: the production pattern for exactly-once
+    // writes to batch sinks — each micro-batch's aggregate state is
+    // written idempotently (overwrite keyed by batch) to Parquet,
+    // then read back. With the finite file source this converges to
+    // the full batch aggregate, which the oracle checks.
+    "q_stream_foreachbatch" -> ((s, d) => {
+      val out = s"/tmp/graft_fb_${Integer.toHexString(d.hashCode)}_${sinkCounter.incrementAndGet()}"
+      val agg = eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("v_sum"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).orderBy(col("event_type"))
+    }),
+
     // Stream-static join: the stream side joins a static dimension
     // (stateless — no watermark needed), then aggregates per segment.
     "q_stream_static_join" -> ((s, d) => {
@@ -193,6 +215,10 @@ object Streams {
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' FROM events
         |) t GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
