@@ -31,7 +31,7 @@ object Similarity {
   }
 
   private def litArray(a: Array[Double]): Column =
-    array(a.map(lit(_)): _*)
+    array(a.toIndexedSeq.map(lit(_)): _*)
 
   /** Sign bucket of `v` against the fixed hyperplane set. 6 bits = 64
     * buckets — sized so test-corpus buckets stay populated; at real
