@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: mirrors the t1 gate. */
+class EntrySpec extends AnyFunSuite {
+  test("entry returns a non-empty flagship result") {
+    val df = SparkEntry.entry(SparkSpec.spark)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("every query has either an oracle or a deliberate rows-only contract") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+    val rowsOnly = qs -- os
+    // rows-only set is exactly the hash/sketch/approx/state queries
+    assert(rowsOnly == Set(
+      "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
+      "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
+      "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_rollhash",
+      "q_stream_watermark", "q_stream_stateful"), rowsOnly.toSeq.sorted)
+  }
+}
