@@ -80,6 +80,29 @@ object Extras {
         .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
         .orderBy(col("nationkey"))),
 
+    // Unpivot (melt): wide per-status counts back to long form.
+    "q_unpivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy(col("o_orderpriority"), col("status"))),
+
+    // potpot's insert as a physical append-mode sink: base write, then
+    // an appended batch, read back as one table.
+    "q_append_sink" -> ((s, d) => {
+      import s.implicits._
+      val out = sinkDir("append", d)
+      Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").parquet(out)
+      Seq((5, "VIRTUAL_A"), (6, "VIRTUAL_B")).toDF("r_regionkey", "r_name")
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).orderBy(col("r_regionkey"), col("r_name"))
+    }),
+
     // CSV sink + source round-trip (integer-valued columns: CSV has no
     // binary-exact double representation guarantee across writers).
     "q_csv_roundtrip" -> ((s, d) => {
@@ -147,6 +170,19 @@ object Extras {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |  FROM orders GROUP BY o_orderpriority) w
+        |UNPIVOT (n FOR status IN (F, O, P))
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "q_append_sink" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)
+        |ORDER BY r_regionkey, r_name""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
