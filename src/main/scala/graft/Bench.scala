@@ -23,26 +23,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: materializes JIT/codegen + file listing caches, and
-    // builds the write-once storage layouts (bucketed tables,
-    // partitioned dirs) so query timings measure queries, not the
-    // one-time warehouse writes.
-    Seq("q_point_get", "q_bucketed_join", "q_partition_pruning")
+    // Warmup: one representative per query family, materializing
+    // JIT/whole-stage-codegen compilation, file-listing caches, scan
+    // setup for every table, and the write-once storage layouts
+    // (bucketed tables, partitioned dirs) — so per-query timings
+    // measure the query, not first-use compilation (q_join_sortmerge
+    // benched 10× its steady state in round 1 purely from cold
+    // codegen on the join+partial-agg shape).
+    Seq("q_point_get", "q_bucketed_join", "q_partition_pruning",
+        "q_join_sortmerge", "q_json_funcs", "q_window_rank",
+        "q_stream_tumbling", "q_text_tokens", "q_sim_topk",
+        "q_dedup_exact", "q_media_meta", "q_set_union")
       .flatMap(SparkEntry.queries.get)
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      .foreach(fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+        })
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A query that throws must not read as a speedup: failures are
+    // listed explicitly and the total is poisoned to a sentinel.
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = if (failed.isEmpty) results.map(_._2).sum else -1.0
+    val failedJson = failed.mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

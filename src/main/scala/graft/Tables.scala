@@ -39,6 +39,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String)  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  /** Collision-free key for /tmp cache dirs derived from a data dir:
+    * the full path, sanitized. (A 32-bit hashCode can collide across
+    * sf dirs and silently serve the wrong corpus.)
+    */
+  def cacheKey(d: String): String =
+    new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
 }
 
 /** Exact-arithmetic helpers for oracle parity.

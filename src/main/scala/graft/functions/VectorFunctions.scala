@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Cosine similarity over two float-vector columns as a native
   * Catalyst expression with whole-stage codegen.
@@ -87,14 +87,111 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic random-hyperplane set shared by every sign-LSH
+  * consumer (embedding near-dup, ANN buckets) AND by the DuckDB oracle
+  * mirror — the planes are seeded constants (the reference seeds its
+  * hasher the same way, reference src/hashtable.rs:95-96), so the
+  * oracle SQL can embed the identical values and reproduce bucket
+  * assignments bit-for-bit.
+  */
+object Planes {
+  val Dim = 64
+  val MaxPlanes = 16
+
+  /** First `n` of the fixed seed-42 gaussian plane set. */
+  val all: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(MaxPlanes)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  def take(n: Int): Array[Array[Double]] = all.take(n)
+
+  /** DuckDB expression for the dot of `col` against plane `p` — the
+    * same sequential left-fold of float→double products the JVM kernel
+    * runs, so the sign (and value) is bit-identical. Doubles are
+    * rendered with Java's shortest round-trip formatting, which DuckDB
+    * parses back to the same bits.
+    */
+  def sqlDot(col: String, p: Array[Double]): String = {
+    val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, len($col)), " +
+      s"i -> CAST($col[i] AS DOUBLE) * ($lits::DOUBLE[])[i]))"
+  }
+
+  /** DuckDB expression list for the banded sign signatures of `col`
+    * (mirrors `plane_sigs(col, nPlanes, bandBits)`).
+    */
+  def sqlBandSigs(col: String, nPlanes: Int, bandBits: Int): Seq[String] = {
+    require(nPlanes % bandBits == 0 && nPlanes <= MaxPlanes)
+    (0 until nPlanes / bandBits).map { b =>
+      val bits = (0 until bandBits).map { r =>
+        s"(CASE WHEN ${sqlDot(col, all(b * bandBits + r))} > 0 THEN ${1L << r} ELSE 0 END)"
+      }
+      s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+    }
+  }
+}
+
+/** JVM kernels backing the vector expressions. */
+object VectorKernels {
+  /** Banded sign-LSH signatures: bit r of band b is the sign of the
+    * vector's dot with plane (b·bandBits + r). One fused pass; the dot
+    * is a sequential left fold matching the DuckDB mirror exactly.
+    */
+  def planeSigs(v: ArrayData, nPlanes: Int, bandBits: Int): ArrayData = {
+    val planes = Planes.all
+    val sigs = new Array[Long](nPlanes / bandBits)
+    val n = v.numElements()
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val m = if (n < plane.length) n else plane.length
+      while (i < m) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot > 0) sigs(p / bandBits) |= 1L << (p % bandBits)
+      p += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}
+
+/** `plane_sigs(vec, nPlanes, bandBits)`: array of per-band sign-LSH
+  * signatures (whole-stage codegen; one kernel call per row).
+  */
+case class PlaneSigs(child: Expression, nPlanes: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(nPlanes % bandBits == 0 && nPlanes <= Planes.MaxPlanes,
+    s"plane_sigs: nPlanes=$nPlanes must be a multiple of bandBits=$bandBits, <= ${Planes.MaxPlanes}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"plane_sigs expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.planeSigs(v.asInstanceOf[ArrayData], nPlanes, bandBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.planeSigs($c, $nPlanes, $bandBits)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Register `cosine_sim` in the session's function registry (the
     * Column constructor is not public API in Spark 4, so expression
     * access goes through the registry + `expr`).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sigs", exprs => PlaneSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+  }
 
   /** Cosine similarity column over two array<float> columns. */
   def cosineSim(spark: SparkSession, a: String, b: String): Column = {

@@ -26,7 +26,7 @@ object Extras {
     */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def sinkDir(fmt: String, d: String): String =
-    s"/tmp/graft_${fmt}_${Integer.toHexString(d.hashCode)}_${sinkCounter.incrementAndGet()}"
+    s"/tmp/graft_${fmt}_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Non-equi range join: each event lands in its value band.

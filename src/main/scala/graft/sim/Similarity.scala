@@ -22,32 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplanes (seeded — potpot itself
-    * seeds its hasher, reference `src/hashtable.rs:95-96`).
-    */
-  private def hyperplanes(dim: Int, n: Int): Seq[Array[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(n)(Array.fill(dim)(rng.nextGaussian()))
-  }
-
-  private def litArray(a: Array[Double]): Column =
-    array(a.toIndexedSeq.map(lit(_)): _*)
-
-  /** Sign bucket of `v` against the fixed hyperplane set. 6 bits = 64
-    * buckets — sized so test-corpus buckets stay populated; at real
-    * scale the bit count grows with corpus size (bits ≈ log2(n/target
-    * bucket size)).
+  /** Sign bucket of `v` against the shared seeded hyperplane set
+    * (graft.functions.Planes — potpot itself seeds its hasher,
+    * reference `src/hashtable.rs:95-96`). 6 bits = 64 buckets — sized
+    * so test-corpus buckets stay populated; at real scale the bit
+    * count grows with corpus size (bits ≈ log2(n/target bucket size)).
+    * One band of 6 bits through the codegen'd `plane_sigs` kernel —
+    * a single fused pass instead of 6 interpreted HOF folds.
     */
   private val LshBits = 6
 
-  private def lshBucket(v: Column): Column = {
-    val planes = hyperplanes(64, LshBits)
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(v, litArray(p), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private def lshBucket(s: SparkSession, v: String): Column = {
+    VectorFunctions.register(s)
+    element_at(expr(s"plane_sigs($v, $LshBits, $LshBits)"), 1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,7 +98,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", lshBucket(col("embedding")))
+        .withColumn("bucket", lshBucket(s, "embedding"))
       val probes = array(lit(0) +: (0 until LshBits).map(b => lit(1 << b)): _*)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),

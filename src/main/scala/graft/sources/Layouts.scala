@@ -29,8 +29,15 @@ object Layouts {
     * that can't be changed post-session); the per-sf suffix keeps
     * scale factors from colliding.
     */
+  /** Per-sf suffix for table/dir names: the full path sanitized (no
+    * 32-bit-hash collisions); dots stripped too — they'd read as a
+    * schema separator in a table identifier.
+    */
+  private[graft] def sfSuffix(d: String): String =
+    Tables.cacheKey(d).replaceAll("[^A-Za-z0-9_]", "_")
+
   private def ensureBucketed(s: SparkSession, d: String): Unit = synchronized {
-    val suffix = Integer.toHexString(d.hashCode)
+    val suffix = sfSuffix(d)
     def writeBucketed(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
         // files may survive a previous session while the in-memory
@@ -56,8 +63,13 @@ object Layouts {
     writeBucketed(s"lineitem_b_$suffix", Tables.lineitem(s, d), "l_orderkey")
   }
 
+  /** Fresh dir per q_delete_rewrite invocation — the rewrite mutates
+    * its layout, so it must never share with q_partition_pruning's.
+    */
+  private val delCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def ensurePartitioned(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_part_${Integer.toHexString(d.hashCode)}"
+    val dir = s"/tmp/graft_part_${sfSuffix(d)}"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
@@ -71,7 +83,7 @@ object Layouts {
     // sort-merge join (both sides pre-hashed into matching buckets).
     "q_bucketed_join" -> ((s, d) => {
       ensureBucketed(s, d)
-      val suffix = Integer.toHexString(d.hashCode)
+      val suffix = sfSuffix(d)
       val o = s.table(s"orders_b_$suffix")
       val l = s.table(s"lineitem_b_$suffix")
       o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -80,6 +92,30 @@ object Layouts {
           sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Delete/compact: the Spark analog of the reference's record
+    // deletion sketch (slot tombstone, reference src/page.rs:22
+    // "Deleted (offset = 0)"). An immutable columnar store deletes by
+    // REWRITING the affected partition without its tombstoned rows —
+    // dynamic partition overwrite touches only that partition's
+    // directory, so the rewrite cost is one partition, not the table.
+    "q_delete_rewrite" -> ((s, d) => {
+      val out = s"/tmp/graft_del_${Tables.cacheKey(d)}_${delCounter.incrementAndGet()}"
+      val byYear = Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      byYear.write.partitionBy("o_year").mode("overwrite").parquet(out)
+      // Delete 1995's 'F' orders: rewrite partition o_year=1995 from the
+      // upstream minus the tombstoned rows. Dynamic overwrite mode
+      // replaces only partitions present in the written data.
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      byYear.filter(col("o_year") === 1995 && col("o_orderstatus") =!= "F")
+        .write.partitionBy("o_year").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_year").cast("long").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
     }),
 
     // Partition-pruned scan: the year predicate prunes directories.
@@ -100,6 +136,13 @@ object Layouts {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_delete_rewrite" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+        |GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin,
     "q_partition_pruning" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -33,13 +33,15 @@ object Streams {
     val schema = Tables.t(s, d, "events").schema // ts arrives as raw nanos
     // The file-stream source wants a directory; expose the single
     // events.parquet file through a per-sf symlink dir.
-    val dirName = "graft_stream_" + Integer.toHexString(d.hashCode)
-    val streamDir = java.nio.file.Paths.get("/tmp", dirName)
-    if (!java.nio.file.Files.exists(streamDir)) {
+    val streamDir = java.nio.file.Paths.get("/tmp", "graft_stream_" + Tables.cacheKey(d))
+    val link = streamDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+    // Re-create if absent or pointing at a stale target.
+    if (!java.nio.file.Files.isSymbolicLink(link) ||
+        java.nio.file.Files.readSymbolicLink(link) != target) {
       java.nio.file.Files.createDirectories(streamDir)
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(d, "events.parquet"))
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, target)
     }
     s.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -81,10 +83,12 @@ object Streams {
         .orderBy(col("w_start"))
     }),
 
-    // Streaming dedup on event_id, then per-type counts.
+    // Streaming dedup, then per-type counts. The dedup key tuple
+    // matches the oracle's DISTINCT (event_id, event_type) exactly, so
+    // parity holds even if an event_id ever repeated across types.
     "q_stream_dedup" -> ((s, d) => {
       val agg = eventsStream(s, d)
-        .dropDuplicates("event_id")
+        .dropDuplicates("event_id", "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       drain(s, agg, "complete").orderBy(col("event_type"))
@@ -129,7 +133,7 @@ object Streams {
     // then read back. With the finite file source this converges to
     // the full batch aggregate, which the oracle checks.
     "q_stream_foreachbatch" -> ((s, d) => {
-      val out = s"/tmp/graft_fb_${Integer.toHexString(d.hashCode)}_${sinkCounter.incrementAndGet()}"
+      val out = s"/tmp/graft_fb_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
       val agg = eventsStream(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -177,8 +181,11 @@ object Streams {
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        // >= gap, matching session_window semantics: [start, start+gap)
+        // windows merge only on strict overlap, so an event exactly gap
+        // after its predecessor starts a NEW session.
         .withColumn("new_s",
-          when(col("tus") - lag(col("tus"), 1).over(w) > 300000000L, 1)
+          when(col("tus") - lag(col("tus"), 1).over(w) >= 300000000L, 1)
             .otherwise(0))
         .withColumn("session_idx", sum(col("new_s")).over(wRun))
         .groupBy(col("user_id"), col("session_idx"))
@@ -193,12 +200,12 @@ object Streams {
       |       min(tus) AS start_us, max(tus) AS end_us
       |FROM (
       |  SELECT user_id, event_id, tus,
-      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM (
       |    SELECT user_id, event_id, tus,
       |      CASE WHEN tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-      |                > 300000000 THEN 1 ELSE 0 END AS new_s
+      |                >= 300000000 THEN 1 ELSE 0 END AS new_s
       |    FROM (SELECT user_id, event_id,
       |            epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events) e) flagged) numbered
       |GROUP BY user_id, session_idx""".stripMargin
