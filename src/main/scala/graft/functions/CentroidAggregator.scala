@@ -36,12 +36,16 @@ class CentroidAggregator(dim: Int)
     if (n == 0) sums else sums.map(_ / n)
   }
 
+  // Product ExpressionEncoder: the buffer ships through the shuffle as
+  // an unsafe-row (array<double>, bigint) — no Java serialization.
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    Encoders.tuple(Encoders.javaSerialization[Array[Double]], Encoders.scalaLong)
+    ExpressionEncoderHelp.buffer
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelp.doubleArray
 }
 
 private object ExpressionEncoderHelp {
   val doubleArray: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  val buffer: Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
 }

@@ -152,6 +152,26 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Seeded xxHash64 of a long key — the reference's hasher takes a
+  * per-index random seed (reference src/hashtable.rs:65-80, 95-96);
+  * Spark's builtin `xxhash64` pins seed 42, so this surfaces the seed.
+  */
+case class Xxh64Seeded(child: Expression, seed: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"xxh64_seeded expects bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    XXH64.hashLong(v.asInstanceOf[Long], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($c, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -174,5 +194,8 @@ object HashFunctions {
       "shingles3", exprs => Shingles3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fp", exprs => RollingFp(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xxh64_seeded", exprs => Xxh64Seeded(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].longValue), "built-in")
   }
 }

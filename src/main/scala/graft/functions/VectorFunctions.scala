@@ -96,7 +96,10 @@ case class CosineSim(left: Expression, right: Expression)
   */
 object Planes {
   val Dim = 64
-  val MaxPlanes = 16
+  val MaxPlanes = 48 // first 16 feed the oracle-mirrored embed dedup;
+                     // 48 = 8 ANN tables × 6 bits (generation is
+                     // row-major from one seeded stream, so growing the
+                     // pool never changes earlier planes)
 
   /** First `n` of the fixed seed-42 gaussian plane set. */
   val all: Array[Array[Double]] = {

@@ -59,14 +59,21 @@ object Core {
           (octet_length(col("text")) <= 1024).as("fits_potpot_text"))
         .orderBy(col("doc_id"))),
 
-    // potpot's seeded xxHash64 — Spark built-in, same algorithm family.
-    // No DuckDB oracle (no xxhash64 there) → rows-only check.
-    "q_hash_xxh64" -> ((s, d) =>
+    // potpot's seeded xxHash64: the builtin (fixed seed 42) plus the
+    // xxh64_seeded kernel with an explicit per-index seed — the
+    // reference's hasher design (src/hashtable.rs:95-96); the slot is
+    // the seeded hash mod the 511-slot capacity. No DuckDB oracle (no
+    // xxhash64 there) → rows-only check.
+    "q_hash_xxh64" -> ((s, d) => {
+      graft.functions.HashFunctions.register(s)
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           xxhash64(col("o_orderkey")).as("key_hash"),
-          pmod(xxhash64(col("o_orderkey")), lit(511L)).as("slot"))
-        .orderBy(col("o_orderkey"))),
+          lit(7L).as("seed"),
+          expr("xxh64_seeded(o_orderkey, 7)").as("key_hash_seeded"),
+          pmod(expr("xxh64_seeded(o_orderkey, 7)"), lit(511L)).as("slot"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // potpot's CRC32 page checksum — Spark built-in over record bytes.
     "q_hash_crc32" -> ((s, d) =>

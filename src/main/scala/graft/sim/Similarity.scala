@@ -22,20 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sign bucket of `v` against the shared seeded hyperplane set
-    * (graft.functions.Planes — potpot itself seeds its hasher,
-    * reference `src/hashtable.rs:95-96`). 6 bits = 64 buckets — sized
-    * so test-corpus buckets stay populated; at real scale the bit
-    * count grows with corpus size (bits ≈ log2(n/target bucket size)).
-    * One band of 6 bits through the codegen'd `plane_sigs` kernel —
-    * a single fused pass instead of 6 interpreted HOF folds.
+  /** Multi-table ANN shape: 8 independent tables of 6 sign bits, from
+    * the shared seeded hyperplane set (graft.functions.Planes — potpot
+    * itself seeds its hasher, reference `src/hashtable.rs:95-96`).
+    * 6 bits = 64 buckets per table — sized so test-corpus buckets stay
+    * populated; at real scale the bit count grows with corpus size
+    * (bits ≈ log2(n/target bucket size)).
     */
-  private val LshBits = 6
-
-  private def lshBucket(s: SparkSession, v: String): Column = {
-    VectorFunctions.register(s)
-    element_at(expr(s"plane_sigs($v, $LshBits, $LshBits)"), 1)
-  }
+  private val AnnTables = 8
+  private val AnnBits = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
@@ -88,27 +83,40 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // LSH-bucketed ANN with multi-probe: the query searches its own
-    // sign bucket plus every 1-bit-flip neighbor (sign bits near a
-    // hyperplane are the ones most likely to disagree between true
-    // neighbors). Probing stays an equi-join on bucket id — the
-    // scale-friendly shape — while recall rises several-fold vs
-    // single-bucket probing. Rows-only (approximate by design).
+    // Multi-table LSH ANN with multi-probe: L independent 6-bit sign
+    // tables (one plane_sigs band each), and each query probes its own
+    // bucket plus every 1-bit-flip neighbor per table. A true neighbor
+    // is found if ANY table agrees — recall 1-(1-p)^L instead of p —
+    // while every lookup stays an equi-join on (table, bucket), the
+    // scale-friendly shape. L and the bit width trade recall against
+    // candidate count; bits grow with log(n) at scale. Rows-only
+    // (approximate by design); a spec pins recall ≥ 0.8 vs q_sim_topk.
     "q_sim_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(s)
+      val nPlanes = AnnTables * AnnBits
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", lshBucket(s, "embedding"))
-      val probes = array(lit(0) +: (0 until LshBits).map(b => lit(1 << b)): _*)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
+      val corpus = e
+        .select(col("vec_id"), col("embedding"), posexplode(col("sigs")))
+        .select(col("vec_id"), col("embedding"),
+          col("pos").as("band"), col("col").as("sig"))
+      val probes = array((0 +: (0 until AnnBits).map(1 << _)).map(lit(_)): _*)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
-            .as("qbucket"))
+          posexplode(col("sigs")))
+        .select(col("qid"), col("qv"), col("pos").as("qband"),
+          explode(transform(probes, m => col("col").bitwiseXOR(m))).as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
       broadcast(q)
-        .join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
+        .join(corpus,
+          col("band") === col("qband") && col("sig") === col("qsig") &&
+            col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("embedding"))
+        .dropDuplicates("qid", "nid") // candidate found by >1 table counts once
+        .select(col("qid"), col("nid"),
           VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)

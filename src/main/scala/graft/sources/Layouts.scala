@@ -55,7 +55,11 @@ object Layouts {
             java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.delete)
           }
+          // external (explicit path): dropping the catalog entry never
+          // deletes the data — the layout is a write-once warehouse
+          // that later sessions re-attach to (branch above)
           df.write.bucketBy(8, key).sortBy(key)
+            .option("path", loc.toString)
             .mode("overwrite").saveAsTable(name)
         }
       }

@@ -47,6 +47,51 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Events replayed as three time-ordered parquet files consumed one
+    * per micro-batch (`maxFilesPerTrigger 1`), so the watermark
+    * genuinely ADVANCES between batches — append mode emits each
+    * window as it seals mid-stream, instead of one batch that only
+    * flushes at end-of-stream. The split fixture is built once per sf
+    * dir (a one-time layout write; the single-partition window sort is
+    * fine there — it is not a query path) and reused.
+    */
+  private def eventsStreamMulti(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.t(s, d, "events").schema // ts arrives as raw nanos
+    val dir = Paths.get("/tmp", "graft_stream3_" + Tables.cacheKey(d))
+    if (!Files.exists(dir.resolve("_READY"))) synchronized {
+      if (!Files.exists(dir.resolve("_READY"))) {
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createDirectories(dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))
+        val sliced = Tables.t(s, d, "events")
+          .withColumn("__slice", ntile(3).over(w))
+        (1 to 3).foreach { i =>
+          val tmp = dir.resolve(s"__build_$i")
+          sliced.filter(col("__slice") === i).drop("__slice")
+            .coalesce(1).write.parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+          // distinct mtimes: the file-stream source picks oldest first
+          Files.setLastModifiedTime(dir.resolve(f"batch_$i%02d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createFile(dir.resolve("_READY"))
+      }
+    }
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Run a streaming aggregation to completion against the finite
     * file source and return the materialized sink table.
     */
@@ -94,10 +139,12 @@ object Streams {
       drain(s, agg, "complete").orderBy(col("event_type"))
     }),
 
-    // Watermark + append mode: only windows sealed by the watermark
-    // emit. Rows-only by design (the tail windows are withheld).
+    // Watermark + append mode over a MULTI-BATCH replay: the watermark
+    // advances after each micro-batch, sealing and emitting windows
+    // mid-stream; the final 30 minutes of windows stay withheld.
+    // Rows-only by design (a spec pins emitted>0 and withheld>0).
     "q_stream_watermark" -> ((s, d) => {
-      val agg = eventsStream(s, d)
+      val agg = eventsStreamMulti(s, d)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n"))

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Persistence across "restart": the reference's only integration-test
+  * shape is write, reopen, read back (reference `src/hashtable.rs:382-418`
+  * `persistence`; `src/bufferpool.rs:249-267`). The Spark analog: a
+  * bucketed warehouse written once is RE-ATTACHED (external table over
+  * the existing files) when the catalog no longer knows it — never
+  * rewritten. Dropping the external tables here simulates a fresh
+  * session's empty in-memory catalog.
+  */
+class PersistenceSpec extends SparkSpec {
+
+  test("bucketed warehouse re-attaches after the catalog forgets it, without a rewrite") {
+    val before = run("q_bucketed_join").collect().toSeq
+    assert(before.nonEmpty)
+
+    val suffix = sources.Layouts.sfSuffix(sf)
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dataFiles = Seq(s"orders_b_$suffix", s"lineitem_b_$suffix").flatMap { t =>
+      Files.list(wh.resolve(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // external tables: dropping the catalog entry must keep the files
+    spark.sql(s"DROP TABLE orders_b_$suffix")
+    spark.sql(s"DROP TABLE lineitem_b_$suffix")
+    assert(dataFiles.forall(Files.exists(_)))
+
+    val after = run("q_bucketed_join").collect().toSeq
+    assert(after == before)
+    // re-attach, not rebuild: no data file was rewritten
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+    // and the re-attached table still plans the exchange-free bucketed join
+    val p = run("q_bucketed_join").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+}

@@ -23,13 +23,15 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
-  test("minhash candidates verified: subset of exact jaccard pairs") {
+  test("minhash LSH pairs coincide exactly with exact jaccard pairs (recall 1 here)") {
     val mh = run("q_dedup_minhash").select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = run("q_dedup_ngram_jaccard").select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(mh.subsetOf(exact))
-    assert(mh.size >= (exact.size * 0.8).toInt) // banding recall floor
+    // 4 bands × 4 rows at threshold 0.5: candidate-miss probability
+    // (1-j^4)^4 is ~1% per pair at j=0.5 and falls fast above it — on
+    // this corpus the verified LSH output IS the exact answer.
+    assert(mh == exact, s"minhash-only: ${mh -- exact}; missed: ${exact -- mh}")
   }
 
   test("simhash near-dups all within hamming bound") {
@@ -82,6 +84,15 @@ class SimilaritySpec extends SparkSpec {
     val df = run("q_sim_ann_lsh")
     assert(df.filter(col("rk") > 5).count() == 0)
     assert(df.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() == 0)
+  }
+
+  test("multi-table LSH ANN reaches >= 0.8 recall vs brute-force top-5") {
+    val topk = run("q_sim_topk").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q_sim_ann_lsh").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (topk intersect lsh).size.toDouble / topk.size
+    assert(recall >= 0.8, s"recall=$recall (${(topk intersect lsh).size}/${topk.size})")
   }
 }
 
@@ -161,5 +172,11 @@ class StreamingSpec extends SparkSpec {
   test("stateful per-user counts sum to the event total") {
     val df = run("q_stream_stateful")
     assert(df.agg(sum("n_events")).head.getLong(0) == 1000L)
+  }
+
+  test("multi-batch watermark replay emits sealed windows and withholds the tail") {
+    val emitted = run("q_stream_watermark").count()
+    val total = run("q_stream_tumbling").select("w_start").distinct().count()
+    assert(emitted > 0 && emitted < total, s"emitted=$emitted total=$total")
   }
 }

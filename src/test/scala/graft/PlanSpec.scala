@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(o_year") && p.contains("= 1997"), p)
   }
 
+  test("embedding near-dup candidates come from an equi-join, never a cartesian") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semi join emits no payload columns from the probe side") {
     val p = plan("q_join_semi")
     assert(p.contains("LeftSemi"), p)

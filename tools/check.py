@@ -13,6 +13,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# The deliberate rows-only contract (mirrors EntrySpec): a query dir
+# with no oracle entry that is NOT in this set is a missing/typo'd
+# oracle, not a pass.
+ROWS_ONLY = {
+    "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
+    "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
+    "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_rollhash",
+    "q_stream_watermark", "q_stream_stateful",
+}
+
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -33,9 +43,10 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_OUTPUT"
             continue
-        got = con.sql(f"SELECT * FROM '{files[0]}'").df()
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name not in oracle:
-            results[name] = f"rows_only({len(got)})"
+            results[name] = (f"rows_only({len(got)})" if name in ROWS_ONLY
+                             else "MISSING_ORACLE (not in rows-only allowlist)")
             continue
         try:
             exp = con.sql(oracle[name]).df()
