@@ -32,8 +32,8 @@ object Bench {
     // codegen on the join+partial-agg shape).
     Seq("q_point_get", "q_bucketed_join", "q_partition_pruning",
         "q_join_sortmerge", "q_json_funcs", "q_window_rank",
-        "q_stream_tumbling", "q_text_tokens", "q_sim_topk",
-        "q_dedup_exact", "q_media_meta", "q_set_union")
+        "q_stream_tumbling", "q_stream_watermark", "q_text_tokens",
+        "q_sim_topk", "q_dedup_exact", "q_media_meta", "q_set_union")
       .flatMap(SparkEntry.queries.get)
       .foreach(fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
