@@ -91,6 +91,22 @@ object Extras {
           Array(col("F"), col("O"), col("P")), "status", "n")
         .orderBy(col("o_orderpriority"), col("status"))),
 
+    // Deterministic content-hash train/val/test split — the sampling
+    // primitive a training pipeline needs: pure map work (no shuffle,
+    // no RNG state), reproducible across runs and engines, and stable
+    // under repartitioning because the bucket comes from the document
+    // bytes, not the row position.
+    "q_sample_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(10L)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))),
+
     // potpot's insert as a physical append-mode sink: base write, then
     // an appended batch, read back as one table.
     "q_append_sink" -> ((s, d) => {
@@ -179,6 +195,14 @@ object Extras {
         |  FROM orders GROUP BY o_orderpriority) w
         |UNPIVOT (n FOR status IN (F, O, P))
         |ORDER BY o_orderpriority, status""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS bucket
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "q_append_sink" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)

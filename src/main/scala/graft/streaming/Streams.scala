@@ -196,6 +196,32 @@ object Streams {
       s.read.parquet(out).orderBy(col("event_type"))
     }),
 
+    // Stream-stream interval join: each click matched to same-user
+    // purchases within the next 10 minutes. Both sides carry
+    // watermarks and the join condition bounds event time on both
+    // sides, so the state store retains only a 10-minute (+watermark)
+    // window per side — the property that holds at 100 TB/day. Inner
+    // matches emit as soon as both rows arrive, so the finite replay
+    // emits every in-interval pair and the batch interval join is an
+    // exact oracle.
+    "q_stream_stream_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("c_id"), col("p_id"), col("c_user").as("user_id"))
+      drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
+    }),
+
     // Stream-static join: the stream side joins a static dimension
     // (stateless — no watermark needed), then aggregates per segment.
     "q_stream_static_join" -> ((s, d) => {
@@ -273,6 +299,14 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id AS user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+        | AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
+        |ORDER BY c_id, p_id""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey

@@ -24,6 +24,19 @@ object TextOps {
   private val stopwords: Seq[String] = graft.functions.GraftText.Stopwords.toSeq
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Vocabulary building: corpus-wide token frequencies, top 100.
+    // Explode → partial-agg → TakeOrderedAndProject: the map-side
+    // combine collapses each partition to its distinct tokens before
+    // the single shuffle, and top-k never sorts globally — the shape
+    // that builds a BPE/vocab table from 100 TB of text.
+    "q_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
     // Whitespace token counts (total + distinct) per document.
     "q_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -97,6 +110,12 @@ object TextOps {
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """SELECT token, freq FROM (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) toks
+        |  GROUP BY token) f
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct

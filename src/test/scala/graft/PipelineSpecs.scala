@@ -174,6 +174,23 @@ class StreamingSpec extends SparkSpec {
     assert(df.agg(sum("n_events")).head.getLong(0) == 1000L)
   }
 
+  test("stream-stream interval join pairs each click only with later in-window purchases") {
+    val rows = run("q_stream_stream_join").collect()
+    assert(rows.nonEmpty)
+    // ids are unique event_ids, so no pair repeats
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("deterministic hash split is exhaustive and reproducible") {
+    val a = run("q_sample_split").collect().toSeq
+    val b = run("q_sample_split").collect().toSeq
+    assert(a == b && a.size == 500)
+    val buckets = a.map(_.getLong(1)).toSet
+    assert(buckets.subsetOf((0L to 9L).toSet))
+    assert(a.map(_.getString(2)).toSet == Set("train", "val", "test"))
+  }
+
   test("multi-batch watermark replay emits sealed windows and withholds the tail") {
     val emitted = run("q_stream_watermark").count()
     val total = run("q_stream_tumbling").select("w_start").distinct().count()
