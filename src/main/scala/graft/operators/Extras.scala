@@ -107,6 +107,39 @@ object Extras {
             .otherwise("test"))
         .orderBy(col("doc_id"))),
 
+    // MERGE-style upsert: an updates set (price bump on matched keys +
+    // brand-new rows) full-outer-joined with the base, coalescing
+    // per-column — matched rows update, unmatched updates insert,
+    // untouched base rows pass through. This is the compute half of
+    // copy-on-write MERGE (Delta/Iceberg shape); q_delete_rewrite shows
+    // the physical half (dynamic partition overwrite). One shuffle per
+    // side on the key — or zero against the bucketed layout — and the
+    // updates side is typically broadcast-size in practice. Exact
+    // DECIMAL price math keeps the oracle bit-identical.
+    "q_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          graft.Exact.money(col("o_totalprice")).as("b_total"))
+      val bump = expr("CAST(1.05 AS DECIMAL(3,2))")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("u_key"), lit("U").as("u_status"),
+          (col("b_total") * bump).cast("decimal(22,4)").as("u_total"))
+      val inserts = base.filter(col("o_orderkey") % 1000 === 500)
+        .select((col("o_orderkey") + 10000000L).as("u_key"),
+          lit("N").as("u_status"),
+          expr("CAST(1000.00 AS DECIMAL(22,4))").as("u_total"))
+      base.join(updates.unionAll(inserts),
+          col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("u_key"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("u_total"), col("b_total")).cast("double").as("total"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("u_key").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // potpot's insert as a physical append-mode sink: base write, then
     // an appended batch, read back as one table.
     "q_append_sink" -> ((s, d) => {
@@ -203,6 +236,26 @@ object Extras {
         |        ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS bucket
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS b_total FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey AS u_key, 'U' AS u_status,
+        |         CAST(b_total * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(22,4)) AS u_total
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', CAST(1000.00 AS DECIMAL(22,4))
+        |  FROM base WHERE o_orderkey % 1000 = 500
+        |)
+        |SELECT coalesce(u_key, o_orderkey) AS o_orderkey,
+        |       coalesce(u_status, o_orderstatus) AS status,
+        |       CAST(coalesce(u_total, b_total) AS DOUBLE) AS total,
+        |       CASE WHEN o_orderkey IS NULL THEN 'insert'
+        |            WHEN u_key IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM base FULL OUTER JOIN upd ON o_orderkey = u_key
+        |ORDER BY 1""".stripMargin,
     "q_append_sink" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)

@@ -123,7 +123,25 @@ object Similarity {
         .select(col("qid"), col("rk"), col("nid"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("qid"), col("rk"))
-    })
+    }),
+
+    // Embedding normalization + int8 quantization: the preprocessing
+    // pass before ANN indexing (unit-norm cosine ≡ dot product; int8
+    // cuts index bytes 4×). Pure per-row map work, zero shuffle. The
+    // norm is a sequential left-fold of squares + one sqrt — the same
+    // IEEE op sequence DuckDB's list_sum performs, so the oracle is
+    // bit-exact; round-half-away-from-zero matches in both engines.
+    "q_embed_norm" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("norm",
+          sqrt(expr("aggregate(e, cast(0.0 as double), (a, y) -> a + y * y)")))
+        .select(col("vec_id"),
+          expr("""array_join(transform(e,
+            x -> cast(cast(round(x * 127.0 / norm) as int) as string)), ',')""")
+            .as("q8"),
+          round(col("norm"), 6).as("norm_r6"))
+        .orderBy(col("vec_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,6 +157,16 @@ object Similarity {
         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
         |    WHERE q.vec_id % 100 = 0) pairs) ranked
-        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(round(x * 127.0 / norm) AS INTEGER)), ',') AS q8,
+        |  round(norm, 6) AS norm_r6
+        |FROM (SELECT vec_id, e,
+        |        sqrt(list_sum(list_transform(e, y -> y * y))) AS norm
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |            FROM embeddings) cast_e) normed
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -139,6 +139,24 @@ object Streams {
       drain(s, agg, "complete").orderBy(col("event_type"))
     }),
 
+    // Watermarked streaming dedup: dropDuplicatesWithinWatermark keeps
+    // dedup state only inside the watermark horizon — the unbounded-
+    // stream shape, where q_stream_dedup's state would grow forever.
+    // The input is a self-union of the multi-batch replay (every event
+    // arrives exactly twice, in the same micro-batch), so the dedup
+    // does real work while duplicates always land within the horizon;
+    // the batch DISTINCT oracle is exact.
+    "q_stream_dedup_watermark" -> ((s, d) => {
+      val ev = eventsStreamMulti(s, d)
+      val dd = ev.unionAll(ev)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id", "event_type")
+      drain(s, dd, "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Watermark + append mode over a MULTI-BATCH replay: the watermark
     // advances after each micro-batch, sealing and emitting windows
     // mid-stream; the final 30 minutes of windows stay withheld.
@@ -312,6 +330,10 @@ object Streams {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM (SELECT DISTINCT event_id, event_type FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

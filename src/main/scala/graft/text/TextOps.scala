@@ -104,7 +104,74 @@ object TextOps {
             .cast("long").as("n_num"),
           size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
             .cast("long").as("n_other"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Context-window chunking: overlapping character windows (256-char
+    // window, 192-char stride) — the stage that slices documents into
+    // model context windows. sequence+explode fans each row out to
+    // ~n_chars/stride rows with ZERO shuffle: embarrassingly parallel,
+    // and at 100 TB the chunks stream straight back out to parquet
+    // without ever concentrating on any node.
+    "q_doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            greatest(col("n_chars") - 1L, lit(0L)), lit(192L))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          col("text").substr(col("chunk_start") + 1L, lit(256L)).as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_start"))),
+
+    // TF-IDF term ranking with a *linear* IDF (score = tf·N/df): one
+    // IEEE division instead of libm ln(), so the doubles are
+    // bit-identical across engines while preserving the ranking
+    // monotonicity that matters. Corpus stats (df, N) aggregate once
+    // over thin (doc_id, term) pairs; the bounded per-doc top-10 is a
+    // windowed head, not a global sort.
+    "q_tfidf" -> ((s, d) => {
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = toksDf.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dft = toksDf.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term").crossJoin(broadcast(nDf))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // PII scrubbing: redact email-like tokens and long digit runs with
+    // sentinels, counting redactions per document. The corpus has no
+    // digits, so deterministic synthetic PII (an email + a numeric ref
+    // derived from doc_id) is injected first on BOTH sides — the scrub
+    // itself is then real regex work with exact oracle parity. Pure
+    // per-row map: zero shuffle at any scale.
+    "q_pii_scrub" -> ((s, d) => {
+      val emailPat = "[a-z0-9._-]+@[a-z0-9.-]+"
+      val idPat = "[0-9]{4,}"
+      Tables.documents(s, d)
+        .withColumn("raw",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com ref "),
+            ((col("doc_id") + 1000L) * 7919L).cast("string")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(idPat), lit(0)))
+            .cast("long").as("n_ids"),
+          regexp_replace(
+            regexp_replace(col("raw"), lit(emailPat), lit("<EMAIL>")),
+            lit(idPat), lit("<NUM>")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -149,6 +216,43 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_other
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """SELECT doc_id, chunk_start, chunk,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_len
+        |FROM (
+        |  SELECT doc_id, chunk_start, substring(text, chunk_start + 1, 256) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, greatest(n_chars - 1, 0), 192)) AS chunk_start
+        |        FROM documents) spans) chunks
+        |ORDER BY doc_id, chunk_start""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE doc_id < 50
+        |  GROUP BY doc_id, term
+        |), dft AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, score, rnk FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rnk
+        |  FROM tf JOIN dft USING (term), n) ranked
+        |WHERE rnk <= 10 ORDER BY doc_id, rnk""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{4,}')) AS BIGINT) AS n_ids,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |FROM (SELECT doc_id,
+        |        text || ' contact user' || doc_id || '@example.com ref '
+        |             || ((doc_id + 1000) * 7919) AS raw
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -117,3 +117,27 @@ class WindowSpec extends SparkSpec {
     assert(viol.count() == 0)
   }
 }
+
+class MergeSpec extends SparkSpec {
+  test("merge upsert partitions rows into update/insert/keep exactly") {
+    val base = Tables.orders(SparkSpec.spark, SparkSpec.sf)
+    val nBase = base.count()
+    val nUpd = base.filter(col("o_orderkey") % 100 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 1000 === 500).count()
+    val out = run("q_merge_upsert")
+    assert(out.count() == nBase + nIns)
+    val byAction = out.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction("update") == nUpd)
+    assert(byAction("insert") == nIns)
+    assert(byAction("keep") == nBase - nUpd)
+    // every updated total is exactly 1.05x its base price
+    val updated = out.filter(col("action") === "update")
+      .join(base, Seq("o_orderkey"))
+      .withColumn("expected",
+        (col("o_totalprice").cast("decimal(18,2)") *
+          expr("CAST(1.05 AS DECIMAL(3,2))")).cast("double"))
+      .filter(col("total") =!= col("expected"))
+    assert(updated.count() == 0)
+  }
+}

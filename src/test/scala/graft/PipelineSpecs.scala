@@ -196,4 +196,65 @@ class StreamingSpec extends SparkSpec {
     val total = run("q_stream_tumbling").select("w_start").distinct().count()
     assert(emitted > 0 && emitted < total, s"emitted=$emitted total=$total")
   }
+
+  test("doc chunks tile every document with the right stride and coverage") {
+    val docs = Tables.documents(SparkSpec.spark, SparkSpec.sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val chunks = run("q_doc_chunks").collect()
+    // one chunk per stride start: floor((n_chars-1)/192)+1 per doc
+    val expected = docs.values.map { case (_, n) => (n - 1) / 192 + 1 }.sum
+    assert(chunks.length == expected)
+    chunks.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val (text, n) = docs(id)
+      val sorted = cs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L &&
+        sorted.head.getString(2) == text.take(256))
+      // last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getLong(1) + last.getLong(3) == n)
+      assert(cs.forall(c => c.getLong(3) >= 1 && c.getLong(3) <= 256))
+    }
+  }
+
+  test("tfidf ranks are dense, capped at 10, and score = tf*N/df") {
+    val rows = run("q_tfidf").collect()
+    val n = Tables.documents(SparkSpec.spark, SparkSpec.sf).count()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 10)
+    }
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(score == tf.toDouble * n / df)
+    }
+  }
+
+  test("pii scrub redacts every email and long digit run") {
+    val rows = run("q_pii_scrub").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val s = r.getString(3)
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+      assert(s.contains("<EMAIL>") && s.contains("<NUM>"))
+      assert(!s.contains("@"), s"unredacted email in: ${s.takeRight(80)}")
+      assert(!"[0-9]{4,}".r.findFirstIn(s).isDefined)
+    }
+  }
+
+  test("embed_norm quantizes into [-127,127] with positive norms") {
+    val rows = run("q_embed_norm").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val q = r.getString(1).split(",").map(_.toInt)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      assert(r.getDouble(2) > 0)
+    }
+  }
+
+  test("watermarked stream dedup collapses the self-union to exact counts") {
+    val wm = run("q_stream_dedup_watermark").collect().toSeq
+    val plain = run("q_stream_dedup").collect().toSeq
+    assert(wm == plain)
+  }
 }

@@ -63,11 +63,16 @@ def main(sf_dir, out_dir):
         try:
             import pandas as pd
             bad = []
+            def cell(v):
+                # list/array cells: tuple-ize so == is scalar, not elementwise
+                return tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v
             for c in g.columns:
-                gc, ec = g[c], e[c]
+                gc, ec = g[c].map(cell), e[c].map(cell)
+                isna = lambda s: s.map(lambda v: not isinstance(v, tuple)) & pd.isna(
+                    s.map(lambda v: None if isinstance(v, tuple) else v))
                 # timestamps: compare as values; numerics exact
-                eq = (gc.astype(object).where(pd.notna(gc), None) ==
-                      ec.astype(object).where(pd.notna(ec), None)) | (pd.isna(gc) & pd.isna(ec))
+                eq = (gc.astype(object).where(~isna(gc), None) ==
+                      ec.astype(object).where(~isna(ec), None)) | (isna(gc) & isna(ec))
                 if not eq.all():
                     i = int(eq.idxmin() if hasattr(eq, "idxmin") else 0)
                     n_bad = int((~eq).sum())
