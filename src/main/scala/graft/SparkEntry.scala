@@ -42,6 +42,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       sources.Layouts.queries ++
       text.TextOps.queries ++
+      text.Corpus.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       media.Multimodal.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++
       text.TextOps.oracle ++
+      text.Corpus.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       media.Multimodal.oracle ++

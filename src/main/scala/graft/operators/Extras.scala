@@ -140,6 +140,28 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Schema evolution: two parquet batches written with different
+    // schemas (the second adds a column), read back through
+    // `mergeSchema` — old rows surface NULL for the new column. This
+    // is how a long-lived 100 TB table actually grows columns: no
+    // rewrite of existing files, the reader reconciles footers; at
+    // scale `mergeSchema` costs one footer read per file, after which
+    // the unified schema prunes/pushes down like any other scan.
+    "q_schema_merge" -> ((s, d) => {
+      val out = sinkDir("evolve", d)
+      val base = Tables.orders(s, d)
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // potpot's insert as a physical append-mode sink: base write, then
     // an appended batch, read back as one table.
     "q_append_sink" -> ((s, d) => {
@@ -256,6 +278,11 @@ object Extras {
         |            ELSE 'update' END AS action
         |FROM base FULL OUTER JOIN upd ON o_orderkey = u_key
         |ORDER BY 1""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 1
+        |       THEN CAST(o_totalprice AS DOUBLE) END AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_append_sink" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)

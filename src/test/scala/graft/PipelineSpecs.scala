@@ -258,3 +258,73 @@ class StreamingSpec extends SparkSpec {
     assert(wm == plain)
   }
 }
+
+class CorpusSpec extends SparkSpec {
+  test("seq_pack: bins are per-source non-decreasing and match the running sum") {
+    val rows = run("q_seq_pack").collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      var running = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == running / 2048, s"bin mismatch at doc ${r.getLong(0)}")
+        running += r.getLong(2)
+        assert(r.getLong(3) == running)
+      }
+      val bins = sorted.map(_.getLong(4))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("corpus_shuffle: per-shard positions are dense 1..n and key is stable") {
+    val rows = run("q_corpus_shuffle").collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length))
+      // within a shard, position order == key order
+      val byPos = rs.sortBy(_.getLong(2)).map(_.getString(3))
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
+    }
+    // rerun is bit-identical (no RNG state anywhere)
+    assert(run("q_corpus_shuffle").collect().toSeq == rows.toSeq)
+  }
+
+  test("mixture_sample: every kept row is under its language weight, en downsampled") {
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q_mixture_sample").collect()
+    assert(rows.forall(r => r.getLong(2) < r.getLong(3)))
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val enRate = kept("en").toDouble / total("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en keep rate $enRate")
+    assert(kept("zh") == total("zh")) // weight 100 keeps everything
+  }
+
+  test("decontaminate: only non-benchmark docs reported, flags consistent") {
+    val rows = run("q_decontaminate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0)
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+      assert(r.getBoolean(3) == (r.getLong(1) >= 5))
+    }
+  }
+
+  test("length_hist: buckets bounded and doc counts total the corpus") {
+    val rows = run("q_length_hist").collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    assert(rows.map(_.getLong(2)).sum == 500L)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
+  test("schema_merge: old-batch rows surface NULL for the evolved column") {
+    val rows = run("q_schema_merge").collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      if (r.getLong(0) % 2 == 0) assert(r.isNullAt(2))
+      else assert(!r.isNullAt(2) && r.getDouble(2) > 0)
+    }
+  }
+}
