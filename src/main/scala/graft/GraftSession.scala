@@ -18,11 +18,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Register every graft SQL function on an existing session. */
+  /** Register every graft SQL function (and the binned-range-join
+    * operator) on an existing session. */
   def attach(spark: SparkSession): SparkSession = {
     functions.VectorFunctions.register(spark)
     functions.HashFunctions.register(spark)
     functions.TextFunctions.register(spark)
+    plans.RangeJoin.register(spark)
     spark
   }
 

@@ -20,6 +20,13 @@ object Extras {
   private val bands = Seq(
     (0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e9, "high"))
 
+  /** Finite bands for the BINNED range join (the 1e9 tail band above
+    * would explode 20M bins): covers the full events.value range.
+    */
+  private val binnedBands = Seq(
+    (0.0, 40.0, "b0"), (40.0, 90.0, "b1"), (90.0, 160.0, "b2"),
+    (160.0, 250.0, "b3"), (250.0, 100000.0, "b4"))
+
   /** Round-trip sinks write to a fresh directory per invocation: an
     * `overwrite` into a shared path would delete the files a previous
     * invocation's still-lazy DataFrame references.
@@ -140,6 +147,25 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Binned range join through the Catalyst extension (plans/
+    // RangeJoin.scala): the join condition is the single
+    // graft_range_join marker predicate; the installed optimizer rule
+    // lowers the would-be nested-loop join to an equi-join on a bin
+    // key (point side: 1 bin/row; band side: explode covered bins) —
+    // the plan shape that survives a band table too big to broadcast.
+    // PlanSpec pins that no BroadcastNestedLoopJoin remains.
+    "q_range_join_binned" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.RangeJoin.register(s)
+      val b = binnedBands.toDF("lo", "hi", "band")
+      Tables.events(s, d)
+        .join(b, expr("graft_range_join(value, lo, hi, 50.0D)"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("value")).as("v_sum"))
+        .orderBy(col("band"))
+    }),
+
     // Schema evolution: two parquet batches written with different
     // schemas (the second adds a column), read back through
     // `mergeSchema` — old rows surface NULL for the new column. This
@@ -215,8 +241,17 @@ object Extras {
 
   private val bandsSql =
     bands.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
+  private val binnedBandsSql =
+    binnedBands.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_range_join_binned" ->
+      s"""SELECT band, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+         |FROM events
+         |JOIN (VALUES $binnedBandsSql) b(lo, hi, band)
+         |  ON value >= lo AND value < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
     "q_range_join" ->
       s"""SELECT band, count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum

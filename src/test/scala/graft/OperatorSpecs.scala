@@ -141,3 +141,49 @@ class MergeSpec extends SparkSpec {
     assert(updated.count() == 0)
   }
 }
+
+class RangeJoinRuleSpec extends SparkSpec {
+  test("binned range join matches the nested-loop marker semantics row-for-row") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.RangeJoin.register(spark)
+    import SparkSpec.spark.implicits._
+    val b = Seq((0.0, 40.0, "b0"), (40.0, 90.0, "b1"), (90.0, 1000.0, "b2"))
+      .toDF("lo", "hi", "band")
+    val ev = Tables.events(spark, sf).select("event_id", "value")
+    val binned = ev.join(b, expr("graft_range_join(value, lo, hi, 25.0D)"))
+      .select("event_id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = ev.join(b, col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(binned == exact)
+  }
+
+  test("rule lowers the marker join to an equi-join: no nested loop in the plan") {
+    val p = run("q_range_join_binned").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_bin_p"), p)
+    assert(p.contains("Generate explode(sequence("), p)
+  }
+
+  test("without the rule the marker still evaluates correctly (fallback path)") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.RangeJoin.register(spark)
+    // strip the rule, keep the function: exact nested-loop semantics
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Nil
+      import SparkSpec.spark.implicits._
+      val b = Seq((0.0, 90.0, "lo"), (90.0, 1000.0, "hi")).toDF("lo", "hi", "band")
+      val got = Tables.events(spark, sf)
+        .join(b, expr("graft_range_join(value, lo, hi, 50.0D)"))
+        .groupBy("band").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = Tables.events(spark, sf)
+        .join(b, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+}
