@@ -56,6 +56,28 @@ object Advanced {
           round(avg(col("l_discount")), 4).as("disc_avg"))
         .orderBy(col("l_returnflag"))),
 
+    // Bounded-heap top-k per group via a typed Aggregator: unlike the
+    // window form (q_topk_per_group sorts every group's full rows),
+    // the buffer is k pairs per group×partition and the map-side pass
+    // discards sub-top-k rows before the exchange — O(groups·k) state
+    // at any scale. Same oracle shape as a window rank.
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(5).toColumn
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg.name("top")
+          .asInstanceOf[org.apache.spark.sql.TypedColumn[(Double, Long), Seq[(Double, Long)]]])
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("value"), col("col._2").as("event_id"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
     // Typed Aggregator: per-label embedding centroid (mean vector),
     // emitted as a rounded comma-joined string for stable comparison.
     "q_embed_centroid" -> ((s, d) => {
@@ -82,6 +104,13 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topk_agg" ->
+      """SELECT event_type, CAST(rk AS BIGINT) AS rk, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "q_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS token FROM (
         |  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i

@@ -187,3 +187,30 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 }
+
+class TopKAggSpec extends SparkSpec {
+  test("bounded-heap top-k agrees with the window-rank form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("q_topk_agg").collect().toSeq
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("value"), col("event_id"))
+      .orderBy(col("event_type"), col("rk"))
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("merge keeps the bound: buffers never exceed k") {
+    val agg = new graft.functions.TopKAggregator(3)
+    val big = (1L to 100L).map(i => (i.toDouble, i))
+    val merged = agg.merge(
+      big.take(50).foldLeft(agg.zero)(agg.reduce),
+      big.drop(50).foldLeft(agg.zero)(agg.reduce))
+    assert(merged.length == 3)
+    assert(merged == Seq((100.0, 100L), (99.0, 99L), (98.0, 98L)))
+  }
+}
