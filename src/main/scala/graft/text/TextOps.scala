@@ -106,6 +106,30 @@ object TextOps {
             .cast("long").as("n_other"))
         .orderBy(col("doc_id"))),
 
+    // Within-document repetition scoring (Gopher/MassiveText-style
+    // quality filter): duplicate-token and duplicate-bigram ratios per
+    // document. Pure per-row array work (split/distinct/transform) —
+    // zero shuffle; one IEEE division per ratio keeps oracle parity
+    // exact. Bigram construction guards len<2 (Spark's sequence(1,0)
+    // runs DESCENDING — reference: spark4-env-quirks).
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("bg", expr(
+          """CASE WHEN size(l) >= 2
+            |  THEN transform(sequence(1, size(l) - 1),
+            |       i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
+            |  ELSE array() END""".stripMargin))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_tok"),
+          (lit(1.0) - size(array_distinct(col("l"))).cast("double")
+            / size(col("l"))).as("dup_tok_ratio"),
+          when(size(col("bg")) > 0,
+            lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+              / size(col("bg"))).otherwise(0.0).as("dup_big_ratio"))
+        .withColumn("repetitive", col("dup_big_ratio") > 0.2)
+        .orderBy(col("doc_id"))),
+
     // Context-window chunking: overlapping character windows (256-char
     // window, 192-char stride) — the stage that slices documents into
     // model context windows. sequence+explode fans each row out to
@@ -217,6 +241,23 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+        |  1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_tok_ratio,
+        |  CASE WHEN len(bg) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |       ELSE 0.0 END AS dup_big_ratio,
+        |  (CASE WHEN len(bg) > 0
+        |        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |        ELSE 0.0 END) > 0.2 AS repetitive
+        |FROM (
+        |  SELECT doc_id, l,
+        |    CASE WHEN len(l) >= 2
+        |      THEN list_transform(generate_series(1, len(l) - 1),
+        |           i -> l[i] || ' ' || l[i + 1])
+        |      ELSE [] END AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t) b
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_chunks" ->
       """SELECT doc_id, chunk_start, chunk,
         |  CAST(len(chunk) AS BIGINT) AS chunk_len

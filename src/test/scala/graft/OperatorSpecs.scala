@@ -214,3 +214,58 @@ class TopKAggSpec extends SparkSpec {
     assert(merged == Seq((100.0, 100L), (99.0, 99L), (98.0, 98L)))
   }
 }
+
+/** Reference parity: empty-input semantics (reference empty_records /
+  * empty_slotted_page tests) — empty relations keep their schema and
+  * flow through scan/agg/join/sink without error.
+  */
+class EmptyInputSpec extends SparkSpec {
+  private def empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
+
+  test("empty scan keeps schema, count 0") {
+    assert(empty.count() == 0)
+    assert(empty.schema == Tables.orders(spark, sf).schema)
+  }
+
+  test("grouped agg over empty input yields zero groups; global agg one row") {
+    assert(empty.groupBy("o_orderstatus").count().count() == 0)
+    val g = empty.agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("n")).head
+    assert(g.isNullAt(0) && g.getLong(1) == 0L)
+  }
+
+  test("joins against empty input are empty, schema intact") {
+    val e = empty
+    val j = e.join(Tables.customer(spark, sf),
+      e("o_custkey") === col("c_custkey"))
+    assert(j.count() == 0)
+    assert(j.schema.fieldNames.contains("c_name"))
+  }
+
+  test("empty relation round-trips through a parquet sink with schema") {
+    val dir = s"/tmp/graft_empty_${Tables.cacheKey(sf)}"
+    empty.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0)
+    assert(back.schema == empty.schema)
+  }
+}
+
+class MinHashEstimateSpec extends SparkSpec {
+  test("16-hash signature agreement estimates jaccard within sampling error") {
+    graft.functions.HashFunctions.register(spark)
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("minhash16(shingles3(split(text, ' ')))").as("sig"))
+    val pairs = run("q_dedup_ngram_jaccard").select("da", "db", "jaccard")
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .withColumn("est", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v) / 16.0D"))
+      .select(col("jaccard"), col("est")).collect()
+    assert(est.nonEmpty)
+    val errs = est.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    // per-pair: 4-sigma of sqrt(j(1-j)/16) <= 0.5; mean error much tighter
+    assert(errs.forall(_ <= 0.5), errs.max.toString)
+    assert(errs.sum / errs.length <= 0.15, (errs.sum / errs.length).toString)
+  }
+}
