@@ -15,6 +15,11 @@ case class MediaRecord(doc_id: Long, media_type: String, n_bytes: Long,
 case class DecodedMedia(doc_id: Long, media_type: String, n_bytes: Long,
                         width: Int, height: Int, channels: Int, ok: Boolean)
 
+/** Decode + resize output (stub kernels, real batch plumbing). */
+case class ResizedMedia(doc_id: Long, media_type: String,
+                        width: Int, height: Int, out_w: Int, out_h: Int,
+                        n_out_bytes: Long)
+
 /** Multimodal-column plumbing: binary payload + typed metadata,
   * batch-shaped decode via `mapPartitions` over a typed Dataset.
   *
@@ -43,6 +48,20 @@ object Multimodal {
       val w = 64 + (m.n_bytes % 512).toInt
       val h = 64 + ((m.n_bytes * 7) % 512).toInt
       DecodedMedia(m.doc_id, m.media_type, m.n_bytes, w, h, 3, m.n_bytes > 0)
+    }
+
+  /** STUB resize: fit into a 224×224 box preserving aspect ratio.
+    * Integer arithmetic only ((dim·224) div max-side) so the oracle is
+    * exact; a real implementation would hand the batch to an image
+    * library's resize alongside the decoded pixels.
+    */
+  private def resizeBatch(batch: Seq[DecodedMedia]): Seq[ResizedMedia] =
+    batch.map { m =>
+      val side = math.max(m.width, m.height)
+      val ow = (m.width * 224) / side
+      val oh = (m.height * 224) / side
+      ResizedMedia(m.doc_id, m.media_type, m.width, m.height, ow, oh,
+        ow.toLong * oh * m.channels)
     }
 
   private def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
@@ -74,7 +93,38 @@ object Multimodal {
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("channels"), col("ok"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Decode → resize as ONE fused per-partition pipeline: both
+    // kernels run inside the same mapPartitions pass, so pixels never
+    // cross a stage boundary — the shape a 100 TB image-prep job
+    // needs (decode output is ~10× the encoded bytes; shuffling it
+    // would dominate the job).
+    "q_media_resize" -> ((s, d) => {
+      import s.implicits._
+      mediaRecords(s, d)
+        .mapPartitions(_.grouped(BatchSize)
+          .flatMap(b => resizeBatch(decodeBatch(b))))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("n_out_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling for video rows: stub frame count, then every
+    // k-th frame capped at 8 — `sequence`+`slice`+`explode` fans rows
+    // out with zero shuffle and the 25fps timestamp is integer math.
+    // A real sampler would seek those frame offsets in the container.
+    "q_media_framesample" -> ((s, d) =>
+      mediaRecords(s, d).toDF()
+        .filter(col("media_type") === "video")
+        .withColumn("n_frames", lit(1L) + col("n_bytes") % 240L)
+        .withColumn("step", greatest(expr("n_frames div 8"), lit(1L)))
+        .select(col("doc_id"), col("n_frames"),
+          explode(slice(sequence(lit(0L), col("n_frames") - 1L, col("step")),
+            1, 8)).as("frame_idx"))
+        .withColumn("ts_ms", col("frame_idx") * 40L)
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,6 +144,31 @@ object Multimodal {
         |  CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
         |  strlen(text) > 0 AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_resize" ->
+      """SELECT doc_id, media_type, width, height,
+        |  CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+        |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h,
+        |  CAST((width * 224 // greatest(width, height))
+        |     * (height * 224 // greatest(width, height)) * 3 AS BIGINT) AS n_out_bytes
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN source = 'src0' THEN 'image'
+        |         WHEN source = 'src1' THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(64 + strlen(text) % 512 AS INT) AS width,
+        |    CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height
+        |  FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "q_media_framesample" ->
+      """SELECT doc_id, n_frames, unnest(frames) AS frame_idx,
+        |  unnest(frames) * 40 AS ts_ms
+        |FROM (
+        |  SELECT doc_id, n_frames,
+        |    (generate_series(0, n_frames - 1, greatest(n_frames // 8, 1)))[1:8] AS frames
+        |  FROM (
+        |    SELECT doc_id, 1 + CAST(strlen(text) AS BIGINT) % 240 AS n_frames
+        |    FROM documents
+        |    WHERE source NOT IN ('src0', 'src1')) v) f
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

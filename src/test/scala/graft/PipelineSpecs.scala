@@ -328,3 +328,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 }
+
+class MediaPipelineSpec extends SparkSpec {
+  test("resize fits the 224 box, preserves orientation, and fuses in one stage") {
+    val rows = run("q_media_resize").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ow <= 224 && oh <= 224 && (ow == 224 || oh == 224))
+      assert((w >= h) == (ow >= oh))
+      assert(r.getLong(6) == ow.toLong * oh * 3)
+    }
+  }
+
+  test("frame sampling emits at most 8 frames at the right stride") {
+    val rows = run("q_media_framesample").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 8)
+      val n = rs.head.getLong(1)
+      val idx = rs.map(_.getLong(2)).sorted
+      val step = math.max(n / 8, 1L)
+      assert(idx.head == 0L)
+      assert(idx.zip(idx.tail).forall { case (a, b) => b - a == step })
+      assert(rs.forall(r => r.getLong(3) == r.getLong(2) * 40))
+    }
+  }
+}
