@@ -7,7 +7,8 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming slice over the `events` table (file-source
   * replay of the parquet), plus batch sessionization equivalents.
@@ -104,6 +105,24 @@ object Streams {
     s.table(name)
   }
 
+  /** transformWithState processor: per-user ValueState counter that
+    * numbers events 1..n as they arrive (see q_stream_seqnum).
+    */
+  private class SeqNoProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var nState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nState = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      val out = rows.map { _ => n += 1; (key, n) }.toVector // force before update
+      nState.update(n)
+      out.iterator
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 10-minute windows per event type.
     "q_stream_tumbling" -> ((s, d) => {
@@ -173,6 +192,34 @@ object Streams {
 
     // Arbitrary stateful processing: per-user running state via
     // flatMapGroupsWithState. Rows-only (state semantics, not SQL).
+    // Arbitrary stateful processing via Spark 4's transformWithState
+    // (the successor to flatMapGroupsWithState): a ValueState counter
+    // per user assigns a sequence number to every event as it
+    // arrives, across the 3-micro-batch replay — state survives batch
+    // boundaries in the (RocksDB) state store. The output SET
+    // {user × 1..n_user} is batch-order independent, so this newest
+    // stateful API is still exactly DuckDB-oracle-checkable.
+    "q_stream_seqnum" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      // transformWithState requires the RocksDB state store provider.
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ds = eventsStreamMulti(s, d)
+          .select(col("user_id"), col("event_id")).as[(Long, Long)]
+        val out = ds.groupByKey(_._1)
+          .transformWithState(new SeqNoProcessor, TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "seq")
+        drain(s, out, "append").orderBy(col("user_id"), col("seq"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     "q_stream_stateful" -> ((s, d) => {
       import s.implicits._
       val ds = eventsStream(s, d)
@@ -333,6 +380,11 @@ object Streams {
       """SELECT event_type, count(*) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_seqnum" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS BIGINT) AS seq
+        |FROM events ORDER BY user_id, seq""".stripMargin,
     "q_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) t

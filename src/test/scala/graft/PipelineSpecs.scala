@@ -355,3 +355,15 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 }
+
+class TransformWithStateSpec extends SparkSpec {
+  test("transformWithState numbers each user's events densely across micro-batches") {
+    val rows = run("q_stream_seqnum").collect()
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to perUser(u)))
+    }
+    assert(rows.length == perUser.values.sum)
+  }
+}
