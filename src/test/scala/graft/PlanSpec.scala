@@ -69,3 +69,38 @@ class PlanSpec extends SparkSpec {
     assert(!orderScan.contains("o_totalprice"), orderScan)
   }
 }
+
+class ScalePlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  test("decontamination broadcasts the benchmark shingle index") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("topk aggregator runs a partial (map-side) pass before the exchange") {
+    val p = plan("q_topk_agg")
+    // typed Aggregator plans as ObjectHashAggregate with a partial pass
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkaggregator") || p.contains("partial_"), p)
+  }
+
+  test("corpus shuffle windows are shard-partitioned, never single-partition") {
+    val w = run("q_corpus_shuffle").queryExecution.optimizedPlan.toString()
+    assert(w.contains("windowspecdefinition(shard"), w)
+  }
+
+  test("seq packing windows partition by source shard") {
+    val w = run("q_seq_pack").queryExecution.optimizedPlan.toString()
+    assert(w.contains("windowspecdefinition(source"), w)
+  }
+
+  test("doc chunking plan is shuffle-free up to the sink sort") {
+    val p = plan("q_doc_chunks")
+    // one Exchange only: the final presentation orderBy
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+}
