@@ -220,6 +220,31 @@ object Streams {
       }
     }),
 
+    // LEFT OUTER stream-stream interval join over the multi-batch
+    // replay: unmatched clicks emit null-padded ONLY once the
+    // watermark passes their join window (so state is evictable);
+    // clicks near end-of-stream stay withheld forever — inherently
+    // watermark-dependent output, rows-only by contract.
+    // StreamLeftJoinSpec pins the semantics against the batch join.
+    "q_stream_stream_left" -> ((s, d) => {
+      val ev = eventsStreamMulti(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select(col("c_id"), col("p_id"), col("c_user").as("user_id"))
+      drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
+    }),
+
     "q_stream_stateful" -> ((s, d) => {
       import s.implicits._
       val ds = eventsStream(s, d)

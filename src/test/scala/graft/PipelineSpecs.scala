@@ -367,3 +367,18 @@ class TransformWithStateSpec extends SparkSpec {
     assert(rows.length == perUser.values.sum)
   }
 }
+
+class StreamLeftJoinSpec extends SparkSpec {
+  test("left-outer stream join: matches equal the inner join, null rows are real non-matches") {
+    val rows = run("q_stream_stream_left").collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = run("q_stream_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == inner)
+    // null-padded rows emitted mid-stream (watermark advanced), and
+    // none of them ever had a purchase within the window
+    val nulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(nulls.nonEmpty)
+    assert(nulls.intersect(matched.map(_._1)).isEmpty)
+  }
+}
