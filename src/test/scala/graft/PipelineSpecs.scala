@@ -382,3 +382,36 @@ class StreamLeftJoinSpec extends SparkSpec {
     assert(nulls.intersect(matched.map(_._1)).isEmpty)
   }
 }
+
+/** The spark.sql(...) surface: a user points GraftSession at the
+  * corpus, registers views, and runs SQL that mixes built-ins with
+  * graft kernels — no DataFrame code required.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  test("full SQL query over views using graft kernel functions") {
+    GraftSession.attach(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val out = spark.sql(
+      """SELECT d.lang, count(*) AS n,
+        |  sum(CASE WHEN st.n_stop * 3 > st.n_tokens THEN 1 ELSE 0 END) AS n_stoppy
+        |FROM (SELECT lang, text_stats(split(text, ' ')) AS st FROM docs_v) d
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("binned range join works from pure SQL through the extension") {
+    GraftSession.attach(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    spark.sql("SELECT 0.0D AS lo, 90.0D AS hi, 'a' AS band UNION ALL SELECT 90.0D, 1000.0D, 'b'")
+      .createOrReplaceTempView("bands_v")
+    val rows = spark.sql(
+      """SELECT band, count(*) AS n FROM events_v e
+        |JOIN bands_v b ON graft_range_join(e.value, b.lo, b.hi, 50.0D)
+        |GROUP BY band ORDER BY band""".stripMargin)
+    val p = rows.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val n = rows.collect().map(_.getLong(1)).sum
+    assert(n == Tables.events(spark, sf).filter(col("value") >= 0 && col("value") < 1000).count())
+  }
+}
