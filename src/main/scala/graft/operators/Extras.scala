@@ -166,6 +166,39 @@ object Extras {
         .orderBy(col("band"))
     }),
 
+    // CDC snapshot diff: given two table versions (v1 = orders; v2 =
+    // v1 with price bumps on %100 keys, new rows at %1000=500, and
+    // %97 keys deleted), emit the change log — insert/update/delete
+    // rows with before/after values. Full-outer join on the key (one
+    // shuffle per side, exchange-free against a bucketed layout),
+    // unchanged rows dropped early so the log ships only deltas. This
+    // is the table-format CDF shape (Delta/Iceberg changelog read);
+    // with q_merge_upsert (apply) and q_delete_rewrite (physical
+    // rewrite) it completes the mutation surface.
+    "q_cdc_diff" -> ((s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), graft.Exact.money(col("o_totalprice")).as("p1"))
+      val bump = expr("CAST(1.05 AS DECIMAL(3,2))")
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          when(col("o_orderkey") % 100 === 0,
+            (col("p1") * bump).cast("decimal(22,4)"))
+            .otherwise(col("p1").cast("decimal(22,4)")).as("p2"))
+        .unionAll(v1.filter(col("o_orderkey") % 1000 === 500)
+          .select((col("o_orderkey") + 10000000L).as("k2"),
+            expr("CAST(1000.00 AS DECIMAL(22,4))").as("p2")))
+      v1.join(v2, col("o_orderkey") === col("k2"), "full_outer")
+        .withColumn("change",
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("k2").isNull, "delete")
+            .when(col("p1").cast("decimal(22,4)") =!= col("p2"), "update"))
+        .filter(col("change").isNotNull)
+        .select(coalesce(col("o_orderkey"), col("k2")).as("o_orderkey"),
+          col("change"), col("p1").cast("double").as("old_total"),
+          col("p2").cast("double").as("new_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Schema evolution: two parquet batches written with different
     // schemas (the second adds a column), read back through
     // `mergeSchema` — old rows surface NULL for the new column. This
@@ -312,6 +345,28 @@ object Extras {
         |            WHEN u_key IS NULL THEN 'keep'
         |            ELSE 'update' END AS action
         |FROM base FULL OUTER JOIN upd ON o_orderkey = u_key
+        |ORDER BY 1""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p1 FROM orders
+        |), v2 AS (
+        |  SELECT o_orderkey AS k2,
+        |    CAST(CASE WHEN o_orderkey % 100 = 0
+        |              THEN p1 * CAST(1.05 AS DECIMAL(3,2)) ELSE p1 END
+        |         AS DECIMAL(22,4)) AS p2
+        |  FROM v1 WHERE o_orderkey % 97 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, CAST(1000.00 AS DECIMAL(22,4))
+        |  FROM v1 WHERE o_orderkey % 1000 = 500
+        |)
+        |SELECT coalesce(o_orderkey, k2) AS o_orderkey,
+        |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+        |       WHEN k2 IS NULL THEN 'delete'
+        |       WHEN CAST(p1 AS DECIMAL(22,4)) != p2 THEN 'update' END AS change,
+        |  CAST(p1 AS DOUBLE) AS old_total, CAST(p2 AS DOUBLE) AS new_total
+        |FROM v1 FULL OUTER JOIN v2 ON o_orderkey = k2
+        |WHERE (o_orderkey IS NULL OR k2 IS NULL
+        |       OR CAST(p1 AS DECIMAL(22,4)) != p2)
         |ORDER BY 1""".stripMargin,
     "q_schema_merge" ->
       """SELECT o_orderkey, o_orderstatus,

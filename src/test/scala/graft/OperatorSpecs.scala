@@ -269,3 +269,20 @@ class MinHashEstimateSpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.15, (errs.sum / errs.length).toString)
   }
 }
+
+class CdcDiffSpec extends SparkSpec {
+  test("cdc diff partitions changes into insert/update/delete with exact counts") {
+    val base = Tables.orders(SparkSpec.spark, SparkSpec.sf)
+    val nDel = base.filter(col("o_orderkey") % 97 === 0).count()
+    val nUpd = base.filter(col("o_orderkey") % 100 === 0 &&
+      col("o_orderkey") % 97 =!= 0).count()
+    val nIns = base.filter(col("o_orderkey") % 1000 === 500).count()
+    val by = run("q_cdc_diff").groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.getOrElse("delete", 0L) == nDel)
+    assert(by.getOrElse("update", 0L) == nUpd)
+    assert(by.getOrElse("insert", 0L) == nIns)
+    // deltas only: unchanged rows never enter the log
+    assert(by.values.sum == nDel + nUpd + nIns)
+  }
+}
