@@ -75,3 +75,63 @@ class PropertySpec extends AnyFunSuite {
     assert(cos(Array(0.0f, 0.0f), Array(1.0f, 2.0f)).isEmpty)
   }
 }
+
+/** ScalaCheck invariants for the bounded top-k Aggregator: any split
+  * of any input into partial buffers merges to exactly the sorted
+  * top-k — the associativity/commutativity contract partial
+  * aggregation depends on.
+  */
+class TopKPropertySpec extends AnyFunSuite {
+  private val agg = new graft.functions.TopKAggregator(5)
+
+  private val rowsGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L)))
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def expected(xs: List[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (v, id) => (-v, id) }.take(5)
+
+  test("reduce-then-merge equals sorted take-k for any partition split") {
+    check(Prop.forAll(rowsGen, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (a, b) = xs.splitAt(cut % (xs.length + 1))
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      merged == expected(xs)
+    })
+  }
+
+  test("merge is commutative") {
+    check(Prop.forAll(rowsGen, rowsGen) { (a, b) =>
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(ba, bb) == agg.merge(bb, ba)
+    })
+  }
+}
+
+/** ScalaCheck invariant for the range-join marker expression: its
+  * interpreted eval matches the plain interval predicate for any
+  * (point, lo, hi).
+  */
+class RangeJoinPropertySpec extends AnyFunSuite {
+  import org.apache.spark.sql.types.DoubleType
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("marker eval equals p >= lo && p < hi") {
+    val d = Gen.chooseNum(-1000.0, 1000.0)
+    check(Prop.forAll(d, d, d) { (p, lo, hi) =>
+      val e = graft.plans.RangeJoinCond(
+        Literal.create(p, DoubleType), Literal.create(lo, DoubleType),
+        Literal.create(hi, DoubleType), Literal.create(50.0, DoubleType))
+      e.eval(null) == (p >= lo && p < hi)
+    })
+  }
+}
