@@ -54,8 +54,10 @@ object Similarity {
     // IVF-style ANN: a KMeans coarse quantizer (seeded, k=16) cells
     // the corpus; each query searches only its own cell (nprobe=1).
     // At 100 TB the cell assignment is a one-time layout (like
-    // bucketing) and query cost drops by ~k×. Rows-only (approximate
-    // by design).
+    // bucketing) and query cost drops by ~k×; the quantizer itself
+    // would be fit on a small sample (`df.sample` → fit, then
+    // `transform` the full corpus) — KMeans.fit must never see all
+    // rows at that scale. Rows-only (approximate by design).
     "q_sim_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.ml.clustering.KMeans
