@@ -25,11 +25,6 @@ object Corpus {
     pmod(conv(substring(md5(c.cast("binary")), off, 4), 16, 10)
       .cast("long"), lit(m.toLong))
 
-  private def shingles(s: SparkSession): Column = {
-    graft.functions.HashFunctions.register(s)
-    expr("shingles3(split(text, ' '))")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
@@ -40,8 +35,7 @@ object Corpus {
     // shingle) hit pairs aggregate. This is the standard n-gram
     // overlap decontamination pass (cf. GPT-3/C4 dataset reports).
     "q_decontaminate" -> ((s, d) => {
-      val sets = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(s).as("sh"))
+      val sets = graft.dedup.Dedup.shingleSets(s, d)
       val bench = sets.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bdoc"), explode(col("sh")).as("s"))
       val corpus = sets.filter(col("doc_id") % 97 =!= 0)
