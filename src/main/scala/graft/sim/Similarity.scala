@@ -127,6 +127,60 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Corpus-wide KNN similarity graph: every vector's approximate
+    // top-5 neighbors — the structure diversity sampling and
+    // graph-based dedup consume. Candidates from the 8-table sign-LSH
+    // self-join (equi-join on (band, sig), bucket sizes bounded by
+    // the bit count), verified with the codegen'd cosine kernel, then
+    // reduced per node with the bounded-heap TopKAggregator — at
+    // graph scale the window form would sort every node's full
+    // candidate list; the heap ships at most k pairs per node per
+    // partition. Rows-only (LSH-approximate); KnnGraphSpec pins
+    // recall vs the brute-force graph.
+    "q_sim_knn_graph" -> ((s, d) => {
+      import s.implicits._
+      VectorFunctions.register(s)
+      val nPlanes = AnnTables * AnnBits
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
+      // Thin (id, band, sig) index — embeddings are NOT replicated
+      // into the candidate join; they're gathered per side afterwards
+      // (the fetch-join pattern a 100 TB vector store uses).
+      val banded = e
+        .select(col("vec_id"), posexplode(col("sigs")))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+      // 1-bit-flip multiprobe on one side covers hamming≤1 bucket
+      // pairs in both directions (XOR is symmetric): recall of the
+      // multiprobe ANN at 7× candidate cost on thin rows only.
+      val probes = array((0 +: (0 until AnnBits).map(1 << _)).map(lit(_)): _*)
+      val probed = banded
+        .select(col("vec_id").as("nid"), col("band").as("pband"),
+          explode(transform(probes, m => col("sig").bitwiseXOR(m))).as("psig"))
+      val cand = banded
+        .join(probed,
+          col("band") === col("pband") && col("sig") === col("psig") &&
+            col("vec_id") =!= col("nid"))
+        .select(col("vec_id").as("vid"), col("nid"))
+        .dropDuplicates("vid", "nid")
+      val ea = Tables.embeddings(s, d).select(col("vec_id").as("vid"), col("embedding").as("va"))
+      val eb = Tables.embeddings(s, d).select(col("vec_id").as("nid"), col("embedding").as("vb"))
+      val scored = cand.join(ea, "vid").join(eb, "nid")
+        .select(col("vid"),
+          VectorFunctions.cosineSim(s, "va", "vb").as("cos_sim"), col("nid"))
+      val agg = new graft.functions.TopKAggregator(5).toColumn
+      scored.as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg.name("top")
+          .asInstanceOf[org.apache.spark.sql.TypedColumn[(Double, Long), Seq[(Double, Long)]]])
+        .toDF("vid", "top")
+        .select(col("vid"), posexplode(col("top")))
+        .select(col("vid"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._2").as("nid"), round(col("col._1"), 6).as("cos_sim"))
+        .orderBy(col("vid"), col("rk"))
+    }),
+
     // Embedding normalization + int8 quantization: the preprocessing
     // pass before ANN indexing (unit-norm cosine ≡ dot product; int8
     // cuts index bytes 4×). Pure per-row map work, zero shuffle. The

@@ -415,3 +415,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).filter(col("value") >= 0 && col("value") < 1000).count())
   }
 }
+
+class KnnGraphSpec extends SparkSpec {
+  test("LSH knn graph covers every node and recalls the brute-force graph") {
+    val got = run("q_sim_knn_graph").collect()
+    // every vector gets neighbors, ranks dense from 1, cosine sorted desc
+    val byNode = got.groupBy(_.getLong(0))
+    assert(byNode.size == 500)
+    byNode.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // recall vs brute-force top-5 on the full corpus
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("cos_sim").desc, col("nid"))
+    val brute = e.select(col("vec_id").as("vid"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("vb")),
+        col("vid") =!= col("nid"))
+      .select(col("vid"), col("nid"),
+        expr("cosine_sim(va, vb)").as("cos_sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("vid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
