@@ -107,6 +107,21 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Equal-frequency (quantile) bucketing: ntile(10) over document
+    // length per language — the curriculum-ordering pass (shortest
+    // decile first). Deterministic: the tiebreak on doc_id pins the
+    // order. Window partitions by lang, so partitions stay bounded;
+    // at extreme scale the same op runs as approx quantile cuts +
+    // a per-row bucket lookup.
+    "q_quantile_bucket" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length histogram: fixed-width n_chars buckets per language —
     // the corpus-profiling pass that drives chunking and filter
     // thresholds. Bounded output (langs × 10 buckets); map-side
@@ -170,6 +185,11 @@ object Corpus {
         |         WHEN lang = 'zh' THEN 100 ELSE 80 END AS keep_w
         |  FROM documents) t
         |WHERE bucket < keep_w ORDER BY doc_id""".stripMargin,
+    "q_quantile_bucket" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS INT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_length_hist" ->
       """SELECT lang, least(n_chars // 100, 9) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars,

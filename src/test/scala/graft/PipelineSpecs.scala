@@ -444,3 +444,17 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 }
+
+class QuantileBucketSpec extends SparkSpec {
+  test("deciles are balanced within one doc per language") {
+    val rows = run("q_quantile_bucket").collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getInt(3)).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1)
+      // deciles are length-ordered: every doc in decile d is <= every doc in d+1
+      val maxPer = rs.groupBy(_.getInt(3)).view.mapValues(_.map(_.getLong(2)).max).toMap
+      val minPer = rs.groupBy(_.getInt(3)).view.mapValues(_.map(_.getLong(2)).min).toMap
+      (1 to 9).foreach(d => assert(maxPer(d) <= minPer(d + 1)))
+    }
+  }
+}
