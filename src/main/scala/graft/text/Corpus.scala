@@ -25,6 +25,24 @@ object Corpus {
     pmod(conv(substring(md5(c.cast("binary")), off, 4), 16, 10)
       .cast("long"), lit(m.toLong))
 
+  /** Deterministic shuffle shard count (q_corpus_shuffle). Sized like a
+    * cluster's task parallelism, not a constant handful: at 100 TB each
+    * shard's window partition is corpus/4096, so no single task ever
+    * sorts more than ~0.025% of the corpus. Positions stay a pure
+    * function of doc_id at any shard count; the DuckDB oracle uses the
+    * same constant.
+    */
+  val ShuffleShards = 4096
+
+  /** Docs per prefix-sum sub-shard (q_seq_pack / q_quantile_bucket).
+    * `doc_id div SubShardDocs` is monotone in doc_id, so ordering by
+    * (sub, doc_id) equals ordering by doc_id — which is what lets a
+    * per-source running sum split into bounded-size window partitions.
+    * Test-scale value keeps several sub-shards per source at sf0.01; at
+    * cluster scale it is the target rows-per-task (e.g. 2^20).
+    */
+  val SubShardDocs = 64L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
@@ -51,20 +69,40 @@ object Corpus {
     }),
 
     // Sequence packing: assign documents to fixed-capacity token bins
-    // (2048 tokens) per source shard, in deterministic doc_id order —
-    // the pass that concatenates documents into training sequences.
-    // The running sum is windowed PER SOURCE, so at 100 TB each shard
-    // packs independently (bounded window partitions, no global sort);
-    // bin id = tokens-before-this-doc div capacity, all integer math.
+    // (2048 tokens) per source, in deterministic doc_id order — the
+    // pass that concatenates documents into training sequences.
+    // The per-source running sum is a TWO-PHASE distributed prefix sum
+    // (a plain `partitionBy(source)` window would pull an entire
+    // source — terabytes at target scale — through one task):
+    //   1. per-(source, sub-shard) token totals — a map-side-combined
+    //      agg, |docs|/SubShardDocs thin rows;
+    //   2. cumulative offsets over that small table (window over
+    //      sub-shard totals, not documents; recurse the same trick if
+    //      even this outgrows one task), broadcast-joined back;
+    //   3. running sum WITHIN each (source, sub-shard) — every window
+    //      partition is ≤ SubShardDocs rows — plus the offset.
+    // bin id = tokens-before-this-doc div capacity, all integer math;
+    // results are bit-identical to the single-window form.
     "q_seq_pack" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("running", sum(col("n_tok")).over(w))
+        .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("sub"))
+        .agg(sum(col("n_tok")).as("sub_tok"))
+        .withColumn("off", coalesce(sum(col("sub_tok")).over(wOff), lit(0L)))
+        .select(col("source"), col("sub"), col("off"))
+      val wLoc = Window.partitionBy(col("source"), col("sub"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs.join(broadcast(offsets), Seq("source", "sub"))
+        .withColumn("running", col("off") + sum(col("n_tok")).over(wLoc))
         .withColumn("bin", expr("(running - n_tok) div 2048"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("running"), col("bin"))
         .orderBy(col("doc_id"))
     }),
 
@@ -73,8 +111,10 @@ object Corpus {
     // ingestion needs. No RNG state: the order is a pure function of
     // doc_id, stable under repartitioning and retries. Positions are
     // per-shard (window partitioned by shard); a single global
-    // row_number would serialize through one partition at 100 TB,
-    // shards keep every partition bounded and independent.
+    // row_number would serialize through one partition at 100 TB.
+    // ShuffleShards (4096 = the first 3 md5 hex digits, exactly) keeps
+    // every window partition at corpus/4096 — bounded and independent
+    // at cluster parallelism, not 16 fat stripes.
     "q_corpus_shuffle" -> ((s, d) => {
       val wPos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -83,8 +123,8 @@ object Corpus {
           md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary"))
             .as("skey"))
         .withColumn("shard",
-          pmod(conv(substring(col("skey"), 1, 2), 16, 10).cast("long"),
-            lit(16L)))
+          pmod(conv(substring(col("skey"), 1, 3), 16, 10).cast("long"),
+            lit(ShuffleShards.toLong)))
         .withColumn("pos", row_number().over(wPos).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"), col("skey"))
         .orderBy(col("doc_id"))
@@ -110,15 +150,45 @@ object Corpus {
     // Equal-frequency (quantile) bucketing: ntile(10) over document
     // length per language — the curriculum-ordering pass (shortest
     // decile first). Deterministic: the tiebreak on doc_id pins the
-    // order. Window partitions by lang, so partitions stay bounded;
-    // at extreme scale the same op runs as approx quantile cuts +
-    // a per-row bucket lookup.
+    // order. Languages are a handful, so `ntile(10) OVER (PARTITION BY
+    // lang ...)` would sort all of "en" in ONE task at 100 TB; instead
+    // the global rank is a two-phase distributed count:
+    //   1. counts per (lang, n_chars, sub-shard) — thin agg rows;
+    //   2. cumulative offsets + per-lang totals over that small table,
+    //      broadcast back;
+    //   3. row_number within each (lang, n_chars, sub-shard) partition
+    //      (≤ SubShardDocs rows) + offset = exact global rank, because
+    //      (n_chars, sub, doc_id) ordering == (n_chars, doc_id).
+    // The decile then falls out of ntile's closed form — first n%10
+    // tiles get n/10+1 rows, the rest n/10 — so the result is
+    // bit-identical to the ntile window the DuckDB oracle runs.
     "q_quantile_bucket" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("decile", ntile(10).over(w))
+        .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
+      val wOff = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("lang"), col("n_chars"), col("sub"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .withColumn("n_lang",
+          sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("n_chars"), col("sub"),
+          col("off"), col("n_lang"))
+      val wLoc = Window.partitionBy(col("lang"), col("n_chars"), col("sub"))
+        .orderBy(col("doc_id"))
+      docs.join(broadcast(offsets), Seq("lang", "n_chars", "sub"))
+        .withColumn("rk", col("off") + row_number().over(wLoc))
+        .withColumn("q10", expr("n_lang div 10"))
+        .withColumn("r10", expr("n_lang % 10"))
+        .withColumn("decile", expr(
+          """cast(case when rk <= r10 * (q10 + 1)
+            |  then (rk - 1) div (q10 + 1) + 1
+            |  else r10 + (rk - r10 * (q10 + 1) - 1) div q10 + 1
+            |end as int)""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("decile"))
         .orderBy(col("doc_id"))
     }),
 
@@ -169,14 +239,14 @@ object Corpus {
         |        FROM documents) t) w
         |ORDER BY doc_id""".stripMargin,
     "q_corpus_shuffle" ->
-      """SELECT doc_id, shard,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
-        |    AS BIGINT) AS pos, skey
-        |FROM (SELECT doc_id,
-        |        md5(doc_id || ':42') AS skey,
-        |        ('0x' || substr(md5(doc_id || ':42'), 1, 2))::BIGINT % 16 AS shard
-        |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+         |    AS BIGINT) AS pos, skey
+         |FROM (SELECT doc_id,
+         |        md5(doc_id || ':42') AS skey,
+         |        ('0x' || substr(md5(doc_id || ':42'), 1, 3))::BIGINT % $ShuffleShards AS shard
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
     "q_mixture_sample" ->
       """SELECT doc_id, lang, bucket, keep_w FROM (
         |  SELECT doc_id, lang,

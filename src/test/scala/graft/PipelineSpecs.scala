@@ -280,7 +280,7 @@ class CorpusSpec extends SparkSpec {
     val rows = run("q_corpus_shuffle").collect()
     assert(rows.length == 500)
     rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
-      assert(shard >= 0 && shard < 16)
+      assert(shard >= 0 && shard < graft.text.Corpus.ShuffleShards)
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length))
       // within a shard, position order == key order
       val byPos = rs.sortBy(_.getLong(2)).map(_.getString(3))

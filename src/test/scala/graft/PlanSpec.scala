@@ -92,9 +92,21 @@ class ScalePlanSpec extends SparkSpec {
     assert(w.contains("windowspecdefinition(shard"), w)
   }
 
-  test("seq packing windows partition by source shard") {
+  test("seq packing running sum never windows a whole source in one partition") {
     val w = run("q_seq_pack").queryExecution.optimizedPlan.toString()
-    assert(w.contains("windowspecdefinition(source"), w)
+    // the document-level window must partition by (source, sub) — the
+    // two-phase prefix sum; a bare partitionBy(source) serializes an
+    // entire source through one task at scale
+    assert("windowspecdefinition\\(source#\\d+, sub#\\d+L, doc_id#\\d+L ASC"
+      .r.findFirstIn(w).isDefined, w)
+  }
+
+  test("quantile bucketing ranks via sub-sharded windows, not one window per language") {
+    val w = run("q_quantile_bucket").queryExecution.optimizedPlan.toString()
+    // document-level rank partitions by (lang, n_chars, sub); the only
+    // per-lang windows run over the tiny (lang, n_chars, sub) counts
+    assert("windowspecdefinition\\(lang#\\d+, n_chars#\\d+L?, sub#\\d+L, doc_id#\\d+L ASC"
+      .r.findFirstIn(w).isDefined, w)
   }
 
   test("doc chunking plan is shuffle-free up to the sink sort") {
