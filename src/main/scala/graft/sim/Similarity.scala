@@ -32,12 +32,20 @@ object Similarity {
   private val AnnTables = 8
   private val AnnBits = 6
 
+  /** Fixed-size query batch: the first QueryBatch vec_ids. Search cost
+    * is O(|batch| · candidates-per-query) — CONSTANT in corpus size. A
+    * fractional predicate (e.g. `vec_id % 100`) would grow the batch
+    * linearly with the corpus and turn brute-force into O(n²/100); a
+    * real deployment feeds a bounded external query table here.
+    */
+  val QueryBatch = 8L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
     "q_sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
@@ -69,7 +77,7 @@ object Similarity {
         .setFeaturesCol("features").fit(e)
       val celled = model.transform(e)
         .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      val q = celled.filter(col("vec_id") % 100 === 0)
+      val q = celled.filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("cell").as("qcell"))
       val w = Window.partitionBy(col("qid"))
@@ -105,7 +113,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           col("pos").as("band"), col("col").as("sig"))
       val probes = array((0 +: (0 until AnnBits).map(1 << _)).map(lit(_)): _*)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           posexplode(col("sigs")))
         .select(col("qid"), col("qv"), col("pos").as("qband"),
@@ -212,7 +220,7 @@ object Similarity {
         |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-        |    WHERE q.vec_id % 100 = 0) pairs) ranked
+        |    WHERE q.vec_id < 8) pairs) ranked
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
