@@ -95,14 +95,30 @@ object Streams {
 
   /** Run a streaming aggregation to completion against the finite
     * file source and return the materialized sink table.
+    *
+    * Stateful streaming operators spin up `spark.sql.shuffle.partitions`
+    * state-store tasks PER micro-batch per operator — at test scale that
+    * fixed machinery (32 partitions × batches), not data, dominates
+    * runtime. Streams here drain with a small state parallelism (the
+    * value is baked into the checkpoint at query start, so it scopes to
+    * this query only; the session conf is restored right after). On a
+    * real cluster the sizing input is active state volume, not this
+    * constant.
     */
+  private val DrainStatePartitions = "4"
+
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, DrainStatePartitions)
+    try {
+      val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    } finally s.conf.set(key, prev)
   }
 
   /** transformWithState processor: per-user ValueState counter that
@@ -275,14 +291,19 @@ object Streams {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(money(col("value"))).cast("double").as("v_sum"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, DrainStatePartitions) // see drain(): state tasks, not data
+      try {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set(key, prev)
       s.read.parquet(out).orderBy(col("event_type"))
     }),
 
