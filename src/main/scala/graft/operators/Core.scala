@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    `crc32`) — codegen'd, no UDF.
   *  - `Text` ≤1024-byte validation (`src/types.rs:16,33`) → an
   *    `octet_length` predicate.
+  *  - Row ≤64-column validation (`src/types.rs:129`) → a per-row
+  *    width predicate over variable-width token rows.
+  *  - `AnyType` tagged union with 1-byte tag ∈ {1,2} validation
+  *    (`src/types.rs:63-77`) → JSON variant encode + typed decode.
   */
 object Core {
 
@@ -58,6 +62,44 @@ object Core {
           octet_length(col("text")).cast("long").as("text_bytes"),
           (octet_length(col("text")) <= 1024).as("fits_potpot_text"))
         .orderBy(col("doc_id"))),
+
+    // potpot Row<=64-column constraint (reference src/types.rs:129) as
+    // a validation predicate: each document's whitespace token vector
+    // viewed as a candidate row — would its width fit a potpot row?
+    // Same shape as q_text_cap; both branches occur in the data.
+    "q_row_cap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_fields"),
+          (size(split(col("text"), " ")) <= 64).as("fits_potpot_row"))
+        .orderBy(col("doc_id"))),
+
+    // potpot AnyType tagged union (reference src/types.rs:63-77): a
+    // 1-byte tag selects Integer (1) or Text (2); decode validates the
+    // tag and surfaces typed columns. The self-describing value is a
+    // JSON variant (the Spark-idiomatic dynamic row), parsed ONCE with
+    // an explicit schema into a struct-of-nullables — codegen'd, no
+    // per-field re-parse; rows with an out-of-range tag (the encode
+    // injects tag=9, mirroring the validation error at types.rs:77)
+    // carry valid=false instead of failing the scan.
+    "q_variant_decode" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val variant = when(pmod(col("o_orderkey"), lit(3)) === 0,
+          to_json(struct(lit(1).as("tag"), col("o_orderkey").as("i"))))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          to_json(struct(lit(2).as("tag"), col("o_orderstatus").as("s"))))
+        .otherwise(to_json(struct(lit(9).as("tag"))))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), variant.as("var"))
+        .withColumn("p", from_json(col("var"), StructType(Seq(
+          StructField("tag", IntegerType),
+          StructField("i", LongType),
+          StructField("s", StringType)))))
+        .select(col("o_orderkey"),
+          col("p.tag").as("tag"), col("p.i").as("i"), col("p.s").as("s"),
+          col("p.tag").isin(1, 2).as("valid"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // potpot's seeded xxHash64: the builtin (fixed seed 42) plus the
     // xxh64_seeded kernel with an explicit per-index seed — the
@@ -98,6 +140,26 @@ object Core {
     "q_text_cap" ->
       """SELECT doc_id, n_chars, CAST(strlen(text) AS BIGINT) AS text_bytes,
         |       strlen(text) <= 1024 AS fits_potpot_text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_row_cap" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_fields,
+        |  len(string_split(text, ' ')) <= 64 AS fits_potpot_row
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_variant_decode" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |           THEN json_object('tag', 1, 'i', o_orderkey)
+        |         WHEN o_orderkey % 3 = 1
+        |           THEN json_object('tag', 2, 's', o_orderstatus)
+        |         ELSE json_object('tag', 9) END AS var
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(json_extract(var, '$.tag') AS INT) AS tag,
+        |  CAST(json_extract(var, '$.i') AS BIGINT) AS i,
+        |  json_extract_string(var, '$.s') AS s,
+        |  CAST(json_extract(var, '$.tag') AS INT) IN (1, 2) AS valid
+        |FROM v ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -33,6 +33,23 @@ class CoreSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("q_row_cap exercises both sides of the 64-column row width cap") {
+    val df = run("q_row_cap")
+    assert(df.filter(col("fits_potpot_row")).count() > 0)
+    assert(df.filter(!col("fits_potpot_row")).count() > 0)
+    assert(df.filter(col("fits_potpot_row") =!= (col("n_fields") <= 64)).count() == 0)
+  }
+
+  test("q_variant_decode validates tags and types payloads per arm") {
+    val df = run("q_variant_decode")
+    // valid iff tag in {1,2}; tag=9 rows survive decode with valid=false
+    assert(df.filter(col("valid") =!= col("tag").isin(1, 2)).count() == 0)
+    assert(df.filter(col("tag") === 9).count() > 0)
+    // payload columns are populated exactly per the tag arm
+    assert(df.filter(col("tag") === 1 && (col("i").isNull || col("s").isNotNull)).count() == 0)
+    assert(df.filter(col("tag") === 2 && (col("s").isNull || col("i").isNotNull)).count() == 0)
+  }
+
   test("xxhash64 and crc32 are deterministic across runs") {
     val a = run("q_hash_xxh64").collect()
     val b = run("q_hash_xxh64").collect()
