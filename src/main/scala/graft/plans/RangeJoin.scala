@@ -49,7 +49,16 @@ case class RangeJoinCond(
     else if (!width.foldable)
       TypeCheckResult.TypeCheckFailure(
         "graft_range_join bin width must be a literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // A zero/negative/NaN width would bin to ±Infinity (or crash the
+      // rewritten Sequence); reject at analysis, before either plan runs.
+      val w = width.eval()
+      if (w == null || !java.lang.Double.isFinite(w.asInstanceOf[Double]) ||
+          w.asInstanceOf[Double] <= 0.0)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_range_join bin width must be a finite positive literal; got $w")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   /** Exact semantics when the rule is not installed (or after it: the
     * rewrite re-checks this same predicate natively). CodegenFallback
@@ -95,11 +104,18 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     // point side: one bin per row
     val binP = Alias(Floor(Divide(c.point, w)), "graft_bin_p")()
     val pointPlan = Project(pointSide.output :+ binP, pointSide)
-    // band side: explode the covered bin range ((hi-lo)/w + 1 rows)
+    // band side: explode the covered bin range ((hi-lo)/w + 1 rows).
+    // Sequence throws when start > stop with step +1, so an empty or
+    // null interval (lo > hi, or either bound null — the exact marker
+    // predicate matches nothing for both) must short-circuit to zero
+    // bins, not crash the rewritten plan.
     val seq = Sequence(Floor(Divide(c.lo, w)), Floor(Divide(c.hi, w)),
       Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+    val noBins = Literal.create(Array.empty[Long],
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    val guarded = If(LessThanOrEqual(c.lo, c.hi), seq, noBins)
     val binB = AttributeReference("graft_bin_b", LongType, nullable = false)()
-    val bandPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+    val bandPlan = Generate(Explode(guarded), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binB),
       child = bandSide)
     // equi-join on the bin + exact interval re-check

@@ -110,11 +110,12 @@ object Layouts {
         .withColumn("o_year", year(col("o_orderdate")))
       byYear.write.partitionBy("o_year").mode("overwrite").parquet(out)
       // Delete 1995's 'F' orders: rewrite partition o_year=1995 from the
-      // upstream minus the tombstoned rows. Dynamic overwrite mode
-      // replaces only partitions present in the written data.
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // upstream minus the tombstoned rows. partitionOverwriteMode is
+      // passed per-write, so dynamic semantics scope to THIS write —
+      // later partitioned overwrites in the session keep static mode.
       byYear.filter(col("o_year") === 1995 && col("o_orderstatus") =!= "F")
-        .write.partitionBy("o_year").mode("overwrite").parquet(out)
+        .write.partitionBy("o_year").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(out)
       s.read.parquet(out)
         .groupBy(col("o_year").cast("long").as("o_year"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),

@@ -55,6 +55,13 @@ object Streams {
     * flushes at end-of-stream. The split fixture is built once per sf
     * dir (a one-time layout write; the single-partition window sort is
     * fine there — it is not a query path) and reused.
+    *
+    * Single-process assumption: the build is guarded by JVM-local
+    * `synchronized` + the _READY marker, which serializes threads in
+    * ONE JVM only. Verify and Bench are driver-run sequentially, so
+    * cross-process races don't occur here; if two JVMs ever shared
+    * this fixture concurrently, the build would need a file lock or
+    * build-into-temp-then-atomic-rename.
     */
   private def eventsStreamMulti(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}

@@ -180,7 +180,36 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("graft_bin_p"), p)
-    assert(p.contains("Generate explode(sequence("), p)
+    assert(p.contains("sequence("), p)
+  }
+
+  test("empty and inverted band intervals match nothing instead of crashing the rewrite") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.RangeJoin.register(spark)
+    import SparkSpec.spark.implicits._
+    // lo > hi: Sequence(start > stop, step +1) would throw unguarded
+    val b = Seq((90.0, 40.0, "inverted"), (50.0, 50.0, "empty"), (0.0, 99.0, "ok"))
+      .toDF("lo", "hi", "band")
+    val got = Tables.events(spark, sf).select("event_id", "value")
+      .join(b, expr("graft_range_join(value, lo, hi, 25.0D)"))
+      .groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("inverted") && !got.contains("empty"))
+    assert(got("ok") > 0)
+  }
+
+  test("non-positive and non-finite bin widths are rejected at analysis") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.RangeJoin.register(spark)
+    import SparkSpec.spark.implicits._
+    val b = Seq((0.0, 90.0, "b")).toDF("lo", "hi", "band")
+    val ev = Tables.events(spark, sf).select("event_id", "value")
+    Seq("0.0D", "-5.0D", "cast('NaN' as double)").foreach { w =>
+      val e = intercept[Exception] {
+        ev.join(b, expr(s"graft_range_join(value, lo, hi, $w)")).collect()
+      }
+      assert(e.getMessage.contains("finite positive"), s"width=$w: ${e.getMessage}")
+    }
   }
 
   test("without the rule the marker still evaluates correctly (fallback path)") {
