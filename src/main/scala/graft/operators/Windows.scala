@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Absent from the reference (SURVEY.md §2.2). Scale notes: a window
   * spec shuffles once on `partitionBy` and sorts within partitions;
-  * all four queries below share the "partition by a key with bounded
-  * cardinality-per-key" shape, so no single partition can exceed an
-  * executor (orders-per-customer is ~10 regardless of SF). Running
-  * sums use exact decimals (graft.Exact) so frame evaluation order
-  * cannot introduce float drift vs the oracle.
+  * the o_custkey queries partition by a key with bounded
+  * cardinality-per-key, so no single partition can exceed an executor
+  * (orders-per-customer is ~10 regardless of SF). q_window_dist and
+  * q_window_range partition by o_orderstatus (3 values) — they exist
+  * to surface the NATIVE distribution/frame operators and their
+  * semantics; q_window_dist_scaled is the same computation in the
+  * shape you'd run at 100 TB (binned distributed rank + closed forms,
+  * no per-status window over documents). Running sums use exact
+  * decimals (graft.Exact) so frame evaluation order cannot introduce
+  * float drift vs the oracle.
   */
 object Windows {
 
@@ -62,6 +67,53 @@ object Windows {
         .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
     }),
 
+    // q_window_dist in the 100 TB shape: the distribution functions
+    // have exact closed forms over the global rank — with a unique
+    // full sort key (price, orderkey) there are no peer groups, so
+    //   percent_rank = (rk-1)/(n-1), cume_dist = rk/n,
+    //   first/nth_value(2) over a running frame = the rank-1/rank-2
+    //   keys, last_value = the current row.
+    // The rank itself is a two-phase distributed count over price
+    // bins (the q_quantile_bucket pattern; bins are monotone in the
+    // sort key, so (bin, price, key) ordering == (price, key)): no
+    // window ever spans more than one (status, bin) slice. Bin
+    // occupancy follows the value distribution — a pathologically hot
+    // price narrows to more bins by shrinking the width constant.
+    // Oracle: the SAME SQL as q_window_dist — the outputs are
+    // bit-identical (single correctly-rounded double divisions).
+    "q_window_dist_scaled" -> ((s, d) => {
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bin",
+          expr("cast(round(o_totalprice * 100) as bigint) div 1048576"))
+      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = rows.groupBy(col("o_orderstatus"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .withColumn("n_part",
+          sum(col("cnt")).over(Window.partitionBy(col("o_orderstatus"))))
+        .select(col("o_orderstatus"), col("bin"), col("off"), col("n_part"))
+      val wLoc = Window.partitionBy(col("o_orderstatus"), col("bin"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val ranked = rows.join(broadcast(offsets), Seq("o_orderstatus", "bin"))
+        .withColumn("rk", col("off") + row_number().over(wLoc))
+      val heads = ranked.filter(col("rk") <= 2)
+        .groupBy(col("o_orderstatus"))
+        .agg(min(when(col("rk") === 1, col("o_orderkey"))).as("head_key"),
+          min(when(col("rk") === 2, col("o_orderkey"))).as("rank2_key"))
+      ranked.join(broadcast(heads), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          when(col("n_part") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double") /
+              (col("n_part") - 1).cast("double")).as("pr"),
+          (col("rk").cast("double") / col("n_part").cast("double")).as("cd"),
+          col("head_key").as("first_key"),
+          col("o_orderkey").as("last_key"),
+          when(col("rk") >= 2, col("rank2_key")).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
     // Running total: ROWS UNBOUNDED PRECEDING .. CURRENT ROW.
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -89,6 +141,18 @@ object Windows {
     })
   )
 
+  private val windowDistSql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER wr AS first_key,
+      |  last_value(o_orderkey) OVER wr AS last_key,
+      |  nth_value(o_orderkey, 2) OVER wr AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+      |       wr AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -105,17 +169,9 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    "q_window_dist" ->
-      """SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
-        |  first_value(o_orderkey) OVER wr AS first_key,
-        |  last_value(o_orderkey) OVER wr AS last_key,
-        |  nth_value(o_orderkey, 2) OVER wr AS second_key
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
-        |       wr AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_window_dist" -> windowDistSql,
+    // identical output, scale-path plan — the one oracle pins both
+    "q_window_dist_scaled" -> windowDistSql,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total,

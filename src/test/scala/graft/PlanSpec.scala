@@ -109,6 +109,18 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("scaled window-dist equals the native window form row-for-row") {
+    val scaled = run("q_window_dist_scaled").collect().toSeq
+    val native = run("q_window_dist").collect().toSeq
+    assert(scaled == native)
+  }
+
+  test("scaled window-dist never windows a whole status partition") {
+    val w = run("q_window_dist_scaled").queryExecution.optimizedPlan.toString()
+    assert("windowspecdefinition\\(o_orderstatus#\\d+, bin#\\d+L, o_totalprice"
+      .r.findFirstIn(w).isDefined, w)
+  }
+
   test("doc chunking plan is shuffle-free up to the sink sort") {
     val p = plan("q_doc_chunks")
     // one Exchange only: the final presentation orderBy
