@@ -138,6 +138,68 @@ object Windows {
         .select(col("o_orderstatus"), col("o_orderkey"), col("price_cents"),
           count(lit(1)).over(w).as("n_in_range"))
         .orderBy(col("o_orderstatus"), col("price_cents"), col("o_orderkey"))
+    }),
+
+    // q_window_range in the 100 TB shape. With bins exactly the frame
+    // width W, a row at value v only ever sees bins b and b-1:
+    //   n_in_range(v) = cnt_b(value <= v)                  [own bin]
+    //                 + total_{b-1} - cnt_{b-1}(value <= v-W-1)
+    // cnt_b(<= v) is a within-(status, bin) RANGE-cumulative window;
+    // the neighbor-bin term is an as-of lookup: probe rows (value
+    // v-W-1, carrying their o_orderkey) union into the previous bin's
+    // distinct-value cumulative table and take last non-null carried
+    // count — every window spans ONE (status, bin) slice, never a
+    // whole status. A probe below its bin's values carries 0, which
+    // makes the v-on-bin-boundary case fall out correctly. Bin
+    // occupancy follows the value distribution (shrink W for hot
+    // ranges). Oracle: the SAME SQL as q_window_range.
+    "q_window_range_scaled" -> ((s, d) => {
+      val W = 500000L
+      val rows = Tables.orders(s, d)
+        .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("price_cents"))
+        .withColumn("bin", expr(s"price_cents div $W"))
+      // own-bin cumulative count by value (ties included: RANGE frame)
+      val wOwn = Window.partitionBy(col("o_orderstatus"), col("bin"))
+        .orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val own = rows.withColumn("own_cum", count(lit(1)).over(wOwn))
+      // distinct-value cumulative table per (status, bin) + bin totals
+      val wCum = Window.partitionBy(col("o_orderstatus"), col("bin"))
+        .orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = rows.groupBy(col("o_orderstatus"), col("bin"), col("price_cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cumv", sum(col("cnt")).over(wCum))
+        .select(col("o_orderstatus"), col("bin"), col("price_cents"),
+          col("cumv"))
+      val totals = cum.groupBy(col("o_orderstatus"), col("bin"))
+        .agg(max(col("cumv")).as("bin_total"))
+        .select(col("o_orderstatus"), (col("bin") + 1).as("bin"),
+          col("bin_total").as("prev_total"))
+      // as-of probes into bin-1: entries sort before a same-value probe
+      val probes = rows.select(col("o_orderstatus"),
+        (col("bin") - 1).as("bin"),
+        (col("price_cents") - W - 1).as("price_cents"),
+        lit(null).cast("long").as("cumv"),
+        col("o_orderkey").as("probe_key"))
+      val entries = cum.withColumn("probe_key", lit(null).cast("long"))
+      val wAsOf = Window.partitionBy(col("o_orderstatus"), col("bin"))
+        .orderBy(col("price_cents"),
+          when(col("probe_key").isNull, 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val prevLe = entries.unionByName(probes)
+        .withColumn("carried",
+          last(col("cumv"), ignoreNulls = true).over(wAsOf))
+        .filter(col("probe_key").isNotNull)
+        .select(col("probe_key").as("o_orderkey"),
+          coalesce(col("carried"), lit(0L)).as("prev_le"))
+      own.join(prevLe, "o_orderkey")
+        .join(broadcast(totals), Seq("o_orderstatus", "bin"), "left")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("price_cents"),
+          (col("own_cum") + coalesce(col("prev_total"), lit(0L)) -
+            col("prev_le")).as("n_in_range"))
+        .orderBy(col("o_orderstatus"), col("price_cents"), col("o_orderkey"))
     })
   )
 
@@ -180,12 +242,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    "q_window_range" ->
-      """SELECT o_orderstatus, o_orderkey, price_cents,
-        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY price_cents
-        |                 RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS n_in_range
-        |FROM (SELECT o_orderstatus, o_orderkey,
-        |        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) t
-        |ORDER BY o_orderstatus, price_cents, o_orderkey""".stripMargin
+    "q_window_range" -> windowRangeSql,
+    // identical output, scale-path plan — the one oracle pins both
+    "q_window_range_scaled" -> windowRangeSql
   )
+
+  private lazy val windowRangeSql =
+    """SELECT o_orderstatus, o_orderkey, price_cents,
+      |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY price_cents
+      |                 RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS n_in_range
+      |FROM (SELECT o_orderstatus, o_orderkey,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) t
+      |ORDER BY o_orderstatus, price_cents, o_orderkey""".stripMargin
 }

@@ -121,6 +121,20 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("scaled window-range equals the native RANGE frame row-for-row") {
+    val scaled = run("q_window_range_scaled").collect().toSeq
+    val native = run("q_window_range").collect().toSeq
+    assert(scaled == native)
+  }
+
+  test("scaled window-range never windows a whole status partition") {
+    val w = run("q_window_range_scaled").queryExecution.optimizedPlan.toString()
+    assert(!"windowspecdefinition\\(o_orderstatus#\\d+, (price_cents|_w\\d)"
+      .r.findFirstIn(w).isDefined, w)
+    assert("windowspecdefinition\\(o_orderstatus#\\d+, bin#\\d+L"
+      .r.findFirstIn(w).isDefined, w)
+  }
+
   test("doc chunking plan is shuffle-free up to the sink sort") {
     val p = plan("q_doc_chunks")
     // one Exchange only: the final presentation orderBy
