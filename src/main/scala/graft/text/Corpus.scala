@@ -147,6 +147,35 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-weighted source mixing (α = 1/2): the pass that
+    // rebalances a multi-source corpus so sampled shares follow
+    // p_s^α instead of raw size (cf. multilingual/multi-domain
+    // training mixtures). Keep rate per source = ⌊1000·√(n_min/n_s)⌋
+    // per mille — the smallest source keeps everything, a 100×-larger
+    // source keeps 10%. α is fixed at 1/2 because sqrt is correctly
+    // rounded IEEE in both engines (pow/exp/ln are not, and a 1-ulp
+    // rate difference would flip rows at the bucket boundary); floor
+    // (not round) sidesteps the engines' half-case divergence. The
+    // keep decision is the usual deterministic content-hash Bernoulli:
+    // zero shuffle on the corpus, rates broadcast from a 6-row agg.
+    "q_temperature_sample" -> ((s, d) => {
+      val counts = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val nMin = counts.agg(min(col("n_src")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .withColumn("rate",
+          floor(lit(1000.0) *
+            sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+            .cast("long"))
+        .select(col("source"), col("rate"))
+      Tables.documents(s, d)
+        .withColumn("bucket", hashBucket(col("text"), 13, 1000))
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("source"), col("bucket"), col("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Equal-frequency (quantile) bucketing: ntile(10) over document
     // length per language — the curriculum-ordering pass (shortest
     // decile first). Deterministic: the tiebreak on doc_id pins the
@@ -255,6 +284,19 @@ object Corpus {
         |         WHEN lang = 'zh' THEN 100 ELSE 80 END AS keep_w
         |  FROM documents) t
         |WHERE bucket < keep_w ORDER BY doc_id""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / n_src)) AS BIGINT) AS rate
+        |  FROM counts, m)
+        |SELECT doc_id, source, bucket, rate FROM (
+        |  SELECT d.doc_id, d.source,
+        |    ('0x' || substr(md5(d.text), 13, 4))::BIGINT % 1000 AS bucket, r.rate
+        |  FROM documents d JOIN rates r USING (source)) t
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
     "q_quantile_bucket" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(ntile(10) OVER (PARTITION BY lang

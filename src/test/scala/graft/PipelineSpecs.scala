@@ -290,6 +290,22 @@ class CorpusSpec extends SparkSpec {
     assert(run("q_corpus_shuffle").collect().toSeq == rows.toSeq)
   }
 
+  test("temperature_sample: smallest source keeps all, rates scale as sqrt of size") {
+    val total = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = total.values.min
+    val rows = run("q_temperature_sample").collect()
+    val rates = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    rates.foreach { case (src, rate) =>
+      val want = math.floor(1000.0 * math.sqrt(nMin.toDouble / total(src))).toLong
+      assert(rate == want, s"$src rate $rate != $want")
+    }
+    // the smallest source is never downsampled
+    val minSrc = total.minBy(_._2)._1
+    assert(rates.get(minSrc).forall(_ == 1000L))
+    assert(rows.forall(r => r.getLong(2) < r.getLong(3)))
+  }
+
   test("mixture_sample: every kept row is under its language weight, en downsampled") {
     val total = Tables.documents(spark, sf).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
