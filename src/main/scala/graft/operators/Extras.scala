@@ -258,6 +258,27 @@ object Extras {
       s.read.orc(out).orderBy(col("p_brand"))
     }),
 
+    // Binary-file source: the multimodal ingest path — a corpus of
+    // opaque per-document files (images/audio in production) read as
+    // (path, length, content) with the document key recovered from
+    // the partition directory. The fixture derives one file per
+    // document (bounded: doc_id < 200) from the documents table via a
+    // distributed partitioned text write — no driver loop — and the
+    // read is verified end-to-end by length + content digest against
+    // the table the files came from. At scale this source streams
+    // files partition-local with zero shuffle, and partition pruning
+    // on the key applies before any byte is read.
+    "q_binary_source" -> ((s, d) => {
+      val out = sinkDir("bin", d)
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .write.partitionBy("doc_id").mode("overwrite").text(out)
+      s.read.format("binaryFile").load(out)
+        .select(col("doc_id").cast("long").as("doc_id"), col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSON sink + source round-trip.
     "q_json_roundtrip" -> ((s, d) => {
       val out = sinkDir("json", d)
@@ -387,6 +408,11 @@ object Extras {
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the text sink terminates each document with '\n'
+    "q_binary_source" ->
+      """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
+        |  md5(text || chr(10)) AS content_md5
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
   )
 }
