@@ -101,6 +101,15 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("seq packing window parallelism exceeds the source count") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val docs = Tables.documents(spark, sf)
+      .withColumn("sub", expr(s"doc_id div ${graft.text.Corpus.SubShardDocs}"))
+    val srcs = docs.select(countDistinct(col("source"))).head.getLong(0)
+    val parts = docs.select(countDistinct(col("source"), col("sub"))).head.getLong(0)
+    assert(parts > srcs, s"window groups $parts <= sources $srcs")
+  }
+
   test("quantile bucketing ranks via sub-sharded windows, not one window per language") {
     val w = run("q_quantile_bucket").queryExecution.optimizedPlan.toString()
     // document-level rank partitions by (lang, n_chars, sub); the only
