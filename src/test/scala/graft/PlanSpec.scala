@@ -101,6 +101,14 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("two-phase prefix-sum offsets join back by broadcast, not shuffle") {
+    Seq("q_seq_pack", "q_quantile_bucket", "q_window_dist_scaled").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
   test("seq packing window parallelism exceeds the source count") {
     import org.apache.spark.sql.functions.{col, countDistinct, expr}
     val docs = Tables.documents(spark, sf)
