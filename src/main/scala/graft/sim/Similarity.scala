@@ -158,13 +158,24 @@ object Similarity {
       val banded = e
         .select(col("vec_id"), posexplode(col("sigs")))
         .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
-      // 1-bit-flip multiprobe on one side covers hamming≤1 bucket
-      // pairs in both directions (XOR is symmetric): recall of the
-      // multiprobe ANN at 7× candidate cost on thin rows only.
-      val probes = array((0 +: (0 until AnnBits).map(1 << _)).map(lit(_)): _*)
+      // Multiprobe on one side covers flipped-bucket pairs in both
+      // directions (XOR is symmetric). 1-bit flips on every table,
+      // PLUS 2-bit flips on table 0 only: the 2-bit shell costs
+      // C(6,2)=15 extra probes on ONE table (probe rows 56→71 per
+      // vector, +27%) but catches neighbors whose signatures differ
+      // by 2 bits in every table — the dominant miss mode once 1-bit
+      // probing is in place. All rows stay thin (id, band, sig).
+      val flips1 = 0 +: (0 until AnnBits).map(1 << _)
+      val flips2 = for {
+        i <- 0 until AnnBits; j <- i + 1 until AnnBits
+      } yield (1 << i) | (1 << j)
+      val probes1 = array(flips1.map(lit(_)): _*)
+      val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
       val probed = banded
         .select(col("vec_id").as("nid"), col("band").as("pband"),
-          explode(transform(probes, m => col("sig").bitwiseXOR(m))).as("psig"))
+          explode(transform(
+            when(col("band") === 0, probes2).otherwise(probes1),
+            m => col("sig").bitwiseXOR(m))).as("psig"))
       val cand = banded
         .join(probed,
           col("band") === col("pband") && col("sig") === col("psig") &&

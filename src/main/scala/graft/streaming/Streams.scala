@@ -8,14 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured Streaming slice over the `events` table (file-source
   * replay of the parquet), plus batch sessionization equivalents.
   *
   * Streaming queries run through a real `readStream` → transform →
-  * `writeStream(memory)` pipeline, drained synchronously with
-  * `processAllAvailable`. Aggregations that must match the DuckDB
+  * `writeStream(memory)` pipeline, drained with
+  * `Trigger.AvailableNow()` — the production batch-drain API: the
+  * query processes everything available (respecting per-source read
+  * limits such as `maxFilesPerTrigger`, so multi-batch replays keep
+  * their batch boundaries) and then terminates itself, instead of
+  * being polled via `processAllAvailable` and stopped externally. Aggregations that must match the DuckDB
   * batch oracle run in `complete` mode (append would withhold the
   * final windows behind the watermark); watermark/append semantics are
   * demonstrated by `q_stream_watermark` as a rows-only query.
@@ -121,9 +125,8 @@ object Streams {
     try {
       val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
       val q = df.writeStream.outputMode(mode).format("memory")
-        .queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       s.table(name)
     } finally s.conf.set(key, prev)
   }
@@ -307,9 +310,9 @@ object Streams {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             batch.write.mode("overwrite").parquet(out)
           }
+          .trigger(Trigger.AvailableNow())
           .start()
-        q.processAllAvailable()
-        q.stop()
+        q.awaitTermination()
       } finally s.conf.set(key, prev)
       s.read.parquet(out).orderBy(col("event_type"))
     }),

@@ -457,7 +457,9 @@ class KnnGraphSpec extends SparkSpec {
       .select("vid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = got.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    // floor lifted 0.5 → 0.8 with the 2-bit multiprobe shell on
+    // table 0 (measured 0.94 at sf0.001; probe volume +27%)
+    assert(recall >= 0.8, s"recall $recall")
   }
 }
 
