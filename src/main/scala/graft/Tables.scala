@@ -49,16 +49,13 @@ object Tables {
     * This is the ingestion contract that holds at 100 TB: parse
     * semi-structured input once at ingest time and store it typed
     * (columnar struct/map in Parquet), so the per-row JSON parse cost
-    * is paid exactly once per corpus rather than once per query. Here
-    * the "written layout" is a persisted DataFrame (memory-and-disk,
-    * LRU-evictable) — same pattern as the dedup shingle index
-    * (graft.dedup.Dedup.shingleTable).
+    * is paid exactly once per corpus rather than once per query. The
+    * layout is a real write-once parquet table under the warehouse
+    * (`Layouts.ensureLayout`) — written on first use, re-attached
+    * (never re-parsed) by every later query and session.
     */
-  private val parsedEventsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   def eventsParsed(s: SparkSession, d: String): DataFrame =
-    parsedEventsCache.computeIfAbsent((s, d), { _ =>
+    graft.sources.Layouts.ensureLayout(s, d, "events_parsed") {
       import org.apache.spark.sql.types.{LongType, MapType, StringType,
         StructField, StructType}
       events(s, d)
@@ -66,8 +63,7 @@ object Tables {
           from_json(col("props"), StructType(Seq(StructField("k", LongType))))
             .getField("k").as("k"),
           from_json(col("props"), MapType(StringType, LongType)).as("m"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Collision-free key for /tmp cache dirs derived from a data dir:
     * the full path, sanitized. (A 32-bit hashCode can collide across

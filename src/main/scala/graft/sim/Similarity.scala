@@ -40,6 +40,62 @@ object Similarity {
     */
   val QueryBatch = 8L
 
+  /** Quantizer-fit sample bound: KMeans.fit input is capped at this
+    * many rows regardless of corpus size (k=16 centroids need ~100×
+    * that many points to stabilize, not the corpus).
+    */
+  val IvfFitSample = 2048
+
+  /** Cells searched per query (multiprobe). On a clustered corpus the
+    * nearest cell holds most true neighbors and nprobe=1-2 suffices;
+    * this synthetic corpus is uniform random (neighbors hug cell
+    * boundaries, cosine ~0.33 tail-of-random), the worst case for any
+    * space partitioner, so recall needs a deeper probe. 6/16 cells
+    * still cuts the scan ~2.7× and the ratio improves with k at scale
+    * (k grows with corpus size, nprobe doesn't).
+    */
+  val IvfNProbe = 6
+
+  /** KNN-graph candidate pairs (exposed for PlanSpec's thin-index pin
+    * and the scale probe). Thin (id, band, sig) index — embeddings
+    * are NOT replicated into the candidate join; they're gathered per
+    * side afterwards (the fetch-join pattern a 100 TB vector store
+    * uses). Multiprobe on one side covers flipped-bucket pairs in
+    * both directions (XOR is symmetric): 1-bit flips on every table,
+    * PLUS 2-bit flips on table 0 only — the 2-bit shell costs
+    * C(6,2)=15 extra probes on ONE table (probe rows 56→71 per
+    * vector, +27%) but catches neighbors whose signatures differ by
+    * 2 bits in every table, the dominant miss mode once 1-bit probing
+    * is in place. All rows stay thin (id, band, sig).
+    */
+  private[graft] def knnCandidates(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val nPlanes = AnnTables * AnnBits
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
+    val banded = e
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+    val flips1 = 0 +: (0 until AnnBits).map(1 << _)
+    val flips2 = for {
+      i <- 0 until AnnBits; j <- i + 1 until AnnBits
+    } yield (1 << i) | (1 << j)
+    val probes1 = array(flips1.map(lit(_)): _*)
+    val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
+    val probed = banded
+      .select(col("vec_id").as("nid"), col("band").as("pband"),
+        explode(transform(
+          when(col("band") === 0, probes2).otherwise(probes1),
+          m => col("sig").bitwiseXOR(m))).as("psig"))
+    banded
+      .join(probed,
+        col("band") === col("pband") && col("sig") === col("psig") &&
+          col("vec_id") =!= col("nid"))
+      .select(col("vec_id").as("vid"), col("nid"))
+      .dropDuplicates("vid", "nid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
     "q_sim_topk" -> ((s, d) => {
@@ -60,30 +116,53 @@ object Similarity {
     }),
 
     // IVF-style ANN: a KMeans coarse quantizer (seeded, k=16) cells
-    // the corpus; each query searches only its own cell (nprobe=1).
+    // the corpus; each query searches its IvfNProbe nearest cells
+    // (multiprobe — rank centroids by the quantizer's own L2 metric).
     // At 100 TB the cell assignment is a one-time layout (like
-    // bucketing) and query cost drops by ~k×; the quantizer itself
-    // would be fit on a small sample (`df.sample` → fit, then
-    // `transform` the full corpus) — KMeans.fit must never see all
-    // rows at that scale. Rows-only (approximate by design).
+    // bucketing) and query cost drops by ~(k/nprobe)×. The quantizer
+    // is fit on a PROVABLY BOUNDED deterministic sample — the corpus
+    // ordered by xxhash64(vec_id) (a seeded pseudo-random but stable
+    // order) and truncated to IvfFitSample rows via
+    // TakeOrderedAndProject (each partition keeps a bounded heap; only
+    // ≤IvfFitSample rows ever reach the driver-side fit) — then
+    // `transform` labels the full corpus distributedly. KMeans.fit
+    // never sees all rows at any scale. The centroid table is k tiny
+    // rows (driver-side by construction in any IVF index); the
+    // query-to-cell ranking runs over |batch|×k rows, negligible at
+    // any scale. Rows-only (approximate by design); AnnSpec pins
+    // recall ≥ 0.5 vs the brute-force q_sim_topk.
     "q_sim_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           array_to_vector(col("embedding")).as("features"))
+      val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(IvfFitSample).select(col("features"))
       val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").fit(e)
+        .setFeaturesCol("features").fit(fitSample)
       val celled = model.transform(e)
         .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      val q = celled.filter(col("vec_id") < QueryBatch)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("cell").as("qcell"))
+      val cents = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
+      val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+      val probes = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qv, centroid,
+            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("cr", row_number().over(wq))
+        .filter(col("cr") <= IvfNProbe)
+        .select(col("qid"), col("qv"), col("cell"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
-      broadcast(q)
-        .join(celled, col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      broadcast(probes)
+        .join(celled, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
         .withColumn("rk", row_number().over(w))
@@ -148,40 +227,7 @@ object Similarity {
     "q_sim_knn_graph" -> ((s, d) => {
       import s.implicits._
       VectorFunctions.register(s)
-      val nPlanes = AnnTables * AnnBits
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
-      // Thin (id, band, sig) index — embeddings are NOT replicated
-      // into the candidate join; they're gathered per side afterwards
-      // (the fetch-join pattern a 100 TB vector store uses).
-      val banded = e
-        .select(col("vec_id"), posexplode(col("sigs")))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
-      // Multiprobe on one side covers flipped-bucket pairs in both
-      // directions (XOR is symmetric). 1-bit flips on every table,
-      // PLUS 2-bit flips on table 0 only: the 2-bit shell costs
-      // C(6,2)=15 extra probes on ONE table (probe rows 56→71 per
-      // vector, +27%) but catches neighbors whose signatures differ
-      // by 2 bits in every table — the dominant miss mode once 1-bit
-      // probing is in place. All rows stay thin (id, band, sig).
-      val flips1 = 0 +: (0 until AnnBits).map(1 << _)
-      val flips2 = for {
-        i <- 0 until AnnBits; j <- i + 1 until AnnBits
-      } yield (1 << i) | (1 << j)
-      val probes1 = array(flips1.map(lit(_)): _*)
-      val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
-      val probed = banded
-        .select(col("vec_id").as("nid"), col("band").as("pband"),
-          explode(transform(
-            when(col("band") === 0, probes2).otherwise(probes1),
-            m => col("sig").bitwiseXOR(m))).as("psig"))
-      val cand = banded
-        .join(probed,
-          col("band") === col("pband") && col("sig") === col("psig") &&
-            col("vec_id") =!= col("nid"))
-        .select(col("vec_id").as("vid"), col("nid"))
-        .dropDuplicates("vid", "nid")
+      val cand = knnCandidates(s, d)
       val ea = Tables.embeddings(s, d).select(col("vec_id").as("vid"), col("embedding").as("va"))
       val eb = Tables.embeddings(s, d).select(col("vec_id").as("nid"), col("embedding").as("vb"))
       val scored = cand.join(ea, "vid").join(eb, "nid")

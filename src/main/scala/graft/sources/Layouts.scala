@@ -36,6 +36,33 @@ object Layouts {
   private[graft] def sfSuffix(d: String): String =
     Tables.cacheKey(d).replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Write-once parquet layout under the warehouse: built on first
+    * use, then only ever RE-READ — by this session and by any later
+    * session that finds the files on disk (`_SUCCESS` present ⇒
+    * re-attach, never rebuild). This is the materialized form of the
+    * derived tables the dedup/ingest pipelines share (shingle index,
+    * near-dup pair set, parsed events): at 100 TB these are ingest-time
+    * layouts written once and queried many times, exactly like the
+    * bucketed tables above — not session caches. A half-written dir
+    * (no `_SUCCESS`, e.g. a killed build) is cleared and rebuilt.
+    */
+  private[graft] def ensureLayout(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, s"${name}_${sfSuffix(d)}")
+    synchronized {
+      if (!java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        build.write.mode("overwrite").parquet(loc.toString)
+      }
+    }
+    s.read.parquet(loc.toString)
+  }
+
   private def ensureBucketed(s: SparkSession, d: String): Unit = synchronized {
     val suffix = sfSuffix(d)
     def writeBucketed(name: String, df: DataFrame, key: String): Unit =

@@ -131,6 +131,18 @@ object Streams {
     } finally s.conf.set(key, prev)
   }
 
+  /** The watermarked-dedup streaming plan (pre-drain), exposed so
+    * StreamingStateSpec can pin its state bound: the plan must carry
+    * `DeduplicateWithinWatermark` (state evicted at the horizon), not
+    * the unbounded `Deduplicate` that plain dropDuplicates plans.
+    */
+  private[graft] def dedupWatermarkStream(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStreamMulti(s, d)
+    ev.unionAll(ev)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id", "event_type")
+  }
+
   /** transformWithState processor: per-user ValueState counter that
     * numbers events 1..n as they arrive (see q_stream_seqnum).
     */
@@ -176,6 +188,14 @@ object Streams {
     // Streaming dedup, then per-type counts. The dedup key tuple
     // matches the oracle's DISTINCT (event_id, event_type) exactly, so
     // parity holds even if an event_id ever repeated across types.
+    //
+    // DELIBERATE COUNTER-EXAMPLE, not the production shape: plain
+    // dropDuplicates keeps one state row per key FOREVER, so state
+    // grows linearly with stream length — unbounded on a 100 TB
+    // stream. It exists to surface the native operator next to its
+    // bounded twin; production dedup is q_stream_dedup_watermark
+    // (dropDuplicatesWithinWatermark, state evicted at the horizon —
+    // StreamingStateSpec pins that bound).
     "q_stream_dedup" -> ((s, d) => {
       val agg = eventsStream(s, d)
         .dropDuplicates("event_id", "event_type")
@@ -184,19 +204,17 @@ object Streams {
       drain(s, agg, "complete").orderBy(col("event_type"))
     }),
 
-    // Watermarked streaming dedup: dropDuplicatesWithinWatermark keeps
-    // dedup state only inside the watermark horizon — the unbounded-
-    // stream shape, where q_stream_dedup's state would grow forever.
-    // The input is a self-union of the multi-batch replay (every event
-    // arrives exactly twice, in the same micro-batch), so the dedup
-    // does real work while duplicates always land within the horizon;
-    // the batch DISTINCT oracle is exact.
+    // Watermarked streaming dedup — the PRODUCTION default:
+    // dropDuplicatesWithinWatermark keeps dedup state only inside the
+    // watermark horizon (evicted as the watermark passes), so state is
+    // bounded by horizon × arrival rate, independent of stream length
+    // — where q_stream_dedup's state would grow forever. The input is
+    // a self-union of the multi-batch replay (every event arrives
+    // exactly twice, in the same micro-batch), so the dedup does real
+    // work while duplicates always land within the horizon; the batch
+    // DISTINCT oracle is exact.
     "q_stream_dedup_watermark" -> ((s, d) => {
-      val ev = eventsStreamMulti(s, d)
-      val dd = ev.unionAll(ev)
-        .withWatermark("ts", "30 minutes")
-        .dropDuplicatesWithinWatermark("event_id", "event_type")
-      drain(s, dd, "append")
+      drain(s, dedupWatermarkStream(s, d), "append")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))

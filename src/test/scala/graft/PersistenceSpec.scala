@@ -41,4 +41,25 @@ class PersistenceSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(p.contains("SelectedBucketsCount"), p)
   }
+
+  test("near-dup pair layout is written once and re-read, never rebuilt") {
+    val before = run("q_dedup_ngram_jaccard").collect().toSeq
+    assert(before.nonEmpty)
+
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"dedup_neardup_pairs_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val dataFiles = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // the layout keeps NO in-memory handle — every consumer (including
+    // a fresh session) consults only the on-disk _SUCCESS marker, so a
+    // rerun must re-attach to the written files, not rebuild them
+    val after = run("q_dedup_ngram_jaccard").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
 }

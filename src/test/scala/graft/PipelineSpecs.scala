@@ -104,6 +104,29 @@ class AnnSpec extends SparkSpec {
     assert(a.forall(_.getInt(1) <= 5))
   }
 
+  test("sample-fit IVF reaches >= 0.5 recall vs brute-force top-5") {
+    val topk = run("q_sim_topk").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q_sim_ann_ivf").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (topk intersect ivf).size.toDouble / topk.size
+    assert(recall >= 0.5, s"recall=$recall (${(topk intersect ivf).size}/${topk.size})")
+  }
+
+  test("IVF quantizer fit input is provably bounded regardless of corpus size") {
+    // the fit sample plan must be a global limit of IvfFitSample rows
+    // (TakeOrderedAndProject): per-partition bounded heaps, never the
+    // full corpus on the driver
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sim.Similarity.IvfFitSample).select(col("features"))
+    val p = sample.queryExecution.executedPlan.toString
+    assert(p.contains(s"TakeOrderedAndProject(limit=${sim.Similarity.IvfFitSample}"), p)
+  }
+
   test("multi-probe LSH recall beats nothing and scores are valid cosines") {
     import org.apache.spark.sql.functions.col
     val lsh = run("q_sim_ann_lsh")
@@ -256,6 +279,18 @@ class StreamingSpec extends SparkSpec {
     val wm = run("q_stream_dedup_watermark").collect().toSeq
     val plain = run("q_stream_dedup").collect().toSeq
     assert(wm == plain)
+  }
+
+  test("production dedup state is watermark-bounded (DeduplicateWithinWatermark)") {
+    // q_stream_dedup (plain dropDuplicates) keeps state forever and
+    // exists only as the documented counter-example; the production
+    // form must plan DeduplicateWithinWatermark under an event-time
+    // watermark, whose state is evicted at the horizon.
+    val wm = streaming.Streams.dedupWatermarkStream(spark, sf)
+    assert(wm.isStreaming)
+    val a = wm.queryExecution.analyzed.toString
+    assert(a.contains("DeduplicateWithinWatermark"), a)
+    assert(a.contains("EventTimeWatermark"), a)
   }
 }
 

@@ -62,6 +62,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("salted join spreads the hot key over (key, salt) and replicates the dim 8x") {
+    val p = plan("q_salted_join")
+    // dimension replicated by a broadcast cross with the 8-row range —
+    // no shuffle manufactures the replicas
+    assert(p.contains("Range (0, 8"), p)
+    // the join key is (key, salt) on BOTH sides: each hot key spreads
+    // over 8 tasks instead of one
+    assert("\\[user_id#\\d+L, salt#\\d+L\\], \\[c_custkey#\\d+L, salt#\\d+L\\]"
+      .r.findFirstIn(p).isDefined, p)
+    // the fact side is never hash-partitioned on the bare key (the
+    // skew shape salting exists to prevent)
+    assert("hashpartitioning\\(user_id#\\d+L, \\d".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("salted join at scale (broadcast off): the only fact shuffle is (key, salt)") {
+    // disabling auto-broadcast simulates a fact⋈fact-sized dim — the
+    // plan must shuffle the fact exactly once, on (key, salt)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q_salted_join")
+      assert("hashpartitioning\\(user_id#\\d+L, salt#\\d+L"
+        .r.findFirstIn(p).isDefined, p)
+      assert("hashpartitioning\\(user_id#\\d+L, \\d".r.findFirstIn(p).isEmpty, p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("knn candidate join is thin: no embedding ever enters the candidate exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = sim.Similarity.knnCandidates(spark, sf).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // every join in the candidate generator carries only (id, band,
+    // sig) — embeddings are fetch-joined AFTER candidate dedup
+    joins.foreach { j =>
+      assert(!j.output.exists(_.name.contains("embedding")),
+        j.output.map(_.name).mkString(","))
+    }
+  }
+
   test("semi join emits no payload columns from the probe side") {
     val p = plan("q_join_semi")
     assert(p.contains("LeftSemi"), p)
