@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the dedup/ANN family: measures candidate-pair
+  * counts and steady-state wall time at two scale factors, so the
+  * sub-quadratic claims in SURVEY §9 (DF-capped inverted index, LSH
+  * banding) are empirical, not asserted. The growth exponent
+  * log(y2/y1)/log(n2/n1) should sit near 1 (linear in corpus size)
+  * for every candidate generator — an all-pairs design would show ~2.
+  *
+  * Usage: `runMain graft.ScaleProbe [sfDir1 sfDir2 ...]`
+  * (default sf0.01 + sf0.1). Prints one JSON line per sfDir plus a
+  * trailing exponent line comparing the last two dirs.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val probed = Seq(
+      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_knn_graph")
+
+    def bestOf2(f: => Unit): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+
+    val rows = dirs.map { d =>
+      val docs = Tables.documents(spark, d).count()
+      val vecs = Tables.embeddings(spark, d).count()
+      val cands = Map(
+        "q_dedup_ngram_jaccard" -> dedup.Dedup.jaccardCandidates(spark, d).count(),
+        "q_dedup_minhash" -> dedup.Dedup.minhashCandidates(spark, d).count(),
+        "q_sim_knn_graph" -> sim.Similarity.knnCandidates(spark, d).count())
+      // the log(n) knob the KNN comments promise: +2 signature bits at
+      // the larger corpus (8 tables × 8 bits) — bucket occupancy, and
+      // with it the candidate fraction, drops ~4× per +2 bits
+      val knnScaledBits = sim.Similarity.knnCandidates(spark, d,
+        tables = 8, bits = 8).count()
+      val secs = probed.map { q =>
+        q -> bestOf2(SparkEntry.queries(q)(spark, d)
+          .write.format("noop").mode("overwrite").save())
+      }.toMap
+      val fields = probed.map(q =>
+        s""""$q":{"candidates":${cands(q)},"sec":${f"${secs(q)}%.3f"}}""") :+
+        s""""knn_candidates_8x8bits":$knnScaledBits"""
+      println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
+      (d, docs, vecs, cands, secs)
+    }
+
+    if (rows.size >= 2) {
+      val (_, d1docs, d1vecs, c1, s1) = rows(rows.size - 2)
+      val (_, d2docs, d2vecs, c2, s2) = rows.last
+      def exp(n1: Long, n2: Long, y1: Double, y2: Double): Double =
+        if (y1 <= 0 || n2 == n1) Double.NaN
+        else math.log(y2 / y1) / math.log(n2.toDouble / n1)
+      val fields = probed.map { q =>
+        val n1 = if (q.startsWith("q_sim")) d1vecs else d1docs
+        val n2 = if (q.startsWith("q_sim")) d2vecs else d2docs
+        val ce = exp(n1, n2, c1(q).toDouble, c2(q).toDouble)
+        val te = exp(n1, n2, s1(q), s2(q))
+        s""""$q":{"candidate_exp":${f"$ce%.2f"},"time_exp":${f"$te%.2f"}}"""
+      }
+      println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
+    }
+    spark.stop()
+  }
+}

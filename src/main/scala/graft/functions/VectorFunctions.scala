@@ -96,8 +96,9 @@ case class CosineSim(left: Expression, right: Expression)
   */
 object Planes {
   val Dim = 64
-  val MaxPlanes = 48 // first 16 feed the oracle-mirrored embed dedup;
-                     // 48 = 8 ANN tables × 6 bits (generation is
+  val MaxPlanes = 64 // first 16 feed the oracle-mirrored embed dedup;
+                     // 48 = 8 ANN tables × 6 bits; 64 lets the scale
+                     // probe run 8 tables × 8 bits (generation is
                      // row-major from one seeded stream, so growing the
                      // pool never changes earlier planes)
 

@@ -68,18 +68,19 @@ object Similarity {
     * 2 bits in every table, the dominant miss mode once 1-bit probing
     * is in place. All rows stay thin (id, band, sig).
     */
-  private[graft] def knnCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnCandidates(s: SparkSession, d: String,
+      tables: Int = AnnTables, bits: Int = AnnBits): DataFrame = {
     VectorFunctions.register(s)
-    val nPlanes = AnnTables * AnnBits
+    val nPlanes = tables * bits
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
+        expr(s"plane_sigs(embedding, $nPlanes, $bits)").as("sigs"))
     val banded = e
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
-    val flips1 = 0 +: (0 until AnnBits).map(1 << _)
+    val flips1 = 0 +: (0 until bits).map(1 << _)
     val flips2 = for {
-      i <- 0 until AnnBits; j <- i + 1 until AnnBits
+      i <- 0 until bits; j <- i + 1 until bits
     } yield (1 << i) | (1 << j)
     val probes1 = array(flips1.map(lit(_)): _*)
     val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
