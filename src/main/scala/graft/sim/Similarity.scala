@@ -56,6 +56,52 @@ object Similarity {
     */
   val IvfNProbe = 6
 
+  /** The IVF index as a WRITTEN layout: the corpus stored
+    * cell-clustered — (vec_id, embedding) parquet partitioned by the
+    * KMeans cell id — which is what a real IVF vector store is
+    * physically. Written once per corpus (`Layouts.ensureLayout`),
+    * re-attached by later sessions. Because `cell` is a partition
+    * directory, a probe that searches nprobe cells READS only those
+    * directories (dynamic partition pruning from the broadcast probe
+    * side — pinned by PlanSpec), instead of scanning the corpus and
+    * filtering. The quantizer fits on a provably bounded sample: the
+    * corpus ordered by xxhash64(vec_id) (seeded pseudo-random, stable)
+    * truncated to IvfFitSample rows via TakeOrderedAndProject — only
+    * ≤IvfFitSample rows ever reach the driver-side fit; `transform`
+    * labels the full corpus distributedly.
+    */
+  private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "ivf_index",
+        partitionCols = Seq("cell")) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          array_to_vector(col("embedding")).as("features"))
+      val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(IvfFitSample).select(col("features"))
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").fit(fitSample)
+      model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    }
+
+  /** Cell centroids DERIVED from the written index (mean member
+    * vector per cell) — deterministic given the index, so the two
+    * layouts can never disagree (re-running KMeans in a later session
+    * could re-assign boundary points; deriving from the index cannot).
+    * k rows total; every consumer broadcasts it.
+    */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "ivf_centroids") {
+      ivfIndex(s, d)
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("centroid"))
+    }
+
   /** KNN-graph candidate pairs (exposed for PlanSpec's thin-index pin
     * and the scale probe). Thin (id, band, sig) index — embeddings
     * are NOT replicated into the candidate join; they're gathered per
@@ -116,40 +162,22 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // IVF-style ANN: a KMeans coarse quantizer (seeded, k=16) cells
-    // the corpus; each query searches its IvfNProbe nearest cells
-    // (multiprobe — rank centroids by the quantizer's own L2 metric).
-    // At 100 TB the cell assignment is a one-time layout (like
-    // bucketing) and query cost drops by ~(k/nprobe)×. The quantizer
-    // is fit on a PROVABLY BOUNDED deterministic sample — the corpus
-    // ordered by xxhash64(vec_id) (a seeded pseudo-random but stable
-    // order) and truncated to IvfFitSample rows via
-    // TakeOrderedAndProject (each partition keeps a bounded heap; only
-    // ≤IvfFitSample rows ever reach the driver-side fit) — then
-    // `transform` labels the full corpus distributedly. KMeans.fit
-    // never sees all rows at any scale. The centroid table is k tiny
-    // rows (driver-side by construction in any IVF index); the
-    // query-to-cell ranking runs over |batch|×k rows, negligible at
-    // any scale. Rows-only (approximate by design); AnnSpec pins
-    // recall ≥ 0.5 vs the brute-force q_sim_topk.
+    // IVF ANN over the WRITTEN cell-partitioned index (`ivfIndex`):
+    // each query ranks the k cell centroids by L2 (the quantizer's
+    // metric) and searches its IvfNProbe nearest cells. The probe set
+    // joins the index on the PARTITION column, so the scan physically
+    // reads only the probed cell directories (dynamic partition
+    // pruning — pinned by PlanSpec); query cost drops by ~(k/nprobe)×
+    // in bytes read, not just rows filtered. The centroid ranking runs
+    // over |batch|×k rows — negligible at any scale. Rows-only
+    // (approximate by design); AnnSpec pins recall ≥ 0.5 vs the
+    // brute-force q_sim_topk.
     "q_sim_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      import s.implicits._
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          array_to_vector(col("embedding")).as("features"))
-      val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(IvfFitSample).select(col("features"))
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").fit(fitSample)
-      val celled = model.transform(e)
-        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      val cents = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
+      val idx = ivfIndex(s, d)
+      val cents = ivfCentroids(s, d)
       val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
-      val probes = e.filter(col("vec_id") < QueryBatch)
+      val probes = Tables.embeddings(s, d).filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("d2", expr(
@@ -162,7 +190,7 @@ object Similarity {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
       broadcast(probes)
-        .join(celled, Seq("cell"))
+        .join(idx, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))

@@ -46,8 +46,8 @@ object Layouts {
     * bucketed tables above — not session caches. A half-written dir
     * (no `_SUCCESS`, e.g. a killed build) is cleared and rebuilt.
     */
-  private[graft] def ensureLayout(s: SparkSession, d: String, name: String)
-      (build: => DataFrame): DataFrame = {
+  private[graft] def ensureLayout(s: SparkSession, d: String, name: String,
+      partitionCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(wh, s"${name}_${sfSuffix(d)}")
     synchronized {
@@ -57,7 +57,9 @@ object Layouts {
           java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.delete)
         }
-        build.write.mode("overwrite").parquet(loc.toString)
+        val w = build.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(loc.toString)
       }
     }
     s.read.parquet(loc.toString)

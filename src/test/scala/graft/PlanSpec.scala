@@ -193,6 +193,22 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("IVF search physically reads only probed cells (dynamic partition pruning)") {
+    val p = plan("q_sim_ann_ivf")
+    // the index is a cell-partitioned written layout; the broadcast
+    // probe side prunes unprobed cell directories at the scan
+    assert(p.contains("ivf_index_"), p)
+    assert(p.contains("dynamicpruningexpression(cell"), p)
+  }
+
+  test("JSON queries read the parsed-events layout and never re-parse") {
+    Seq("q_json_funcs", "q_map_funcs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("from_json"), s"$q re-parses: $p")
+      assert(p.contains("events_parsed_"), s"$q misses layout: $p")
+    }
+  }
+
   test("doc chunking plan is shuffle-free up to the sink sort") {
     val p = plan("q_doc_chunks")
     // one Exchange only: the final presentation orderBy
