@@ -48,6 +48,33 @@ object Extras {
         .orderBy(col("band"))
     }),
 
+    // Bloom-prefiltered semi join — Spark's internal join runtime
+    // filter (InjectRuntimeFilter) surfaced as an explicit operator:
+    // one aggregate builds a bloom filter over the small side's keys
+    // (constant-size bits, here 128 Kbit for ≤10k keys), a scalar
+    // subquery ships it into a `might_contain` predicate evaluated AT
+    // THE FACT SCAN, and the exact semi join then verifies only the
+    // bloom-positive survivors. No false negatives ⇒ the output is
+    // exactly the plain semi join (fully oracled); at 100 TB the
+    // sketch replaces broadcasting a huge id set and the join input
+    // shrinks to the match fraction before any exchange.
+    "q_bloom_semijoin" -> ((s, d) => {
+      graft.functions.SketchFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("graft_bf_events")
+      Tables.customer(s, d).createOrReplaceTempView("graft_bf_customer")
+      s.sql(
+        """SELECT e.event_type, count(*) AS n,
+          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+          |FROM graft_bf_events e
+          |WHERE graft_bloom_contains(
+          |        (SELECT graft_bloom_agg(xxhash64(c_custkey), 10000L, 131072L)
+          |         FROM graft_bf_customer WHERE c_mktsegment = 'BUILDING'),
+          |        xxhash64(e.user_id))
+          |  AND e.user_id IN (SELECT c_custkey FROM graft_bf_customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    }),
+
     // Exact interpolated percentiles per group.
     "q_percentile" -> ((s, d) =>
       Tables.events(s, d)
@@ -311,6 +338,15 @@ object Extras {
     binnedBands.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the bloom prefilter has no false negatives and the semi join
+    // verifies exactly, so the oracle is the plain semi join
+    "q_bloom_semijoin" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer
+        |                  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_range_join_binned" ->
       s"""SELECT band, count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum

@@ -193,6 +193,16 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("bloom semi join prefilters the fact scan with a constant-size sketch") {
+    val p = plan("q_bloom_semijoin")
+    // sketch built with a partial (map-side) aggregate pass
+    assert(p.contains("partial_bloom_filter_agg"), p)
+    assert(p.contains("LeftSemi"), p)
+    // the might_contain predicate sits BELOW the semi join (a child
+    // Filter on the fact scan), so only bloom-positives enter the join
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"), p)
+  }
+
   test("IVF search physically reads only probed cells (dynamic partition pruning)") {
     val p = plan("q_sim_ann_ivf")
     // the index is a cell-partitioned written layout; the broadcast
