@@ -43,6 +43,9 @@ object Corpus {
     */
   val SubShardDocs = 64L
 
+  /** Per-source reservoir budget for q_reservoir_sample. */
+  val ReservoirK = 20L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
@@ -176,6 +179,27 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic per-source reservoir sample: keep exactly k docs
+    // per source, chosen uniformly by an md5 content-hash order —
+    // bottom-k by hash IS a mergeable reservoir (the bottom-k of a
+    // union is the bottom-k of the per-partition bottom-k's), so the
+    // plan's partial WindowGroupLimit keeps ≤ k rows per partition
+    // map-side and the exchange carries ≤ k·partitions rows, never
+    // the corpus. Unlike the Bernoulli samplers above (fractional,
+    // size follows the source), this pins an exact per-group budget —
+    // the "n docs per domain for eval" pass. Fully oracled (md5 order
+    // is engine-identical).
+    "q_reservoir_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= ReservoirK)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Equal-frequency (quantile) bucketing: ntile(10) over document
     // length per language — the curriculum-ordering pass (shortest
     // decile first). Deterministic: the tiebreak on doc_id pins the
@@ -276,6 +300,13 @@ object Corpus {
          |        ('0x' || substr(md5(doc_id || ':42'), 1, 3))::BIGINT % $ShuffleShards AS shard
          |      FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    "q_reservoir_sample" ->
+      s"""SELECT source, rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $ReservoirK ORDER BY source, rk""".stripMargin,
     "q_mixture_sample" ->
       """SELECT doc_id, lang, bucket, keep_w FROM (
         |  SELECT doc_id, lang,

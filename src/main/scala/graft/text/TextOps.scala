@@ -37,6 +37,24 @@ object TextOps {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
 
+    // Sketch-based heavy hitters: approx_top_k (DataSketches frequent
+    // items) over the token stream — ONE constant-size sketch per
+    // partition merged once, vs the exact form's full-vocabulary
+    // shuffle. At 100 TB the exact groupBy exchanges every distinct
+    // token; the sketch exchanges kilobytes per partition and is the
+    // single-pass answer when the vocabulary outgrows the shuffle.
+    // Rows-only (sketch internals are engine-specific); a spec pins
+    // the sketch's top-k set equal to the exact q_vocab_topk head at
+    // test scale (the sketch is exact until it saturates).
+    "q_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 20, 4096)").as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("token"), col("col.count").cast("long").as("freq"))
+        .orderBy(col("rk"))),
+
     // Whitespace token counts (total + distinct) per document.
     "q_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)

@@ -56,6 +56,31 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => byDoc(a) == byDoc(b) })
   }
 
+  test("heavy-hitter sketch matches the exact vocabulary head at test scale") {
+    val exact = run("q_vocab_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sketch = run("q_heavy_hitters").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(sketch.length == 20)
+    // every sketched hitter must be a real head token with its exact
+    // frequency (the sketch is exact until it saturates) ...
+    val exactSet = exact.toSet
+    assert(sketch.forall(exactSet.contains), sketch.mkString(","))
+    // ... and the frequency multiset must equal the exact top-20's
+    // (set equality on tokens can flap on count ties at the cutoff)
+    assert(sketch.map(_._2).sorted.toSeq == exact.take(20).map(_._2).sorted.toSeq)
+  }
+
+  test("reservoir sample keeps exactly k docs per source, deterministically") {
+    val rows = run("q_reservoir_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.values.forall(_.length == text.Corpus.ReservoirK))
+    val again = run("q_reservoir_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("fingerprint is stable and 32-hex") {
     val rows = run("q_text_fingerprint").limit(5).collect()
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
