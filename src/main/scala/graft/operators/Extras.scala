@@ -193,6 +193,34 @@ object Extras {
         .orderBy(col("band"))
     }),
 
+    // Time-series resample + gap fill: 10-minute activity buckets per
+    // event type with EMPTY buckets materialized as zero rows over
+    // each type's [min, max] span — the telemetry/feature densify
+    // pass (downstream models need a value at every step). The bucket
+    // aggregate is one thin shuffle of (type, bucket) rows; the spine
+    // is sequence+explode over the per-type min/max agg (a handful of
+    // rows, broadcast into the left join) — the event volume never
+    // re-shuffles, and the spine grows with time span, not events.
+    "q_gap_fill" -> ((s, d) => {
+      val buckets = Tables.events(s, d)
+        .groupBy(col("event_type"), window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("value")).as("v_sum"))
+        .select(col("event_type"), col("window.start").as("w_start"),
+          col("n"), col("v_sum"))
+      val spine = buckets.groupBy(col("event_type"))
+        .agg(min(col("w_start")).as("t0"), max(col("w_start")).as("t1"))
+        .select(col("event_type").as("et"),
+          explode(expr("sequence(t0, t1, interval 10 minutes)")).as("ws"))
+      spine.join(buckets,
+          col("et") === col("event_type") && col("ws") === col("w_start"),
+          "left")
+        .select(col("et").as("event_type"), col("ws").as("w_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("v_sum"), lit(0.0)).as("v_sum"))
+        .orderBy(col("event_type"), col("w_start"))
+    }),
+
     // CDC snapshot diff: given two table versions (v1 = orders; v2 =
     // v1 with price bumps on %100 keys, new rows at %1000=500, and
     // %97 keys deleted), emit the change log — insert/update/delete
@@ -338,6 +366,23 @@ object Extras {
     binnedBands.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(w_start), max(w_start),
+        |                           INTERVAL 10 MINUTE)) AS w_start
+        |  FROM b GROUP BY event_type)
+        |SELECT s.event_type, s.w_start,
+        |  coalesce(b.n, 0) AS n, coalesce(b.v_sum, 0.0) AS v_sum
+        |FROM s LEFT JOIN b ON s.event_type = b.event_type
+        |                  AND s.w_start = b.w_start
+        |ORDER BY s.event_type, s.w_start""".stripMargin,
     // the bloom prefilter has no false negatives and the semi join
     // verifies exactly, so the oracle is the plain semi join
     "q_bloom_semijoin" ->
