@@ -193,6 +193,13 @@ class ScalePlanSpec extends SparkSpec {
       .r.findFirstIn(w).isDefined, w)
   }
 
+  test("reservoir sample bounds each partition's contribution map-side") {
+    val p = plan("q_reservoir_sample")
+    // bottom-k-by-hash is mergeable: the plan must keep <= k rows per
+    // partition BEFORE the exchange (partial WindowGroupLimit)
+    assert("WindowGroupLimit .*row_number\\(\\), 20, Partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("bloom semi join prefilters the fact scan with a constant-size sketch") {
     val p = plan("q_bloom_semijoin")
     // sketch built with a partial (map-side) aggregate pass
