@@ -62,4 +62,26 @@ class PersistenceSpec extends SparkSpec {
     assert(after == before)
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
+
+  test("IVF index layout re-attaches without re-fitting the quantizer") {
+    val before = run("q_sim_ann_ivf").collect().toSeq
+    assert(before.nonEmpty)
+
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val suffix = sources.Layouts.sfSuffix(sf)
+    // cell-partitioned: data files live under cell=N subdirectories
+    val dataFiles = Seq(s"ivf_index_$suffix", s"ivf_centroids_$suffix").flatMap { t =>
+      Files.walk(wh.resolve(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // a rebuild would re-run KMeans and could reassign boundary
+    // points to different cells — re-attach must read, never re-fit
+    val after = run("q_sim_ann_ivf").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
 }
