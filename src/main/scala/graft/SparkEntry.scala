@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Scalars.queries ++
       operators.Extras.queries ++
       operators.Advanced.queries ++
+      operators.Analytics.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       sources.Layouts.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       operators.Scalars.oracle ++
       operators.Extras.oracle ++
       operators.Advanced.oracle ++
+      operators.Analytics.oracle ++
       operators.Skew.oracle ++
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++

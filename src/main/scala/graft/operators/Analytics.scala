@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators over the events stream: cohort
+  * retention, deterministic anomaly scoring, and the null-safe join
+  * surface (`<=>` / `IS NOT DISTINCT FROM`).
+  *
+  * Scale notes: retention is two thin shuffles on `user_id` (first-seen
+  * agg, then a co-partitioned self-join — the join keys carry only
+  * (user_id, week) pairs, never payloads) followed by a thin
+  * (cohort, week) agg. Anomaly scoring aggregates 5 groups of exact
+  * DECIMAL moments and broadcasts them back over the fact scan — the
+  * fact side never shuffles. The null-safe join hashes NULL as a real
+  * key value: that makes NULL the hottest key by construction, which
+  * is exactly the semantics — the query keeps the null sides bounded
+  * (modulus-derived) the way a production pipeline would pre-filter.
+  */
+object Analytics {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weekly cohort retention: cohort = a user's first active ISO week;
+    // cell (cohort_w, week_n) = distinct users from that cohort active
+    // n weeks later. The canonical engagement matrix every product
+    // pipeline derives from an event log. First-seen is a thin
+    // (user_id, min week) agg; the join back is co-partitioned on
+    // user_id (AQE plans it broadcast at this SF — either way no
+    // payload moves, events are pre-projected to (user_id, week)).
+    "q_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val first = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
+      e.join(first, "user_id")
+        .withColumn("week_n",
+          floor(datediff(col("w").cast("date"), col("cohort_w").cast("date")) / 7)
+            .cast("long"))
+        .groupBy(col("cohort_w"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_w"), col("week_n"))
+    }),
+
+    // Deterministic z-score anomaly flagging: per-type moments from
+    // EXACT decimal sums (sum and sum-of-squares are DECIMAL — no
+    // FP accumulation order anywhere), then mean/std/z derive through
+    // single IEEE ops, so every double is bit-identical to the oracle
+    // with no rounding crutch. The moment table (5 rows) broadcasts
+    // back over the fact scan: zero fact shuffle at any scale.
+    "q_anomaly_zscore" -> ((s, d) => {
+      val st = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(30,4)"))
+            .cast("double").as("s2"))
+        .select(col("event_type").as("et"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)).as("std"))
+      Tables.events(s, d)
+        .join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Ordered funnel conversion: how many users progress
+    // view → click-after-view → purchase-after-click, where each stage
+    // must happen strictly after the user's first event of the prior
+    // stage. The canonical product-analytics cascade: each stage is a
+    // thin (user_id, min ts) aggregate co-partitioned with the next
+    // stage's filter join — only (user_id, ts) pairs ever move, and
+    // every stage shrinks the user set, so the cascade's cost is
+    // bounded by the first stage's aggregate at any scale.
+    "q_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("s1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("s2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("s3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
+    // Null-safe equality join (`<=>` / NullSafeEqual): NULL keys match
+    // each other instead of vanishing — the semantics MERGE/dedup
+    // pipelines need when the join key is itself nullable. Derived
+    // nullable keys on both sides (a modulus knocks keys out to NULL)
+    // so the null×null block is real and bounded; the aggregate
+    // separates the null-key block from ordinary matches.
+    "q_join_nullsafe" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("ok"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, lit(null))
+            .otherwise(col("c_custkey")).as("ck"))
+      o.join(c, col("ok") <=> col("ck"))
+        .groupBy(col("ok").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("null_key"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort_w FROM e GROUP BY user_id)
+        |SELECT cohort_w,
+        |  CAST(floor(date_diff('day', CAST(cohort_w AS DATE),
+        |                       CAST(w AS DATE)) / 7.0) AS BIGINT) AS week_n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type AS et, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT et, s1 / n AS mean,
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std FROM st)
+        |SELECT event_id, event_type, value, (value - mean) / std AS z
+        |FROM events JOIN m ON event_type = et
+        |WHERE abs((value - mean) / std) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 's1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 's2_click', count(*) FROM c
+        |  UNION ALL SELECT 's3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT ok IS NULL AS null_key, count(*) AS n_pairs,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |             ELSE o_custkey END AS ok FROM orders) o
+        |JOIN (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |             ELSE c_custkey END AS ck FROM customer) c
+        |  ON ok IS NOT DISTINCT FROM ck
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

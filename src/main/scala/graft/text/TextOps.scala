@@ -190,6 +190,34 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Unigram language-model quality score (CCNet-style filtering
+    // shape): score each document by how typical its tokens are under
+    // the corpus's own unigram distribution — mean token probability
+    // plus the rare-token ratio (cnt ≤ 2 ⇒ likely noise/OCR junk).
+    // All-linear math (mean_prob = Σcnt / (n_tok·total) — one IEEE
+    // division, no ln()) keeps the doubles bit-identical to the
+    // oracle, exactly like q_tfidf's linear IDF. The model build is
+    // one token-frequency agg (map-side combined), the scoring join
+    // shuffles thin (doc_id, tok) pairs on tok, and the corpus total
+    // is a broadcast single-row aggregate.
+    "q_lm_unigram_score" -> ((s, d) => {
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val freq = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      toksDf.join(freq, "tok").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("cnt")).as("cnt_sum"),
+          sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+          first(col("total")).as("total"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("cnt_sum").cast("double") / (col("n_tok") * col("total")))
+            .as("mean_prob"),
+          (col("n_rare").cast("double") / col("n_tok")).as("rare_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: redact email-like tokens and long digit runs with
     // sentinels, counting redactions per document. The corpus has no
     // digits, so deterministic synthetic PII (an email + a numeric ref
@@ -301,6 +329,18 @@ object TextOps {
         |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rnk
         |  FROM tf JOIN dft USING (term), n) ranked
         |WHERE rnk <= 10 ORDER BY doc_id, rnk""".stripMargin,
+    "q_lm_unigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |), tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(cnt) AS DOUBLE) / (count(*) * total) AS mean_prob,
+        |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS rare_ratio
+        |FROM toks JOIN freq USING (tok), tot
+        |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,

@@ -536,3 +536,52 @@ class QuantileBucketSpec extends SparkSpec {
     }
   }
 }
+
+class AnalyticsSpec extends SparkSpec {
+  test("fuzzy edit-distance pairs coincide with exact jaccard pairs here") {
+    // the corpus's near-dups are small edits of a source doc, so the
+    // prefix-block + Levenshtein path and the shingle-Jaccard path
+    // must agree pair-for-pair at this scale — cross-validation of
+    // two independent candidate generators.
+    val fuzzy = run("q_dedup_fuzzy_edit").select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q_dedup_ngram_jaccard").select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy == exact, s"fuzzy-only: ${fuzzy -- exact}; missed: ${exact -- fuzzy}")
+    val dists = run("q_dedup_fuzzy_edit").collect().map(_.getLong(2))
+    assert(dists.forall(d => d > 0 && d <= 16))
+  }
+
+  test("cohort retention week-0 diagonal accounts for every user once") {
+    val rows = run("q_cohort_retention").collect()
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = run("q_cohort_retention") // distinct users via events
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(week0 == nUsers, s"week0 $week0 != users $nUsers")
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
+  test("funnel stages shrink monotonically and start non-empty") {
+    val m = run("q_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("s1_view") > 0)
+    assert(m("s1_view") >= m("s2_click"))
+    assert(m("s2_click") >= m("s3_purchase"))
+  }
+
+  test("zscore outliers are all beyond 3 sigma and rediscoverable") {
+    val rows = run("q_anomaly_zscore").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 3.0))
+  }
+
+  test("lm unigram score: probabilities and rare ratios are well-formed") {
+    val rows = run("q_lm_unigram_score").collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val p = r.getDouble(2); val rr = r.getDouble(3)
+      p > 0.0 && p < 1.0 && rr >= 0.0 && rr <= 1.0
+    })
+  }
+}

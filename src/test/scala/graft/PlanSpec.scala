@@ -232,4 +232,20 @@ class ScalePlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
     assert(p.contains("Generate explode"), p)
   }
+
+  test("fuzzy edit dedup self-joins on the block key, never all-pairs") {
+    val p = plan("q_dedup_fuzzy_edit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // levenshtein runs AFTER the blocked equi-join, per candidate only
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("zscore anomaly scan broadcasts the moment table over the facts") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchange is the tiny moment aggregate's own —
+    // the fact side reaches the join unshuffled from its scan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
