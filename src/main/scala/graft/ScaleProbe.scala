@@ -29,7 +29,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val probed = Seq(
-      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_knn_graph")
+      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_fuzzy_edit",
+      "q_sim_knn_graph")
 
     def bestOf2(f: => Unit): Double = {
       def once: Double = {
@@ -44,6 +45,7 @@ object ScaleProbe {
       val cands = Map(
         "q_dedup_ngram_jaccard" -> dedup.Dedup.jaccardCandidates(spark, d).count(),
         "q_dedup_minhash" -> dedup.Dedup.minhashCandidates(spark, d).count(),
+        "q_dedup_fuzzy_edit" -> dedup.Dedup.fuzzyCandidates(spark, d).count(),
         "q_sim_knn_graph" -> sim.Similarity.knnCandidates(spark, d).count())
       // the log(n) knob the KNN comments promise: +2 signature bits at
       // the larger corpus (8 tables × 8 bits) — bucket occupancy, and
