@@ -240,6 +240,13 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("cohort retention prunes the events scan to (user_id, ts)") {
+    val p = plan("q_cohort_retention")
+    val scans = p.linesIterator.filter(_.contains("events.parquet")).mkString
+    assert(!scans.contains("props") && !scans.contains("value") &&
+      !scans.contains("event_type"), scans)
+  }
+
   test("zscore anomaly scan broadcasts the moment table over the facts") {
     val p = plan("q_anomaly_zscore")
     assert(p.contains("BroadcastHashJoin"), p)
