@@ -552,6 +552,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(dists.forall(d => d > 0 && d <= 16))
   }
 
+  test("incremental dedup: unchanged re-ingests all hit, revisions all miss") {
+    val rows = run("q_dedup_incremental").collect()
+    val (hits, misses) = rows.partition(_.getLong(0) < 200000L)
+    assert(hits.nonEmpty && misses.nonEmpty)
+    assert(hits.forall(_.getString(1) == "duplicate"))
+    assert(hits.forall(r => !r.isNullAt(2)))
+    assert(misses.forall(r => r.getString(1) == "new" && r.isNullAt(2)))
+  }
+
   test("cohort retention week-0 diagonal accounts for every user once") {
     val rows = run("q_cohort_retention").collect()
     val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
