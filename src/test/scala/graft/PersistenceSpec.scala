@@ -63,6 +63,26 @@ class PersistenceSpec extends SparkSpec {
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
 
+  test("fingerprint registry re-attaches for incremental dedup, never rebuilds") {
+    val before = run("q_dedup_incremental").collect().toSeq
+    assert(before.nonEmpty)
+
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"fp_registry_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val dataFiles = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // the delta-dedup contract: every later ingest batch joins against
+    // the registry the corpus pass wrote — re-attach, never recompute
+    val after = run("q_dedup_incremental").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
+
   test("IVF index layout re-attaches without re-fitting the quantizer") {
     val before = run("q_sim_ann_ivf").collect().toSeq
     assert(before.nonEmpty)
