@@ -564,7 +564,6 @@ class AnalyticsSpec extends SparkSpec {
   test("cohort retention week-0 diagonal accounts for every user once") {
     val rows = run("q_cohort_retention").collect()
     val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
-    val users = run("q_cohort_retention") // distinct users via events
     val nUsers = spark.read.parquet(s"$sf/events.parquet")
       .select("user_id").distinct().count()
     assert(week0 == nUsers, s"week0 $week0 != users $nUsers")
