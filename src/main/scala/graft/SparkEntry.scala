@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Extras.queries ++
       operators.Advanced.queries ++
       operators.Analytics.queries ++
+      operators.Integrity.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       sources.Layouts.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.Extras.oracle ++
       operators.Advanced.oracle ++
       operators.Analytics.oracle ++
+      operators.Integrity.oracle ++
       operators.Skew.oracle ++
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-integrity operators: an order-independent table checksum and a
+  * single-pass per-column profile — the validation passes a warehouse
+  * runs after every ingest.
+  *
+  * The checksum is the distributed analog of the reference's per-page
+  * CRC32 (reference src/aligned.rs:61-64, checked on every typed-page
+  * downcast): where potpot verifies 16 KiB pages on read, a 100 TB
+  * table verifies itself with a per-row digest folded through a
+  * commutative reduce — order-independent, so it is identical across
+  * partitionings, engines, and shuffles, and any single-row corruption
+  * changes it. One full scan, map-side partial sums, a 1-row result.
+  *
+  * The profile (rows = columns) is the Deequ/expectations shape: null
+  * counts, exact distinct cardinalities, min/max per column in ONE
+  * pass over the table. Exact countDistinct is the audit form used
+  * here; at 100 TB the same query swaps in approx_count_distinct
+  * (surfaced separately as q_approx_distinct) when cardinality
+  * tolerance permits.
+  */
+object Integrity {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Order-independent integrity checksum over a canonical row
+    // string: first 8 md5 hex chars → int64, summed. Commutative ⇒
+    // partition-order independent ⇒ cross-engine comparable.
+    "q_table_checksum" -> ((s, d) => {
+      val rowStr = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_orderstatus"),
+        graft.Exact.money(col("o_totalprice")).cast("string"))
+      Tables.orders(s, d)
+        .select(conv(substring(md5(rowStr.cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+    }),
+
+    // Single-pass table profile: one wide aggregate computes every
+    // column's stats, then pivots to a row per column via a literal
+    // struct array — no second scan, no driver-side collect.
+    "q_profile_table" -> ((s, d) => {
+      val price = graft.Exact.money(col("o_totalprice"))
+      val a = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn_key"),
+        countDistinct(col("o_orderkey")).as("d_key"),
+        min(col("o_orderkey")).cast("string").as("min_key"),
+        max(col("o_orderkey")).cast("string").as("max_key"),
+        count(col("o_orderstatus")).as("nn_st"),
+        countDistinct(col("o_orderstatus")).as("d_st"),
+        min(col("o_orderstatus")).as("min_st"),
+        max(col("o_orderstatus")).as("max_st"),
+        count(col("o_totalprice")).as("nn_pr"),
+        countDistinct(price).as("d_pr"),
+        min(price).cast("string").as("min_pr"),
+        max(price).cast("string").as("max_pr"),
+        count(col("o_orderdate")).as("nn_dt"),
+        countDistinct(col("o_orderdate")).as("d_dt"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_dt"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_dt"),
+        count(col("o_orderpriority")).as("nn_pri"),
+        countDistinct(col("o_orderpriority")).as("d_pri"),
+        min(col("o_orderpriority")).as("min_pri"),
+        max(col("o_orderpriority")).as("max_pri"))
+      def row(name: String, nn: String, dct: String, mn: String, mx: String) =
+        struct(lit(name).as("col_name"), col("n_rows"),
+          col(nn).as("n_nonnull"), col(dct).as("n_distinct"),
+          col(mn).as("min_val"), col(mx).as("max_val"))
+      a.select(explode(array(
+          row("o_orderkey", "nn_key", "d_key", "min_key", "max_key"),
+          row("o_orderstatus", "nn_st", "d_st", "min_st", "max_st"),
+          row("o_totalprice", "nn_pr", "d_pr", "min_pr", "max_pr"),
+          row("o_orderdate", "nn_dt", "d_dt", "min_dt", "max_dt"),
+          row("o_orderpriority", "nn_pri", "d_pri", "min_pri", "max_pri")))
+          .as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 8)
+        |  )::BIGINT) AS BIGINT) AS checksum
+        |FROM orders""".stripMargin,
+    "q_profile_table" ->
+      """WITH s AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS d_key,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_key,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_key,
+        |  count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS d_st,
+        |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
+        |  count(o_totalprice) AS nn_pr,
+        |  count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS d_pr,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_pr,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_pr,
+        |  count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS d_dt,
+        |  strftime(min(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS min_dt,
+        |  strftime(max(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_dt,
+        |  count(o_orderpriority) AS nn_pri,
+        |  count(DISTINCT o_orderpriority) AS d_pri,
+        |  min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+        |FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, nn_key AS n_nonnull,
+        |         d_key AS n_distinct, min_key AS min_val, max_key AS max_val
+        |  FROM s
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, nn_st, d_st, min_st, max_st FROM s
+        |  UNION ALL SELECT 'o_totalprice', n_rows, nn_pr, d_pr, min_pr, max_pr FROM s
+        |  UNION ALL SELECT 'o_orderdate', n_rows, nn_dt, d_dt, min_dt, max_dt FROM s
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, nn_pri, d_pri, min_pri, max_pri FROM s)
+        |ORDER BY col_name""".stripMargin
+  )
+}

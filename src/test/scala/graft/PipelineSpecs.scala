@@ -593,3 +593,29 @@ class AnalyticsSpec extends SparkSpec {
     })
   }
 }
+
+class IntegritySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("profile covers every column; the corpus has no nulls, keys unique") {
+    val rows = run("q_profile_table").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("o_orderkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+    val key = rows.find(_.getString(0) == "o_orderkey").get
+    assert(key.getLong(3) == key.getLong(1))
+  }
+
+  test("table checksum is partition-order independent") {
+    val ref = run("q_table_checksum").head
+    // same per-row digest over a deliberately different partitioning:
+    // the commutative fold must not care about row placement or order
+    val h = conv(substring(md5(concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_orderstatus"),
+      Exact.money(col("o_totalprice")).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val alt = Tables.orders(spark, sf).repartition(13)
+      .select(h.as("h")).agg(sum(col("h"))).head.getLong(0)
+    assert(alt == ref.getLong(1))
+  }
+}
