@@ -7,8 +7,9 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured Streaming slice over the `events` table (file-source
   * replay of the parquet), plus batch sessionization equivalents.
@@ -161,6 +162,57 @@ object Streams {
     }
   }
 
+  /** Event-time-timer processor behind q_stream_gap_timers: the
+    * STREAMING gap filler. Batch gap fill (q_gap_fill) can only
+    * densify between observed data; a stream must also emit "this
+    * bucket stayed empty" the moment the watermark proves it — which
+    * is exactly what event-time timers are for. Per key it records
+    * observed buckets in MapState and keeps one timer at the end of
+    * the next unadjudicated bucket; when the watermark crosses it,
+    * every sealed bucket up to the watermark either had data (map hit,
+    * state dropped) or provably had none (zero row emitted). Emission
+    * happens ONLY from the timer path, so a late event inside the
+    * allowed horizon can never be contradicted by an already-emitted
+    * zero. State = pending (unsealed) buckets per key — bounded by the
+    * watermark horizon, independent of stream length.
+    */
+  private class GapTimerProcessor(bucketMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var nextSeal: ValueState[Long] = _
+    @transient private var seen: MapState[Long, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nextSeal = getHandle.getValueState[Long]("next_seal",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long)] = {
+      val buckets = rows.map(_._2 / bucketMs).toVector
+      if (!nextSeal.exists()) nextSeal.update(buckets.min)
+      buckets.foreach(b => if (b >= nextSeal.get()) seen.updateValue(b, true))
+      getHandle.registerTimer(nextSeal.get() * bucketMs + bucketMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(String, Long)] = {
+      if (!nextSeal.exists()) return Iterator.empty
+      // buckets strictly below the watermark bucket are sealed: no
+      // admissible late event can land in them anymore
+      val sealedUntil = tv.getCurrentWatermarkInMs() / bucketMs
+      val out = Vector.newBuilder[(String, Long)]
+      var p = nextSeal.get()
+      while (p < sealedUntil) {
+        if (seen.containsKey(p)) seen.removeKey(p) else out += ((key, p))
+        p += 1
+      }
+      nextSeal.update(p)
+      getHandle.registerTimer(p * bucketMs + bucketMs)
+      out.result().iterator
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 10-minute windows per event type.
     "q_stream_tumbling" -> ((s, d) => {
@@ -258,6 +310,42 @@ object Streams {
             OutputMode.Append())
           .toDF("user_id", "seq")
         drain(s, out, "append").orderBy(col("user_id"), col("seq"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
+    // STREAMING gap fill via event-time timers (transformWithState +
+    // TimeMode.EventTime): emits (event_type, w_start, 0) for every
+    // 10-minute bucket the advancing watermark proves empty — the
+    // capability the batch q_gap_fill cannot express mid-stream. The
+    // 3-batch replay advances the watermark twice, so zeros for the
+    // sealed prefix emit deterministically; the unsealed tail stays
+    // withheld. Rows-only by contract (watermark-dependent output); a
+    // spec pins every emitted zero against the batch gap fill's zero
+    // buckets and uniqueness of emission.
+    "q_stream_gap_timers" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val bucketMs = 10L * 60 * 1000
+        val ds = eventsStreamMulti(s, d)
+          .withWatermark("ts", "30 minutes")
+          .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+          .as[(String, Long)]
+        val out = ds.groupByKey(_._1)
+          .transformWithState(new GapTimerProcessor(bucketMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("event_type", "bucket")
+        drain(s, out, "append")
+          .select(col("event_type"),
+            timestamp_millis(col("bucket") * bucketMs).as("w_start"),
+            lit(0L).as("n"))
+          .orderBy(col("event_type"), col("w_start"))
       } finally prev match {
         case Some(p) => s.conf.set(key, p)
         case None => s.conf.unset(key)

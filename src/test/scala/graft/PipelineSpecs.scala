@@ -442,6 +442,31 @@ class TransformWithStateSpec extends SparkSpec {
     }
     assert(rows.length == perUser.values.sum)
   }
+
+  test("timer gap fill: sealed empty buckets emit exactly once, no false zeros") {
+    val bucketMs = 10L * 60 * 1000
+    val zeros = run("q_stream_gap_timers").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / bucketMs))
+    assert(zeros.nonEmpty)
+    assert(zeros.distinct.length == zeros.length, "duplicate zero emission")
+    val observed = Tables.events(spark, sf)
+      .select(col("event_type"), expr(s"unix_millis(ts) div ${bucketMs}L").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a zero row must never name a bucket that actually had data
+    assert(zeros.forall(z => !observed.contains(z)), "false zero")
+    // and the sealed prefix is completely adjudicated: per type, every
+    // bucket from the first observed one up to the last emitted zero
+    // is either observed or emitted — no skipped holes
+    zeros.groupBy(_._1).foreach { case (et, zs) =>
+      val obs = observed.filter(_._1 == et).map(_._2)
+      val lo = obs.min
+      val hi = zs.map(_._2).max
+      val covered = obs ++ zs.map(_._2)
+      ((lo to hi) foreach { b =>
+        assert(covered.contains(b), s"$et bucket $b unadjudicated")
+      })
+    }
+  }
 }
 
 class StreamLeftJoinSpec extends SparkSpec {
