@@ -135,3 +135,37 @@ class RangeJoinPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** ScalaCheck invariants for the threshold levenshtein contract that
+  * q_dedup_fuzzy_edit's single-conjunct filter relies on: within the
+  * budget the banded form returns the true distance; past it, -1 —
+  * never a wrong small number.
+  */
+class LevenshteinPropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{levenshtein, col}
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("threshold levenshtein = full distance under budget, -1 sentinel past it") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(Gen.listOfN(24, Gen.zip(wordGen, wordGen))) { pairs =>
+      val rows = pairs.toDF("a", "b")
+        .select(levenshtein(col("a"), col("b")).as("full"),
+          levenshtein(col("a"), col("b"), 16).as("banded"))
+        .collect()
+      rows.forall { r =>
+        val (full, banded) = (r.getInt(0), r.getInt(1))
+        if (full <= 16) banded == full else banded == -1
+      }
+    })
+  }
+}
