@@ -56,6 +56,24 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => byDoc(a) == byDoc(b) })
   }
 
+  test("dedup apply keeps one longest representative per cluster, corpus accounted") {
+    val reps = run("q_dedup_apply").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reps.map(_._1).distinct.length == reps.length)
+    assert(reps.map(_._3).sum == 500L)
+    val labels = run("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.filter(_._3 > 1).foreach { case (cl, rep, _) =>
+      assert(labels(rep) == cl, s"rep $rep not labeled $cl")
+      val members = labels.collect { case (doc, k) if k == cl => doc }
+      assert(members.forall(m =>
+        chars(m) < chars(rep) || (chars(m) == chars(rep) && m >= rep)),
+        s"cluster $cl rep $rep is not the longest member")
+    }
+  }
+
   test("heavy-hitter sketch matches the exact vocabulary head at test scale") {
     val exact = run("q_vocab_topk").collect()
       .map(r => (r.getString(0), r.getLong(1)))
