@@ -472,6 +472,11 @@ class TransformWithStateSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // a zero row must never name a bucket that actually had data
     assert(zeros.forall(z => !observed.contains(z)), "false zero")
+    // watermark progression and timer firing must be deterministic
+    // across runs — the rows-only contract depends on it
+    val again = run("q_stream_gap_timers").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / bucketMs))
+    assert(zeros.toSeq == again.toSeq, "non-deterministic emission")
     // and the sealed prefix is completely adjudicated: per type, every
     // bucket from the first observed one up to the last emitted zero
     // is either observed or emitted — no skipped holes
