@@ -377,6 +377,34 @@ object Streams {
       drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
     }),
 
+    // FULL OUTER stream-stream interval join — completes the
+    // streaming join matrix (inner / left / full): null-padded rows
+    // emit from BOTH sides as the watermark seals their windows
+    // (unmatched clicks AND unmatched purchases), so state stays
+    // evictable on both sides. Watermark-dependent output near the
+    // stream tail → rows-only by contract; StreamLeftJoinSpec pins
+    // the match set against the batch inner join and that both null
+    // directions actually occur.
+    "q_stream_stream_full" -> ((s, d) => {
+      val ev = eventsStreamMulti(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+        .select(col("c_id"), col("p_id"),
+          coalesce(col("c_user"), col("p_user")).as("user_id"))
+      drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
+    }),
+
     "q_stream_stateful" -> ((s, d) => {
       import s.implicits._
       val ds = eventsStream(s, d)

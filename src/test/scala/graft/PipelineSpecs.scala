@@ -505,6 +505,22 @@ class StreamLeftJoinSpec extends SparkSpec {
     assert(nulls.nonEmpty)
     assert(nulls.intersect(matched.map(_._1)).isEmpty)
   }
+
+  test("full-outer stream join: matches equal the inner join, nulls both ways") {
+    val rows = run("q_stream_stream_full").collect()
+    val matched = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = run("q_stream_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == inner)
+    // both null directions occur: clicks with no purchase in-window
+    // AND purchases preceded by no click
+    val unmatchedClicks = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val unmatchedPurch = rows.filter(_.isNullAt(0)).map(_.getLong(1)).toSet
+    assert(unmatchedClicks.nonEmpty && unmatchedPurch.nonEmpty)
+    assert(unmatchedClicks.intersect(matched.map(_._1)).isEmpty)
+    assert(unmatchedPurch.intersect(matched.map(_._2)).isEmpty)
+  }
 }
 
 /** The spark.sql(...) surface: a user points GraftSession at the

@@ -20,7 +20,7 @@ ROWS_ONLY = {
     "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
     "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_rollhash",
-    "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
+    "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left", "q_stream_stream_full",
     "q_sim_knn_graph", "q_heavy_hitters", "q_stream_gap_timers",
 }
 
