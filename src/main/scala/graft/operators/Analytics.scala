@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * DECIMAL moments and broadcasts them back over the fact scan — the
   * fact side never shuffles. The null-safe join hashes NULL as a real
   * key value: that makes NULL the hottest key by construction, which
-  * is exactly the semantics — the query keeps the null sides bounded
-  * (modulus-derived) the way a production pipeline would pre-filter.
+  * is exactly the semantics. Note the null blocks here are
+  * modulus-PROPORTIONAL (~n/97 × ~m/11), so the null×null cross
+  * product grows quadratically with table size — at 100 TB a
+  * production pipeline must pre-filter or hard-cap the null sides
+  * before a null-safe join (or salt NULL like any other hot key);
+  * this query surfaces the operator semantics, not that mitigation.
   */
 object Analytics {
 
@@ -97,8 +101,10 @@ object Analytics {
     // each other instead of vanishing — the semantics MERGE/dedup
     // pipelines need when the join key is itself nullable. Derived
     // nullable keys on both sides (a modulus knocks keys out to NULL)
-    // so the null×null block is real and bounded; the aggregate
-    // separates the null-key block from ordinary matches.
+    // make the null×null block real; its size is modulus-proportional,
+    // i.e. quadratic in table size — see the scaladoc for the 100 TB
+    // mitigation. The aggregate separates the null-key block from
+    // ordinary matches.
     "q_join_nullsafe" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"),

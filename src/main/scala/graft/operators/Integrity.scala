@@ -17,17 +17,26 @@ import org.apache.spark.sql.functions._
   * changes it. One full scan, map-side partial sums, a 1-row result.
   *
   * The profile (rows = columns) is the Deequ/expectations shape: null
-  * counts, exact distinct cardinalities, min/max per column in ONE
-  * pass over the table. Exact countDistinct is the audit form used
-  * here; at 100 TB the same query swaps in approx_count_distinct
-  * (surfaced separately as q_approx_distinct) when cardinality
-  * tolerance permits.
+  * counts, distinct cardinalities, min/max per column in ONE pass
+  * over the table. It ships as a twin pair: `q_profile_table` (exact
+  * countDistinct — the audit form; its 4-way distinct plans an EXPAND
+  * that multiplies the scan ~5× and shuffles full column
+  * cardinalities) and `q_profile_table_approx` (approx_count_distinct
+  * — HLL sketches, no EXPAND, one map-combined aggregate; the 100 TB
+  * DEFAULT). ProfileTwinSpec pins the twins' non-distinct columns
+  * identical and their distincts within ±5% at test scale.
   */
 object Integrity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Order-independent integrity checksum over a canonical row
-    // string: first 8 md5 hex chars → int64, summed. Commutative ⇒
+    // string: first 8 md5 hex chars → int64, summed exactly in
+    // DECIMAL(38,0) (no int64 wrap — a plain BIGINT sum of 32-bit
+    // digests overflows past ~4.3e9 rows, i.e. exactly at the 100 TB
+    // scale this targets, and Spark wraps where DuckDB widens to
+    // HUGEINT, breaking cross-engine parity), then reduced mod 10^18
+    // so the published checksum is a plain int64 in every engine.
+    // DECIMAL(38,0) holds the exact sum to ~2e28 rows. Commutative ⇒
     // partition-order independent ⇒ cross-engine comparable.
     "q_table_checksum" -> ((s, d) => {
       val rowStr = concat_ws("|", col("o_orderkey").cast("string"),
@@ -35,40 +44,66 @@ object Integrity {
         graft.Exact.money(col("o_totalprice")).cast("string"))
       Tables.orders(s, d)
         .select(conv(substring(md5(rowStr.cast("binary")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h")) % lit(1000000000000000000L))
+            .cast("long").as("checksum"))
     }),
 
     // Single-pass table profile: one wide aggregate computes every
     // column's stats, then pivots to a row per column via a literal
-    // struct array — no second scan, no driver-side collect.
-    "q_profile_table" -> ((s, d) => {
+    // struct array — no second scan, no driver-side collect. Exact
+    // audit form — see the scaladoc; q_profile_table_approx is the
+    // 100 TB default.
+    "q_profile_table" -> ((s, d) =>
+      profile(s, d, c => countDistinct(c))),
+
+    // Approximate profile twin — the 100 TB DEFAULT: byte-identical
+    // plan shape except every exact countDistinct becomes an
+    // approx_count_distinct HLL sketch (rsd 2%), so the plan carries
+    // NO EXPAND (the exact form multiplies the scan ~5× through
+    // Expand) and no full-cardinality distinct shuffle — one
+    // map-side-combined aggregate pass, partial sketches merged.
+    // Rows-only by contract (estimates); ProfileTwinSpec pins the
+    // non-distinct columns identical to the exact form and every
+    // distinct estimate within ±5% at test scale.
+    "q_profile_table_approx" -> ((s, d) =>
+      profile(s, d, c => approx_count_distinct(c, 0.02)))
+  )
+
+  /** Shared single-pass profile body; `dct` supplies the distinct
+    * aggregator (exact vs sketch) — the ONLY difference between the
+    * twins, so their agreement is a property of the sketch, not of
+    * two drifting implementations.
+    */
+  private def profile(s: SparkSession, d: String,
+      dct: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
       val price = graft.Exact.money(col("o_totalprice"))
       val a = Tables.orders(s, d).agg(
         count(lit(1)).as("n_rows"),
         count(col("o_orderkey")).as("nn_key"),
-        countDistinct(col("o_orderkey")).as("d_key"),
+        dct(col("o_orderkey")).as("d_key"),
         min(col("o_orderkey")).cast("string").as("min_key"),
         max(col("o_orderkey")).cast("string").as("max_key"),
         count(col("o_orderstatus")).as("nn_st"),
-        countDistinct(col("o_orderstatus")).as("d_st"),
+        dct(col("o_orderstatus")).as("d_st"),
         min(col("o_orderstatus")).as("min_st"),
         max(col("o_orderstatus")).as("max_st"),
         count(col("o_totalprice")).as("nn_pr"),
-        countDistinct(price).as("d_pr"),
+        dct(price).as("d_pr"),
         min(price).cast("string").as("min_pr"),
         max(price).cast("string").as("max_pr"),
         count(col("o_orderdate")).as("nn_dt"),
-        countDistinct(col("o_orderdate")).as("d_dt"),
+        dct(col("o_orderdate")).as("d_dt"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_dt"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_dt"),
         count(col("o_orderpriority")).as("nn_pri"),
-        countDistinct(col("o_orderpriority")).as("d_pri"),
+        dct(col("o_orderpriority")).as("d_pri"),
         min(col("o_orderpriority")).as("min_pri"),
         max(col("o_orderpriority")).as("max_pri"))
-      def row(name: String, nn: String, dct: String, mn: String, mx: String) =
+      def row(name: String, nn: String, dc: String, mn: String, mx: String) =
         struct(lit(name).as("col_name"), col("n_rows"),
-          col(nn).as("n_nonnull"), col(dct).as("n_distinct"),
+          col(nn).as("n_nonnull"), col(dc).as("n_distinct"),
           col(mn).as("min_val"), col(mx).as("max_val"))
       a.select(explode(array(
           row("o_orderkey", "nn_key", "d_key", "min_key", "max_key"),
@@ -79,8 +114,7 @@ object Integrity {
           .as("p"))
         .select(col("p.*"))
         .orderBy(col("col_name"))
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
     "q_table_checksum" ->
@@ -88,7 +122,7 @@ object Integrity {
         |  CAST(sum(('0x' || substr(md5(
         |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 8)
-        |  )::BIGINT) AS BIGINT) AS checksum
+        |  )::BIGINT) % 1000000000000000000 AS BIGINT) AS checksum
         |FROM orders""".stripMargin,
     "q_profile_table" ->
       """WITH s AS (SELECT

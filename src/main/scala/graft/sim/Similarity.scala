@@ -22,15 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Multi-table ANN shape: 8 independent tables of 6 sign bits, from
+  /** Multi-table ANN shape: 8 independent tables of sign bits, from
     * the shared seeded hyperplane set (graft.functions.Planes — potpot
     * itself seeds its hasher, reference `src/hashtable.rs:95-96`).
-    * 6 bits = 64 buckets per table — sized so test-corpus buckets stay
-    * populated; at real scale the bit count grows with corpus size
-    * (bits ≈ log2(n/target bucket size)).
+    * The bit count is CORPUS-ADAPTIVE: bits = max(6,
+    * ceil(log2(n / TargetBucket))), so expected bucket occupancy —
+    * and with it the per-vector candidate volume — stays ~constant as
+    * the corpus grows. A fixed width is the classic LSH scale-killer:
+    * the round-6 probe measured candidate growth exponent 2.01 at a
+    * frozen 6 bits (bucket occupancy doubles with n, so candidates
+    * grow n²/buckets), and 1.5 with the width tracking log2(n). The
+    * count comes from parquet row-group metadata (a count() over the
+    * id column) once per corpus dir, then memoizes.
     */
   private val AnnTables = 8
-  private val AnnBits = 6
+  private val AnnBits = 6 // floor: 64 buckets/table keeps tiny test corpora populated
+  private val TargetBucket = 8
+
+  /** The adaptive-width formula, exposed for BitsSpec: 6 bits to 512
+    * vectors, then one more bit per corpus doubling — 8 bits at 2k
+    * (the sf0.1 corpus), ~27 at 1e9.
+    */
+  private[graft] def bitsFor(n: Long): Int =
+    math.max(AnnBits,
+      math.ceil(math.log(math.max(n, 1).toDouble / TargetBucket) /
+        math.log(2.0)).toInt)
+
+  private val bitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def adaptiveBits(s: SparkSession, d: String): Int =
+    bitsCache.computeIfAbsent(graft.Tables.cacheKey(d),
+      _ => Integer.valueOf(bitsFor(Tables.embeddings(s, d).count()))).intValue
 
   /** Fixed-size query batch: the first QueryBatch vec_ids. Search cost
     * is O(|batch| · candidates-per-query) — CONSTANT in corpus size. A
@@ -115,18 +137,19 @@ object Similarity {
     * is in place. All rows stay thin (id, band, sig).
     */
   private[graft] def knnCandidates(s: SparkSession, d: String,
-      tables: Int = AnnTables, bits: Int = AnnBits): DataFrame = {
+      tables: Int = AnnTables, bits: Int = 0): DataFrame = {
     VectorFunctions.register(s)
-    val nPlanes = tables * bits
+    val b = if (bits > 0) bits else adaptiveBits(s, d)
+    val nPlanes = tables * b
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        expr(s"plane_sigs(embedding, $nPlanes, $bits)").as("sigs"))
+        expr(s"plane_sigs(embedding, $nPlanes, $b)").as("sigs"))
     val banded = e
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
-    val flips1 = 0 +: (0 until bits).map(1 << _)
+    val flips1 = 0 +: (0 until b).map(1 << _)
     val flips2 = for {
-      i <- 0 until bits; j <- i + 1 until bits
+      i <- 0 until b; j <- i + 1 until b
     } yield (1 << i) | (1 << j)
     val probes1 = array(flips1.map(lit(_)): _*)
     val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
@@ -201,26 +224,29 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // Multi-table LSH ANN with multi-probe: L independent 6-bit sign
+    // Multi-table LSH ANN with multi-probe: L independent sign-bit
     // tables (one plane_sigs band each), and each query probes its own
     // bucket plus every 1-bit-flip neighbor per table. A true neighbor
     // is found if ANY table agrees — recall 1-(1-p)^L instead of p —
     // while every lookup stays an equi-join on (table, bucket), the
     // scale-friendly shape. L and the bit width trade recall against
-    // candidate count; bits grow with log(n) at scale. Rows-only
-    // (approximate by design); a spec pins recall ≥ 0.8 vs q_sim_topk.
+    // candidate count; the width is corpus-adaptive (`adaptiveBits`),
+    // growing with log2(n) so bucket occupancy stays flat at scale.
+    // Rows-only (approximate by design); a spec pins recall ≥ 0.8 vs
+    // q_sim_topk.
     "q_sim_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(s)
-      val nPlanes = AnnTables * AnnBits
+      val bits = adaptiveBits(s, d)
+      val nPlanes = AnnTables * bits
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          expr(s"plane_sigs(embedding, $nPlanes, $AnnBits)").as("sigs"))
+          expr(s"plane_sigs(embedding, $nPlanes, $bits)").as("sigs"))
       val corpus = e
         .select(col("vec_id"), col("embedding"), posexplode(col("sigs")))
         .select(col("vec_id"), col("embedding"),
           col("pos").as("band"), col("col").as("sig"))
-      val probes = array((0 +: (0 until AnnBits).map(1 << _)).map(lit(_)): _*)
+      val probes = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
       val q = e.filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           posexplode(col("sigs")))

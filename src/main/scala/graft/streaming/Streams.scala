@@ -175,14 +175,29 @@ object Streams {
     * allowed horizon can never be contradicted by an already-emitted
     * zero. State = pending (unsealed) buckets per key — bounded by the
     * watermark horizon, independent of stream length.
+    *
+    * Adjudication FLOOR: per key it starts at the key's minimum
+    * observed bucket — buckets before a key first exists are not
+    * reported (a key with no history has no gaps). Until the first
+    * seal the floor can still move DOWN: an admissible event in a
+    * later micro-batch may land in an earlier bucket than the key's
+    * first-batch minimum (the watermark lags a batch behind), and it
+    * must enter tracking rather than be silently dropped. After the
+    * first seal the floor is frozen: every admissible event then
+    * satisfies bucket ≥ watermark-at-seal = floor (the stream filters
+    * sub-watermark rows before the processor), and re-opening sealed
+    * buckets could double-emit their zeros.
     */
   private class GapTimerProcessor(bucketMs: Long)
       extends StatefulProcessor[String, (String, Long), (String, Long)] {
     @transient private var nextSeal: ValueState[Long] = _
+    @transient private var sealed0: ValueState[Boolean] = _
     @transient private var seen: MapState[Long, Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nextSeal = getHandle.getValueState[Long]("next_seal",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      sealed0 = getHandle.getValueState[Boolean]("sealed_once",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
       seen = getHandle.getMapState[Long, Boolean]("seen",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
@@ -191,6 +206,8 @@ object Streams {
         tv: TimerValues): Iterator[(String, Long)] = {
       val buckets = rows.map(_._2 / bucketMs).toVector
       if (!nextSeal.exists()) nextSeal.update(buckets.min)
+      else if (!sealed0.exists() && buckets.min < nextSeal.get())
+        nextSeal.update(buckets.min) // pre-first-seal: floor moves down
       buckets.foreach(b => if (b >= nextSeal.get()) seen.updateValue(b, true))
       getHandle.registerTimer(nextSeal.get() * bucketMs + bucketMs)
       Iterator.empty
@@ -203,10 +220,12 @@ object Streams {
       val sealedUntil = tv.getCurrentWatermarkInMs() / bucketMs
       val out = Vector.newBuilder[(String, Long)]
       var p = nextSeal.get()
+      val floor = p
       while (p < sealedUntil) {
         if (seen.containsKey(p)) seen.removeKey(p) else out += ((key, p))
         p += 1
       }
+      if (p > floor) sealed0.update(true) // first seal freezes the floor
       nextSeal.update(p)
       getHandle.registerTimer(p * bucketMs + bucketMs)
       out.result().iterator

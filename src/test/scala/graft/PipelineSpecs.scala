@@ -23,6 +23,34 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("span dedup: spans are >= 8 tokens, disjoint, sorted, in document bounds") {
+    val rows = run("q_dedup_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (st, en, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(st >= 1 && en >= st && n == en - st + 1 && n >= 8, r.toString)
+    }
+    // per doc: sorted and strictly disjoint (islands merged any
+    // overlapping/adjacent windows, so consecutive spans have a gap)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getLong(1) > a.getLong(2), s"overlap: $a then $b")
+      }
+    }
+    // spans never exceed the document's token count
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) <= nTok(r.getLong(0)), r.toString))
+    // near-dup docs (small edits of a shared source) must surface
+    // shared spans: every jaccard>=0.5 pair member appears
+    val nd = run("q_dedup_ngram_jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val spanned = rows.map(_.getLong(0)).toSet
+    assert(nd.subsetOf(spanned), s"near-dup docs without spans: ${nd -- spanned}")
+  }
+
   test("minhash LSH pairs coincide exactly with exact jaccard pairs (recall 1 here)") {
     val mh = run("q_dedup_minhash").select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -585,6 +613,22 @@ class KnnGraphSpec extends SparkSpec {
     // table 0 (measured 0.94 at sf0.001; probe volume +27%)
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  // BitsSpec: the corpus-adaptive signature width — the knob that
+  // killed the measured exp-2.01 candidate growth at fixed bits. One
+  // bit per corpus doubling past the 6-bit floor keeps expected
+  // bucket occupancy flat (~TargetBucket) at any scale.
+  test("signature width tracks log2(corpus) above the 6-bit floor") {
+    import sim.Similarity.bitsFor
+    assert(bitsFor(1) == 6 && bitsFor(500) == 6 && bitsFor(512) == 6)
+    assert(bitsFor(513) == 7)
+    assert(bitsFor(2000) == 8)   // the sf0.1 corpus
+    assert(bitsFor(1L << 20) == 17)
+    assert(bitsFor(1000000000L) == 27)
+    // resolved width for the test corpus matches the formula
+    assert(sim.Similarity.adaptiveBits(spark, sf) ==
+      bitsFor(Tables.embeddings(spark, sf).count()))
+  }
 }
 
 class QuantileBucketSpec extends SparkSpec {
@@ -618,11 +662,13 @@ class AnalyticsSpec extends SparkSpec {
 
   test("incremental dedup: unchanged re-ingests all hit, revisions all miss") {
     val rows = run("q_dedup_incremental").collect()
-    val (hits, misses) = rows.partition(_.getLong(0) < 200000L)
+    // provenance comes from the batch_src marker, not an id range —
+    // the id offsets are corpus-size-derived and may move
+    val (hits, misses) = rows.partition(_.getString(1) == "reingest")
     assert(hits.nonEmpty && misses.nonEmpty)
-    assert(hits.forall(_.getString(1) == "duplicate"))
-    assert(hits.forall(r => !r.isNullAt(2)))
-    assert(misses.forall(r => r.getString(1) == "new" && r.isNullAt(2)))
+    assert(hits.forall(_.getString(2) == "duplicate"))
+    assert(hits.forall(r => !r.isNullAt(3)))
+    assert(misses.forall(r => r.getString(2) == "new" && r.isNullAt(3)))
   }
 
   test("cohort retention week-0 diagonal accounts for every user once") {
@@ -670,6 +716,29 @@ class IntegritySpec extends SparkSpec {
     assert(key.getLong(3) == key.getLong(1))
   }
 
+  // ProfileTwinSpec: the approx twin must agree with the exact audit
+  // form everywhere the sketch doesn't enter, and its HLL distinct
+  // estimates must land within ±5% — so swapping the 100 TB default
+  // in for the EXPAND-heavy exact form costs only bounded cardinality
+  // error, never a different profile.
+  test("approx profile twin: non-distinct columns identical, distincts within 5%") {
+    val exact = run("q_profile_table").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = run("q_profile_table_approx").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (colName, e) =>
+      val a = approx(colName)
+      assert(e.getLong(1) == a.getLong(1), s"$colName n_rows")
+      assert(e.getLong(2) == a.getLong(2), s"$colName n_nonnull")
+      assert(e.getString(4) == a.getString(4), s"$colName min_val")
+      assert(e.getString(5) == a.getString(5), s"$colName max_val")
+      val (de, da) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(da - de) / de <= 0.05,
+        s"$colName distinct: exact $de vs approx $da")
+    }
+  }
+
   test("table checksum is partition-order independent") {
     val ref = run("q_table_checksum").head
     // same per-row digest over a deliberately different partitioning:
@@ -677,9 +746,11 @@ class IntegritySpec extends SparkSpec {
     val h = conv(substring(md5(concat_ws("|",
       col("o_orderkey").cast("string"), col("o_orderstatus"),
       Exact.money(col("o_totalprice")).cast("string")).cast("binary")),
-      1, 8), 16, 10).cast("long")
+      1, 8), 16, 10).cast("decimal(38,0)")
     val alt = Tables.orders(spark, sf).repartition(13)
-      .select(h.as("h")).agg(sum(col("h"))).head.getLong(0)
+      .select(h.as("h"))
+      .agg((sum(col("h")) % lit(1000000000000000000L)).cast("long"))
+      .head.getLong(0)
     assert(alt == ref.getLong(1))
   }
 }

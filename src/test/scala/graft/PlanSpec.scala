@@ -255,4 +255,38 @@ class ScalePlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("span dedup exchanges carry only hashes, ids, and positions — never text") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionOperation}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val qe = run("q_dedup_spans").queryExecution
+    // optimized plan: every join and aggregate in the pipeline must
+    // output only thin columns — the window hash is computed in the
+    // per-row projection BEFORE any shuffle, so document text (and the
+    // token array) never rides an exchange
+    val thin = Set("doc_id", "pos", "gh", "nd", "island", "brk",
+      "span_start", "span_end", "span_tokens")
+    qe.optimizedPlan.collect {
+      case j: Join => j.output
+      case a: Aggregate => a.output
+    }.foreach { out =>
+      out.foreach(attr => assert(
+        thin.exists(attr.name.startsWith) || attr.name.startsWith("min(") ||
+          attr.name.startsWith("max(") || attr.name.startsWith("sum("),
+        s"fat column in exchange path: ${attr.name}"))
+    }
+    val p = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("approx profile twin plans without EXPAND; the exact audit form carries it") {
+    // the whole point of the sketch twin: the exact form's 4-way
+    // countDistinct multiplies the scan ~5× through Expand, the HLL
+    // form is one map-combined aggregate pass
+    assert(plan("q_profile_table").contains("Expand"))
+    val p = plan("q_profile_table_approx")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("approx_count_distinct"), p)
+  }
 }
