@@ -47,20 +47,33 @@ object ScaleProbe {
         "q_dedup_minhash" -> dedup.Dedup.minhashCandidates(spark, d).count(),
         "q_dedup_fuzzy_edit" -> dedup.Dedup.fuzzyCandidates(spark, d).count(),
         "q_sim_knn_graph" -> sim.Similarity.knnCandidates(spark, d).count())
-      // the log(n) knob the KNN comments promise: +2 signature bits at
-      // the larger corpus (8 tables × 8 bits) — bucket occupancy, and
-      // with it the candidate fraction, drops ~4× per +2 bits
-      val knnScaledBits = sim.Similarity.knnCandidates(spark, d,
-        tables = 8, bits = 8).count()
+      // the log(n) knob the KNN comments promise — now the DEFAULT
+      // (adaptiveBits); keep the frozen-6-bit reading for contrast so
+      // the adaptive-vs-fixed gap stays measured, not remembered
+      val knnFixed6 = sim.Similarity.knnCandidates(spark, d,
+        tables = 8, bits = 6).count()
+      val annBits = sim.Similarity.adaptiveBits(spark, d)
+      // CAPPED-regime Jaccard: ShingleDfCap=32 never binds at these
+      // SFs (max DF 25 at sf0.1 — the 1.99 exponent above is pre-cap).
+      // Probe with cap=6, which BINDS at both SFs (over-cap count
+      // printed as the witness), to measure the flattening the cap is
+      // there to provide.
+      val probeCap = 6
+      val jacCapped = dedup.Dedup.jaccardCandidates(spark, d, cap = probeCap).count()
+      val overCap = dedup.Dedup.shinglesOverCap(spark, d, probeCap)
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
       }.toMap
       val fields = probed.map(q =>
-        s""""$q":{"candidates":${cands(q)},"sec":${f"${secs(q)}%.3f"}}""") :+
-        s""""knn_candidates_8x8bits":$knnScaledBits"""
+        s""""$q":{"candidates":${cands(q)},"sec":${f"${secs(q)}%.3f"}}""") ++ Seq(
+        s""""knn_candidates_fixed6bits":$knnFixed6""",
+        s""""ann_bits":$annBits""",
+        s""""jaccard_capped${probeCap}_candidates":$jacCapped""",
+        s""""shingles_over_cap$probeCap":$overCap""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
-      (d, docs, vecs, cands, secs)
+      (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
+        "knn_fixed6" -> knnFixed6), secs)
     }
 
     if (rows.size >= 2) {
@@ -75,7 +88,9 @@ object ScaleProbe {
         val ce = exp(n1, n2, c1(q).toDouble, c2(q).toDouble)
         val te = exp(n1, n2, s1(q), s2(q))
         s""""$q":{"candidate_exp":${f"$ce%.2f"},"time_exp":${f"$te%.2f"}}"""
-      }
+      } ++ Seq(
+        s""""jaccard_capped_exp":${f"${exp(d1docs, d2docs, c1("jaccard_capped").toDouble, c2("jaccard_capped").toDouble)}%.2f"}""",
+        s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

@@ -226,9 +226,17 @@ object Similarity {
 
     // Multi-table LSH ANN with multi-probe: L independent sign-bit
     // tables (one plane_sigs band each), and each query probes its own
-    // bucket plus every 1-bit-flip neighbor per table. A true neighbor
-    // is found if ANY table agrees — recall 1-(1-p)^L instead of p —
-    // while every lookup stays an equi-join on (table, bucket), the
+    // bucket plus every 1- AND 2-bit-flip neighbor in EVERY table —
+    // affordable here where it is not in the self-join knnCandidates
+    // (which restricts the 2-bit shell to one band), because the probe
+    // side is the BOUNDED query batch: probe volume is
+    // O(|batch|·L·bits²) rows, independent of corpus size, noise next
+    // to the corpus scan. As the adaptive width grows with the corpus,
+    // 2-bit signature misses become the dominant miss mode, so the
+    // full shell is what holds recall as bits scale up. A true
+    // neighbor is found
+    // if ANY table agrees — recall 1-(1-p)^L instead of p — while
+    // every lookup stays an equi-join on (table, bucket), the
     // scale-friendly shape. L and the bit width trade recall against
     // candidate count; the width is corpus-adaptive (`adaptiveBits`),
     // growing with log2(n) so bucket occupancy stays flat at scale.
@@ -246,12 +254,16 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), posexplode(col("sigs")))
         .select(col("vec_id"), col("embedding"),
           col("pos").as("band"), col("col").as("sig"))
-      val probes = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
+      val flips1 = 0 +: (0 until bits).map(1 << _)
+      val flips2 = for {
+        i <- 0 until bits; j <- i + 1 until bits
+      } yield (1 << i) | (1 << j)
+      val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
       val q = e.filter(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           posexplode(col("sigs")))
         .select(col("qid"), col("qv"), col("pos").as("qband"),
-          explode(transform(probes, m => col("col").bitwiseXOR(m))).as("qsig"))
+          explode(transform(probes2, m => col("col").bitwiseXOR(m))).as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
       broadcast(q)
