@@ -116,20 +116,59 @@ object Streams {
     * this query only; the session conf is restored right after). On a
     * real cluster the sizing input is active state volume, not this
     * constant.
+    *
+    * 2, not 4, after the round-7 fixed-cost profile: state-store
+    * COMMIT time is ~constant per store INSTANCE per batch (~40 ms,
+    * even for a zero-row batch — a stream-stream join carries 4 stores
+    * per partition, so partitions multiply instances), while update
+    * parallelism stops mattering below ~10k state rows per task.
+    * Measured on the 16-query family at sf0.1: partitions 1 → 25.4 s
+    * (updates serialize), 2 → 23.4 s, 4 → 24.0 s. See BASELINE.md
+    * round-7 streaming section for the full breakdown.
     */
-  private val DrainStatePartitions = "4"
+  private val DrainStatePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "2")
+
+  /** Ephemeral checkpoint root for drained queries: tmpfs when the
+    * host has one. The drain's sink is a MEMORY table, so its
+    * checkpoint has no durability contract to honor — it exists only
+    * to sequence the micro-batches of one finite replay and is deleted
+    * right after. Every micro-batch writes an offset log, a commit
+    * log, and state-store files under this root; on tmpfs those writes
+    * cost RAM latency instead of disk fsyncs (measured: the 16-query
+    * streaming family dropped ~20% at sf0.1). A PRODUCTION streaming
+    * query keeps its checkpoint on durable shared storage — this root
+    * is harness-scoped, never a deployment default.
+    */
+  private def ckptRoot: String =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+
+  private def rmTree(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+    } catch { case _: Throwable => () }
 
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, DrainStatePartitions)
+    val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
+    val ckpt = s"$ckptRoot/graft_ckpt_$name"
     try {
-      val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
       val q = df.writeStream.outputMode(mode).format("memory")
-        .queryName(name).trigger(Trigger.AvailableNow()).start()
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name)
-    } finally s.conf.set(key, prev)
+    } finally {
+      s.conf.set(key, prev)
+      rmTree(ckpt)
+    }
   }
 
   /** The watermarked-dedup streaming plan (pre-drain), exposed so
@@ -319,8 +358,15 @@ object Streams {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       // transformWithState requires the RocksDB state store provider.
+      // Changelog checkpointing: each commit uploads the batch's delta
+      // instead of a full RocksDB snapshot — the production default
+      // for high-frequency micro-batches, and it trims the per-batch
+      // fixed cost here too.
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       try {
         val ds = eventsStreamMulti(s, d)
           .select(col("user_id"), col("event_id")).as[(Long, Long)]
@@ -350,6 +396,9 @@ object Streams {
       val prev = s.conf.getOption(key)
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       try {
         val bucketMs = 10L * 60 * 1000
         val ds = eventsStreamMulti(s, d)
@@ -457,16 +506,21 @@ object Streams {
       val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.get(key)
       s.conf.set(key, DrainStatePartitions) // see drain(): state tasks, not data
+      val ckpt = s"$ckptRoot/graft_ckpt_fb_${sinkCounter.incrementAndGet()}"
       try {
         val q = agg.writeStream
           .outputMode("complete")
+          .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             batch.write.mode("overwrite").parquet(out)
           }
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set(key, prev)
+      } finally {
+        s.conf.set(key, prev)
+        rmTree(ckpt)
+      }
       s.read.parquet(out).orderBy(col("event_type"))
     }),
 
