@@ -83,6 +83,27 @@ class PersistenceSpec extends SparkSpec {
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
 
+  test("span manifest layout is written once; discovery and apply both re-read it") {
+    val before = run("q_dedup_spans").collect().toSeq
+    assert(before.nonEmpty)
+
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"dedup_spans_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val dataFiles = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // both consumers (span listing AND the cleaning pass) must attach
+    // to the written manifest, never re-run span discovery
+    val after = run("q_dedup_spans").collect().toSeq
+    assert(after == before)
+    run("q_dedup_spans_apply").collect()
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
+
   test("IVF index layout re-attaches without re-fitting the quantizer") {
     val before = run("q_sim_ann_ivf").collect().toSeq
     assert(before.nonEmpty)

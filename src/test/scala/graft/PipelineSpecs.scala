@@ -51,6 +51,32 @@ class TextDedupSpec extends SparkSpec {
     assert(nd.subsetOf(spanned), s"near-dup docs without spans: ${nd -- spanned}")
   }
 
+  test("span apply removes exactly the manifest spans; untouched docs pass through") {
+    val spans = run("q_dedup_spans").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2))).sortBy(_._1)).toMap
+    val orig = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val applied = run("q_dedup_spans_apply").collect()
+    assert(applied.length == orig.size) // every doc accounted for
+    applied.foreach { r =>
+      val (id, clean, nRem) = (r.getLong(0), r.getString(1), r.getLong(2))
+      spans.get(id) match {
+        case None =>
+          assert(clean == orig(id) && nRem == 0, s"doc $id modified without spans")
+        case Some(ss) =>
+          // reference rewrite: drop the spanned 1-based token positions
+          val toks = orig(id).split(" ", -1)
+          val drop = ss.flatMap { case (s0, e0) => s0 to e0 }.toSet
+          val want = toks.zipWithIndex
+            .collect { case (t, i) if !drop.contains(i + 1L) => t }
+            .mkString(" ")
+          assert(clean == want, s"doc $id rewrite mismatch")
+          assert(nRem == drop.size.toLong, s"doc $id n_removed")
+      }
+    }
+  }
+
   test("minhash LSH pairs coincide exactly with exact jaccard pairs (recall 1 here)") {
     val mh = run("q_dedup_minhash").select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -259,17 +259,20 @@ class ScalePlanSpec extends SparkSpec {
   test("span dedup exchanges carry only hashes, ids, and positions — never text") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionOperation}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val qe = run("q_dedup_spans").queryExecution
-    // optimized plan: every join and aggregate in the pipeline must
-    // output only thin columns — the window hash is computed in the
-    // per-row projection BEFORE any shuffle, so document text (and the
-    // token array) never rides an exchange
+    // the manifest BUILD pipeline (the registered query reads the
+    // written layout): every join and aggregate must output only thin
+    // columns — the window hash is computed in the per-row projection
+    // BEFORE any shuffle, so document text (and the token array) never
+    // rides an exchange
+    val qe = dedup.Dedup.spanPipeline(spark, sf).queryExecution
     val thin = Set("doc_id", "pos", "gh", "nd", "island", "brk",
       "span_start", "span_end", "span_tokens")
-    qe.optimizedPlan.collect {
+    val collected = qe.optimizedPlan.collect {
       case j: Join => j.output
       case a: Aggregate => a.output
-    }.foreach { out =>
+    }
+    assert(collected.nonEmpty)
+    collected.foreach { out =>
       out.foreach(attr => assert(
         thin.exists(attr.name.startsWith) || attr.name.startsWith("min(") ||
           attr.name.startsWith("max(") || attr.name.startsWith("sum("),
