@@ -169,3 +169,82 @@ class LevenshteinPropertySpec extends SparkSpec {
     })
   }
 }
+
+/** The adaptive-LSH width formula is a pure function; its contract —
+  * the one that kills the measured exp-2.01 candidate growth — is that
+  * expected bucket occupancy n/2^bits stays in (TargetBucket/2,
+  * TargetBucket] once the corpus outgrows the 6-bit floor, and the
+  * width never shrinks as the corpus grows.
+  */
+class AdaptiveBitsPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import sim.Similarity.bitsFor
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val nGen: Gen[Long] = Gen.chooseNum(1L, 1L << 40)
+
+  test("width floors at 6 bits and is monotone in corpus size") {
+    check(Prop.forAll(nGen, nGen) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      bitsFor(lo) >= 6 && bitsFor(lo) <= bitsFor(hi)
+    })
+  }
+
+  test("bucket occupancy is pinned to (4, 8] above the floor") {
+    check(Prop.forAll(nGen) { n =>
+      val bits = bitsFor(n)
+      val occ = n.toDouble / (1L << bits)
+      if (bits == 6) occ <= 8.0 // floor region: under-full is expected
+      else occ > 4.0 - 1e-9 && occ <= 8.0 + 1e-9
+    })
+  }
+}
+
+/** The span merge is the one piece of the span-dedup pipeline with
+  * nontrivial edge cases (exact-adjacency, exact-gap, singleton
+  * islands); check it against a reference interval-union over random
+  * flagged-position sets.
+  */
+class SpanMergePropertySpec extends SparkSpec {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // reference: union of [p, p+7] intervals, merging overlap OR adjacency
+  private def refMerge(pos: Seq[Long]): Seq[(Long, Long)] =
+    pos.distinct.sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, p) =>
+        val (s0, e0) = (p, p + 7)
+        acc.lastOption match {
+          case Some((ls, le)) if s0 <= le + 1 => acc.init :+ (ls, math.max(le, e0))
+          case _ => acc :+ ((s0, e0))
+        }
+    }
+
+  private val posGen: Gen[List[Long]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 120L)))
+
+  test("distributed gaps-and-islands merge equals the reference interval union") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(posGen, posGen) { (pa, pb) =>
+      val flagged = (pa.map(("a", _)) ++ pb.map(("b", _))).distinct
+        .toDF("doc_id", "pos")
+      val got = dedup.Dedup.mergeSpans(flagged).collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+        .toMap
+      got.getOrElse("a", Nil) == refMerge(pa) &&
+        got.getOrElse("b", Nil) == refMerge(pb) &&
+        got.values.flatten.forall { case (s0, e0) => e0 - s0 + 1 >= 8 }
+    })
+  }
+}
