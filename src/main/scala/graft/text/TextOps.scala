@@ -241,12 +241,94 @@ object TextOps {
             regexp_replace(col("raw"), lit(emailPat), lit("<EMAIL>")),
             lit(idPat), lit("<NUM>")).as("scrubbed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Domain-level quality aggregation (the FineWeb/RefinedWeb web-
+    // pipeline stage: quality is judged per DOMAIN, not only per
+    // document, because spammy hosts produce individually-plausible
+    // pages). `source` plays the domain role. One pass: text_stats per
+    // row feeds a map-combined per-source aggregate, so document text
+    // never enters the exchange — only ~|domains| thin partial rows
+    // shuffle. All-integer per-mille arithmetic (BIGINT div) keeps
+    // DuckDB parity exact and never drifts with summation order the
+    // way a double average would. Sums fit int64 to ~9e15 tokens per
+    // domain (1000× headroom over a 100 TB corpus's largest domain).
+    "q_domain_stats" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          expr("text_stats(split(text, ' '))").as("st"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_tokens")).as("n_tokens"),
+          sum(col("st.n_stop")).as("n_stop"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_stop"),
+          expr("n_stop * 1000 div n_tokens").as("stop_pm"),
+          expr("sum_chars div n_docs").as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Domain-level filtering: keep every document whose domain's
+    // stop-density (per-mille, integer) is at or above the corpus-wide
+    // density — the "drop below-average domains" cut of the web
+    // pipelines, with a data-derived threshold instead of a magic
+    // constant (the weighted mean guarantees at least one domain
+    // always survives). Same one-pass per-source aggregate as
+    // q_domain_stats; the corpus-wide row is a broadcast 1-row
+    // aggregate and the kept-domain list broadcasts back onto the
+    // fact scan, so the documents table itself NEVER shuffles — at
+    // 100 TB this is a metadata-sized exchange plus a streaming pass.
+    "q_domain_filter" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"), expr("text_stats(split(text, ' '))").as("st"))
+        .groupBy(col("source"))
+        .agg(sum(col("st.n_stop")).as("s_stop"),
+          sum(col("st.n_tokens")).as("s_tok"))
+      val global = perSrc
+        .agg(expr("sum(s_stop) * 1000 div sum(s_tok)").as("corpus_pm"))
+      val kept = perSrc.crossJoin(broadcast(global))
+        .select(col("source"), expr("s_stop * 1000 div s_tok").as("src_pm"),
+          col("corpus_pm"))
+        .filter(col("src_pm") >= col("corpus_pm"))
+      Tables.documents(s, d)
+        .join(broadcast(kept), "source")
+        .select(col("doc_id"), col("source"), col("src_pm"), col("corpus_pm"))
+        .orderBy(col("doc_id"))
     })
   )
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q_domain_stats" ->
+      s"""SELECT source, n_docs, n_tokens, n_stop,
+         |  CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_pm,
+         |  CAST(sum_chars // n_docs AS BIGINT) AS avg_chars
+         |FROM (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopSql, x)))) AS BIGINT) AS n_stop,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY source) t
+         |ORDER BY source""".stripMargin,
+    "q_domain_filter" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopSql, x)))) AS BIGINT) AS s_stop,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s_tok
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT CAST(sum(s_stop) * 1000 // sum(s_tok) AS BIGINT)
+         |        AS corpus_pm FROM st),
+         |kept AS (
+         |  SELECT source, CAST(s_stop * 1000 // s_tok AS BIGINT) AS src_pm,
+         |    corpus_pm
+         |  FROM st, g WHERE s_stop * 1000 // s_tok >= corpus_pm)
+         |SELECT d.doc_id, d.source, k.src_pm, k.corpus_pm
+         |FROM documents d JOIN kept k USING (source)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, freq FROM (
         |  SELECT token, count(*) AS freq FROM (

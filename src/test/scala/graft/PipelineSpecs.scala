@@ -657,6 +657,47 @@ class KnnGraphSpec extends SparkSpec {
   }
 }
 
+/** SemDeDup contract: within-cell exactness. The query's kept set must
+  * equal a brute-force per-cell pairwise recompute (same double
+  * accumulation order as the CosineSim kernel), and kept + dropped
+  * must partition the corpus.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  test("semantic dedup kept set equals the brute-force per-cell answer") {
+    val idx = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val dropped = (for {
+      Seq((ia, ea, _), (ib, eb, _)) <-
+        idx.groupBy(_._3).values.flatMap(_.sortBy(_._1).toSeq.combinations(2))
+      if ia < ib && cos(ea, eb) >= 0.35
+    } yield ib).toSet
+    val expectedKept = idx.map(_._1).toSet -- dropped
+    val got = run("q_dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._1).toSet == expectedKept)
+    assert(dropped.nonEmpty, "fixture produced no semantic dups")
+    // the manifest carries the cell label of the written index
+    val cellOf = idx.map(t => t._1 -> t._3).toMap
+    assert(got.forall { case (v, c) => cellOf(v) == c })
+  }
+
+  test("semantic dedup is deterministic across runs (written layout + seeded fit)") {
+    val a = run("q_dedup_semantic").collect().toSeq
+    val b = run("q_dedup_semantic").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
+
 class QuantileBucketSpec extends SparkSpec {
   test("deciles are balanced within one doc per language") {
     val rows = run("q_quantile_bucket").collect()

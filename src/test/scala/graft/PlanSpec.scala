@@ -282,6 +282,35 @@ class ScalePlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("domain stats aggregate is map-side partial; text stays below the exchange") {
+    val p = plan("q_domain_stats")
+    // text_stats runs in the per-row projection under the partial
+    // aggregate, so only (source, partial sums) ride the shuffle
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    run("q_domain_stats").queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a.output
+    }.foreach(_.foreach(attr =>
+      assert(attr.name != "text", s"text in aggregate output")))
+  }
+
+  test("domain filter broadcasts the kept-domain list; the fact join carries no text") {
+    val qe = run("q_domain_filter").queryExecution
+    val p = qe.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    qe.optimizedPlan.collect { case j: Join => j.output }
+      .foreach(_.foreach(attr =>
+        assert(attr.name != "text", "text rides a join output")))
+  }
+
+  test("semantic dedup pairs come from a cell equi-join, never a cartesian") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("approx profile twin plans without EXPAND; the exact audit form carries it") {
     // the whole point of the sketch twin: the exact form's 4-way
     // countDistinct multiplies the scan ~5× through Expand, the HLL
