@@ -61,6 +61,15 @@ object ScaleProbe {
       val probeCap = 6
       val jacCapped = dedup.Dedup.jaccardCandidates(spark, d, cap = probeCap).count()
       val overCap = dedup.Dedup.shinglesOverCap(spark, d, probeCap)
+      // SemDeDup cell-count knob: the canonical index sits at the
+      // 16-cell floor through sf0.1 (so floor-regime growth reads ~2,
+      // like knn_fixed6); with k tracking ceil(n/128) — the adaptive
+      // law with the floor lifted — per-cell occupancy is flat and
+      // candidate growth should read ~linear.
+      val ivfK = sim.Similarity.adaptiveIvfK(spark, d)
+      val semFloor = sim.Similarity.semanticCandidates(spark, d).count()
+      val kNoFloor = math.max(2, ((vecs + 127) / 128).toInt)
+      val semScaled = sim.Similarity.semanticCandidates(spark, d, kNoFloor).count()
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -70,10 +79,14 @@ object ScaleProbe {
         s""""knn_candidates_fixed6bits":$knnFixed6""",
         s""""ann_bits":$annBits""",
         s""""jaccard_capped${probeCap}_candidates":$jacCapped""",
-        s""""shingles_over_cap$probeCap":$overCap""")
+        s""""shingles_over_cap$probeCap":$overCap""",
+        s""""ivf_k":$ivfK""",
+        s""""semdedup_candidates_floor16":$semFloor""",
+        s""""semdedup_candidates_k$kNoFloor":$semScaled""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
-        "knn_fixed6" -> knnFixed6), secs)
+        "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
+        "sem_scaled" -> semScaled), secs)
     }
 
     if (rows.size >= 2) {
@@ -90,7 +103,9 @@ object ScaleProbe {
         s""""$q":{"candidate_exp":${f"$ce%.2f"},"time_exp":${f"$te%.2f"}}"""
       } ++ Seq(
         s""""jaccard_capped_exp":${f"${exp(d1docs, d2docs, c1("jaccard_capped").toDouble, c2("jaccard_capped").toDouble)}%.2f"}""",
-        s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""")
+        s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""",
+        s""""semdedup_floor16_exp":${f"${exp(d1vecs, d2vecs, c1("sem_floor").toDouble, c2("sem_floor").toDouble)}%.2f"}""",
+        s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

@@ -48,11 +48,19 @@ object Similarity {
       math.ceil(math.log(math.max(n, 1).toDouble / TargetBucket) /
         math.log(2.0)).toInt)
 
-  private val bitsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[graft] def adaptiveBits(s: SparkSession, d: String): Int =
-    bitsCache.computeIfAbsent(graft.Tables.cacheKey(d),
-      _ => Integer.valueOf(bitsFor(Tables.embeddings(s, d).count()))).intValue
+    bitsFor(corpusCount(s, d))
+
+  /** Memoized embeddings-corpus row count — the one number every
+    * corpus-adaptive knob (LSH signature width, IVF cell count)
+    * derives from; counted once per corpus dir from parquet row-group
+    * metadata.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def corpusCount(s: SparkSession, d: String): Long =
+    countCache.computeIfAbsent(graft.Tables.cacheKey(d),
+      _ => java.lang.Long.valueOf(Tables.embeddings(s, d).count())).longValue
 
   /** Fixed-size query batch: the first QueryBatch vec_ids. Search cost
     * is O(|batch| · candidates-per-query) — CONSTANT in corpus size. A
@@ -62,19 +70,49 @@ object Similarity {
     */
   val QueryBatch = 8L
 
-  /** Quantizer-fit sample bound: KMeans.fit input is capped at this
-    * many rows regardless of corpus size (k=16 centroids need ~100×
-    * that many points to stabilize, not the corpus).
+  /** Quantizer-fit sample floor: KMeans.fit input is bounded at
+    * max(IvfFitSample, IvfFitPerCell·k) rows — Θ(k), never the corpus
+    * (128 fit points per centroid; faiss trains coarse quantizers on
+    * 39–256). At the 16-cell floor the two terms coincide at 2048.
     */
   val IvfFitSample = 2048
+  val IvfFitPerCell = 128
+  private[graft] def ivfFitFor(k: Int): Int =
+    math.max(IvfFitSample, IvfFitPerCell * k)
+
+  /** IVF cell-count scale law: k = clamp(16, ⌈n / IvfCellTarget⌉,
+    * IvfMaxFlatK). Flat ~128-member cells are what keep every
+    * within-cell pass constant-work per vector as the corpus grows —
+    * SemDeDup's per-cell pairwise (q_dedup_semantic) is O(cell) per
+    * vector, and the nprobe'd scan reads nprobe·cell rows per query —
+    * so k must track n, the same knob-from-corpus-count design as
+    * adaptiveBits (the round-6 fix that killed the frozen-width
+    * exp-2.01 quadratic). The 16-cell floor only keeps tiny test
+    * corpora populated (it binds through sf0.1, where n/128 = 16
+    * exactly, so test layouts and recall pins are unchanged). Above
+    * IvfMaxFlatK (n ≈ 8.4e9) a single flat quantizer stops being
+    * trainable; the standard path is the two-level composition (cell
+    * id = (coarse, fine), each level-1 cell training its own level-2
+    * quantizer — this same code applied per partition), which the cap
+    * documents rather than hides.
+    */
+  val IvfCellTarget = 128
+  val IvfMaxFlatK = 1 << 16
+  private[graft] def ivfKFor(n: Long): Int =
+    math.max(16, math.min(IvfMaxFlatK.toLong,
+      (n + IvfCellTarget - 1) / IvfCellTarget).toInt)
+  private[graft] def adaptiveIvfK(s: SparkSession, d: String): Int =
+    ivfKFor(corpusCount(s, d))
 
   /** Cells searched per query (multiprobe). On a clustered corpus the
     * nearest cell holds most true neighbors and nprobe=1-2 suffices;
     * this synthetic corpus is uniform random (neighbors hug cell
     * boundaries, cosine ~0.33 tail-of-random), the worst case for any
-    * space partitioner, so recall needs a deeper probe. 6/16 cells
-    * still cuts the scan ~2.7× and the ratio improves with k at scale
-    * (k grows with corpus size, nprobe doesn't).
+    * space partitioner, so recall needs a deeper probe. 6 of the 16
+    * test-scale cells still cuts the scan ~2.7×, and the ratio
+    * improves as the adaptive k grows with the corpus (nprobe
+    * doesn't): at k = n/128 a probe reads nprobe·128 rows per query
+    * regardless of corpus size.
     */
   val IvfNProbe = 6
 
@@ -88,25 +126,50 @@ object Similarity {
     * side — pinned by PlanSpec), instead of scanning the corpus and
     * filtering. The quantizer fits on a provably bounded sample: the
     * corpus ordered by xxhash64(vec_id) (seeded pseudo-random, stable)
-    * truncated to IvfFitSample rows via TakeOrderedAndProject — only
-    * ≤IvfFitSample rows ever reach the driver-side fit; `transform`
-    * labels the full corpus distributedly.
+    * truncated to ivfFitFor(k) rows via TakeOrderedAndProject — only
+    * Θ(k) rows ever reach the fit, never the corpus; `transform`
+    * labels the full corpus distributedly. k itself is
+    * corpus-adaptive (adaptiveIvfK — see the scale law above).
     */
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "ivf_index",
         partitionCols = Seq("cell")) {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          array_to_vector(col("embedding")).as("features"))
-      val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(IvfFitSample).select(col("features"))
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").fit(fitSample)
-      model.transform(e)
-        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      ivfAssign(s, d, adaptiveIvfK(s, d))
     }
+
+  /** KMeans fit-on-a-bounded-sample + distributed label pass at an
+    * explicit cell count — the layout build body, also exposed to
+    * ScaleProbe so the cell-count knob can be measured at any k
+    * without touching the canonical written index.
+    */
+  private[graft] def ivfAssign(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+    val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ivfFitFor(k)).select(col("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(fitSample)
+    model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+  }
+
+  /** Within-cell candidate-pair set at an arbitrary cell count
+    * (probe-only; q_dedup_semantic reads the canonical layout). The
+    * thin self-join ScaleProbe counts to measure how cell count
+    * controls SemDeDup candidate volume.
+    */
+  private[graft] def semanticCandidates(s: SparkSession, d: String,
+      k: Int = 0): DataFrame = {
+    val idx = (if (k > 0) ivfAssign(s, d, k) else ivfIndex(s, d))
+      .select(col("vec_id"), col("cell"))
+    idx.select(col("cell"), col("vec_id").as("va"))
+      .join(idx.select(col("cell"), col("vec_id").as("vb")), "cell")
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+  }
 
   /** Cell centroids DERIVED from the written index (mean member
     * vector per cell) — deterministic given the index, so the two

@@ -211,17 +211,33 @@ class AnnSpec extends SparkSpec {
   }
 
   test("IVF quantizer fit input is provably bounded regardless of corpus size") {
-    // the fit sample plan must be a global limit of IvfFitSample rows
+    // the fit sample plan must be a global limit of Θ(k) rows
     // (TakeOrderedAndProject): per-partition bounded heaps, never the
     // full corpus on the driver
     import org.apache.spark.sql.functions.{col, xxhash64}
     import org.apache.spark.ml.functions.array_to_vector
+    val bound = sim.Similarity.ivfFitFor(sim.Similarity.adaptiveIvfK(spark, sf))
+    assert(bound == sim.Similarity.IvfFitSample) // floor regime at test scale
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sim.Similarity.IvfFitSample).select(col("features"))
+      .limit(bound).select(col("features"))
     val p = sample.queryExecution.executedPlan.toString
-    assert(p.contains(s"TakeOrderedAndProject(limit=${sim.Similarity.IvfFitSample}"), p)
+    assert(p.contains(s"TakeOrderedAndProject(limit=$bound"), p)
+  }
+
+  // the cell-count scale law (mirrors the BitsSpec width law): one
+  // cell per 128 vectors above the 16-cell floor, capped where a flat
+  // quantizer gives way to the two-level composition
+  test("IVF cell count tracks corpus/128 above the 16-cell floor") {
+    import sim.Similarity.{ivfKFor, ivfFitFor}
+    assert(ivfKFor(1) == 16 && ivfKFor(500) == 16 && ivfKFor(2048) == 16)
+    assert(ivfKFor(2049) == 17)
+    assert(ivfKFor(1L << 20) == 8192)
+    assert(ivfKFor(100000000000L) == (1 << 16)) // two-level regime
+    assert(ivfFitFor(16) == 2048 && ivfFitFor(8192) == 8192 * 128)
+    assert(sim.Similarity.adaptiveIvfK(spark, sf) ==
+      ivfKFor(Tables.embeddings(spark, sf).count()))
   }
 
   test("multi-probe LSH recall beats nothing and scores are valid cosines") {
