@@ -392,7 +392,36 @@ object Similarity {
             x -> cast(cast(round(x * 127.0 / norm) as int) as string)), ',')""")
             .as("q8"),
           round(col("norm"), 6).as("norm_r6"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // Incremental IVF maintenance: a delta batch of arriving vectors
+    // is assigned to the WRITTEN index's cells by nearest derived
+    // centroid (argmin L2 over the broadcast k-row centroid table) —
+    // the quantizer never refits and the corpus never rescans, the
+    // q_dedup_incremental registry pattern applied to the vector
+    // index. At 100 TB this is how a vector store actually ingests:
+    // appended rows land in their cell's partition directory and
+    // probes see them immediately; refits are rare offline events.
+    // The only exchange is the per-vector argmin aggregate over
+    // |delta|·k THIN (id, cell, d2) rows; deterministic (d2, cell)
+    // struct-min tiebreak. Rows-only (k-means lineage); IvfAppendSpec
+    // pins the assignment to a brute-force nearest-centroid recompute.
+    "q_sim_ivf_append" -> ((s, d) => {
+      val delta = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id"), col("embedding").as("qv"))
+      val cents = ivfCentroids(s, d)
+      delta.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qv, centroid,
+            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("best.cell").cast("int").as("cell"),
+          round(col("best.d2"), 6).as("d2"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -161,8 +161,56 @@ object Layouts {
         .agg(count(lit(1)).as("n"),
           graft.Exact.sumMoney(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Small-file compaction: the ingest-hygiene pass every 100 TB
+    // warehouse runs (Delta OPTIMIZE / Iceberg rewrite_data_files).
+    // Streaming and per-batch ingest leave layouts fragmented into
+    // files far below the row-group sweet spot; each file costs a
+    // task, an open, and a footer read, so a million 1 MB files can
+    // make a scan scheduler-bound. The pass rewrites the fragmented
+    // layout into ceil(rows / CompactRowsPerFile) files via a
+    // DETERMINISTIC hash repartition on the key (range partitioning
+    // samples, so its boundaries are not run-stable) — one shuffle of
+    // the data, once, amortized over every later scan. Both sides are
+    // write-once layouts; the query reports the before/after file
+    // profile from input_file_name() aggregates (no driver-side
+    // listing). Rows-only (file counts are not SQL-visible);
+    // CompactionSpec pins disk file counts and row conservation.
+    "q_compact_files" -> ((s, d) => {
+      val frag = ensureLayout(s, d, "fragmented") {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          .repartition(FragmentFiles, col("l_orderkey"))
+      }
+      val compacted = ensureLayout(s, d, "compacted") {
+        val n = math.max(1,
+          math.ceil(frag.count().toDouble / CompactRowsPerFile).toInt)
+        frag.repartition(n, col("l_orderkey"))
+      }
+      def profile(df: DataFrame, side: String): DataFrame =
+        df.groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("rows_per_file"))
+          .agg(count(lit(1)).as(s"${side}_files"),
+            min(col("rows_per_file")).as(s"${side}_min_rows"),
+            max(col("rows_per_file")).as(s"${side}_max_rows"),
+            sum(col("rows_per_file")).as(s"${side}_rows"))
+      profile(frag, "before").crossJoin(profile(compacted, "after"))
+        .select(col("before_files"), col("after_files"),
+          col("before_rows"), col("after_rows"),
+          col("before_min_rows"), col("before_max_rows"),
+          col("after_min_rows"), col("after_max_rows"))
     })
   )
+
+  /** q_compact_files knobs: the fixture fragments lineitem into 64
+    * files (≈940 rows each at sf0.01 — the pathological
+    * many-tiny-files shape); compaction targets 16k rows per file
+    * (stand-in for the ~128 MB row-group sweet spot at cluster
+    * scale).
+    */
+  val FragmentFiles = 64
+  val CompactRowsPerFile = 16384
 
   val oracle: Map[String, String] = Map(
     "q_bucketed_join" ->

@@ -714,6 +714,64 @@ class SemanticDedupSpec extends SparkSpec {
   }
 }
 
+/** Incremental IVF ingest: assignment must equal a brute-force
+  * nearest-derived-centroid recompute against the written layout,
+  * with the deterministic (d2, cell) tiebreak.
+  */
+class IvfAppendSpec extends SparkSpec {
+  test("delta vectors are assigned to the argmin-L2 centroid of the written index") {
+    val cents = sim.Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val delta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(delta.nonEmpty && cents.length >= 16)
+    def d2(v: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble - c(i); acc += x * x; i += 1
+      }
+      acc
+    }
+    val expected = delta.map { case (id, v) =>
+      id -> cents.map(c => (d2(v, c._2), c._1)).min._2
+    }.toMap
+    val got = run("q_sim_ivf_append").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+}
+
+/** Compaction contract: the reported file profile must match the
+  * filesystem, rows must be conserved, and the compacted file count
+  * must follow the ceil(rows / CompactRowsPerFile) law.
+  */
+class CompactionSpec extends SparkSpec {
+  test("compaction collapses the fragmented layout to the target file count") {
+    val row = run("q_compact_files").collect().head
+    val before = row.getLong(0); val after = row.getLong(1)
+    val rowsB = row.getLong(2); val rowsA = row.getLong(3)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rowsB == total && rowsA == total, "rows not conserved")
+    assert(before == sources.Layouts.FragmentFiles.toLong)
+    val expectedAfter = math.max(1,
+      math.ceil(total.toDouble / sources.Layouts.CompactRowsPerFile).toInt)
+    assert(after == expectedAfter.toLong, s"after=$after expected=$expectedAfter")
+    assert(after < before)
+    // the reported counts are real files on disk, not plan artifacts
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def parts(name: String): Long = {
+      val p = java.nio.file.Paths.get(wh,
+        s"${name}_${sources.Layouts.sfSuffix(sf)}")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet")).toLong
+    }
+    assert(parts("fragmented") == before && parts("compacted") == after)
+  }
+}
+
 class QuantileBucketSpec extends SparkSpec {
   test("deciles are balanced within one doc per language") {
     val rows = run("q_quantile_bucket").collect()

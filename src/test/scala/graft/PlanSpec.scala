@@ -305,6 +305,12 @@ class ScalePlanSpec extends SparkSpec {
         assert(attr.name != "text", "text rides a join output")))
   }
 
+  test("ivf append broadcasts the centroid table; the corpus side never sort-merges") {
+    val p = plan("q_sim_ivf_append")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("semantic dedup pairs come from a cell equi-join, never a cartesian") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"), p)
