@@ -187,6 +187,119 @@ object Similarity {
           .as("centroid"))
     }
 
+  /** Probe selection shared by the IVF queries: each query in the
+    * bounded batch ranks the k derived centroids by L2 (the
+    * quantizer's metric) and keeps its IvfNProbe nearest cells. Runs
+    * over |batch|×k rows — negligible at any scale — and the result
+    * broadcasts, so the cell join it feeds prunes partitions
+    * dynamically.
+    */
+  private[graft] def ivfProbes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+    Tables.embeddings(s, d).filter(col("vec_id") < QueryBatch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, centroid,
+          |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= IvfNProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+  }
+
+  /** Product-quantization geometry: the 64-dim embedding splits into
+    * PqM contiguous 8-dim subvectors, each encoded as the id of its
+    * nearest subspace centroid — so a vector stores as PqM small ints
+    * (8 bytes/vector at 256 codes) instead of 256 float bytes, the
+    * 32× memory layer that makes billion-vector ANN fit RAM at all
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"). The code count per subspace is corpus-adaptive with
+    * the same floor-that-binds-at-test-SFs design as the LSH width
+    * and IVF cell count: production PQ saturates at 256 (one byte per
+    * subspace code — the resolution knob, NOT an occupancy knob, so
+    * unlike bits/k it does not grow past that); the adaptive ramp
+    * only keeps tiny test corpora from fitting more centroids than
+    * they have points (k-means with k > n is degenerate).
+    */
+  val PqM = 8
+  val PqMaxCodes = 256
+
+  /** ADC survivors fetched for exact rerank, per query — the knob
+    * trading PQ scoring error against cold-storage fetches (top-5
+    * served from 32 reranked candidates).
+    */
+  val PqRerank = 32
+  private[graft] def pqCodesFor(n: Long): Int =
+    math.max(16, math.min(PqMaxCodes.toLong, n / 8).toInt)
+
+  /** Per-subspace codebooks as a WRITTEN layout: (m, code, centroid)
+    * with PqM·codes rows total — broadcast-size at any corpus scale.
+    * Each subspace's k-means fits on the same bounded
+    * ordered-by-seeded-hash sample as the IVF quantizer (Θ(codes)
+    * rows, never the corpus), deterministic seed per subspace.
+    */
+  private[graft] def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "pq_codebooks") {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val codes = pqCodesFor(corpusCount(s, d))
+      val sample = Tables.embeddings(s, d)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(ivfFitFor(codes))
+        .select(col("embedding").cast("array<double>").as("e"))
+      val subDim = 64 / PqM
+      (0 until PqM).map { m =>
+        val sub = sample.select(array_to_vector(
+          slice(col("e"), m * subDim + 1, subDim)).as("features"))
+        val model = new KMeans().setK(codes).setSeed(42L + m).setMaxIter(5)
+          .setFeaturesCol("features").fit(sub)
+        s.createDataFrame(s.sparkContext.parallelize(
+            model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+              org.apache.spark.sql.Row(m, i, c.toArray.toSeq)
+            }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("code",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("centroid",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+      }.reduce(_ unionAll _)
+    }
+
+  /** The PQ-encoded corpus as a WRITTEN layout: (vec_id, codes) where
+    * codes[m] is the nearest subspace centroid — built distributedly
+    * (corpus explodes to n·PqM thin subvector rows, joins the
+    * broadcast codebooks, argmins per (vec, m), regroups in code
+    * order; the corpus vectors themselves never shuffle) and written
+    * once per corpus. This layout IS the RAM-resident index a PQ
+    * store serves from; the float corpus stays on cold storage for
+    * rerank fetches only.
+    */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "pq_codes") {
+      val subDim = 64 / PqM
+      val subs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |  m -> struct(m AS m, slice(e, m * $subDim + 1, $subDim) AS sv))"""
+            .stripMargin)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      subs.join(broadcast(pqCodebooks(s, d)), "m")
+        .withColumn("d2", expr(
+          """aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(m, best.code))), x -> x.code)")
+          .as("codes"))
+    }
+
   /** KNN-graph candidate pairs (exposed for PlanSpec's thin-index pin
     * and the scale probe). Thin (id, band, sig) index — embeddings
     * are NOT replicated into the candidate join; they're gathered per
@@ -261,24 +374,77 @@ object Similarity {
     "q_sim_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val idx = ivfIndex(s, d)
-      val cents = ivfCentroids(s, d)
-      val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
-      val probes = Tables.embeddings(s, d).filter(col("vec_id") < QueryBatch)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", expr(
-          """aggregate(zip_with(qv, centroid,
-            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
-            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
-        .withColumn("cr", row_number().over(wq))
-        .filter(col("cr") <= IvfNProbe)
-        .select(col("qid"), col("qv"), col("cell"))
+      val probes = ivfProbes(s, d)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("nid"))
       broadcast(probes)
         .join(idx, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // IVF-PQ ANN — the composed billion-vector layout: IVF picks the
+    // probe cells (partition-pruned scan, as q_sim_ann_ivf), but
+    // candidates are scored from the PQ-ENCODED corpus (pqCodes — 8
+    // small ints per vector) via asymmetric distance computation: each
+    // query precomputes one distance-to-every-subspace-centroid table
+    // (|batch|·PqM·codes thin rows, broadcast), and a candidate's
+    // approximate distance is the sum of PqM table lookups — the
+    // float corpus is NEVER read for scoring, only for the exact
+    // cosine rerank of the PqRerank ADC survivors (the fetch-join).
+    // At 100 TB this is the memory hierarchy that makes ANN feasible:
+    // codes in RAM (32× smaller than floats), floats on cold storage
+    // touched O(|batch|·PqRerank) rows per query. Every exchange
+    // carries only ids/codes/doubles. Rows-only (doubly approximate:
+    // IVF probe recall × PQ scoring error); PqSpec pins recall ≥ 0.5
+    // vs brute force and the rerank's exactness on survivors.
+    "q_sim_ann_ivf_pq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val subDim = 64 / PqM
+      val probes = ivfProbes(s, d)
+      // Per-(query, subspace, code) distance table.
+      val dt = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
+        .select(col("qid"), col("qv").cast("array<double>").as("q"))
+        .select(col("qid"), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |  m -> struct(m AS m, slice(q, m * $subDim + 1, $subDim) AS qsv))"""
+            .stripMargin)).as("x"))
+        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+        .join(broadcast(pqCodebooks(s, d)), "m")
+        .select(col("qid"), col("m"), col("code"), expr(
+          """aggregate(zip_with(qsv, centroid, (a, b) -> (a - b) * (a - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+          .as("dsub"))
+      // Probed-cell members, ADC-scored from codes alone.
+      val cand = broadcast(probes.select(col("qid"), col("cell")))
+        .join(ivfIndex(s, d).select(col("vec_id"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(pqCodes(s, d), "vec_id")
+        .select(col("qid"), col("vec_id").as("nid"), posexplode(col("codes")))
+        .select(col("qid"), col("nid"), col("pos").as("m"), col("col").as("code"))
+      val adc = cand.join(broadcast(dt), Seq("qid", "m", "code"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("dsub")).as("adc"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+      val topR = adc.withColumn("rr", row_number().over(wr))
+        .filter(col("rr") <= PqRerank)
+        .select(col("qid"), col("nid"))
+      // Exact rerank: fetch true vectors for the survivors only.
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      topR
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("nid"), col("embedding")), "nid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"),
           VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)

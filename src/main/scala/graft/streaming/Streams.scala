@@ -53,6 +53,25 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The documents table as a file-stream source (same per-sf symlink
+    * dir trick as `eventsStream`) — the ingest side of the streaming
+    * registry-dedup query.
+    */
+  private def docsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.t(s, d, "documents").schema
+    val streamDir = java.nio.file.Paths.get("/tmp",
+      "graft_docstream_" + Tables.cacheKey(d))
+    val link = streamDir.resolve("documents.parquet")
+    val target = java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath
+    if (!java.nio.file.Files.isSymbolicLink(link) ||
+        java.nio.file.Files.readSymbolicLink(link) != target) {
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, target)
+    }
+    s.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Events replayed as three time-ordered parquet files consumed one
     * per micro-batch (`maxFilesPerTrigger 1`), so the watermark
     * genuinely ADVANCES between batches — append mode emits each
@@ -550,6 +569,34 @@ object Streams {
       drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
     }),
 
+    // Streaming ingest dedup against the WRITTEN fingerprint registry
+    // (dedup.Dedup.fpRegistry — the layout the batch exact-dedup pass
+    // leaves behind): each arriving document is fingerprinted and
+    // stream-static LEFT-joined to the registry, classifying it
+    // new/duplicate as it lands — the continuous-ingest shape of
+    // q_dedup_incremental. Stateless (no watermark, no state store):
+    // dedup state lives in the warehouse layout, not the stream, so
+    // the query's memory is O(1) in stream length — the registry is
+    // re-broadcast/attached per micro-batch, and at 100 TB the join
+    // is the same thin fp equi-join the batch form uses (or its bloom
+    // twin's prefilter). Docs %3==0 arrive with a revision marker
+    // (must classify new); the rest re-arrive verbatim (must hit).
+    // Deterministic ⇒ fully oracled.
+    "q_stream_dedup_registry" -> ((s, d) => {
+      val reg = graft.dedup.Dedup.fpRegistry(s, d)
+      val classified = docsStream(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .join(reg, Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("keeper").isNotNull, "duplicate").otherwise("new")
+            .as("status"),
+          col("keeper"))
+      drain(s, classified, "append").orderBy(col("doc_id"))
+    }),
+
     // Stream-static join: the stream side joins a static dimension
     // (stateless — no watermark needed), then aggregates per segment.
     "q_stream_static_join" -> ((s, d) => {
@@ -639,6 +686,21 @@ object Streams {
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_stream_dedup_registry" ->
+      """WITH reg AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS keeper
+        |  FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+        |      AS fp
+        |  FROM documents)
+        |SELECT b.doc_id,
+        |  CASE WHEN keeper IS NOT NULL THEN 'duplicate' ELSE 'new' END
+        |    AS status,
+        |  keeper
+        |FROM b LEFT JOIN reg USING (fp)
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) t

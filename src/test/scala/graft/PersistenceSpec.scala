@@ -104,6 +104,27 @@ class PersistenceSpec extends SparkSpec {
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
 
+  test("PQ codebooks and encoded corpus re-attach without re-fitting") {
+    val before = run("q_sim_ann_ivf_pq").collect().toSeq
+    assert(before.nonEmpty)
+
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val suffix = sources.Layouts.sfSuffix(sf)
+    val dataFiles = Seq(s"pq_codebooks_$suffix", s"pq_codes_$suffix").flatMap { t =>
+      Files.walk(wh.resolve(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+
+    // a rebuild would re-run PqM k-means fits; the RAM-resident code
+    // index must re-attach to the written layouts, never re-encode
+    val after = run("q_sim_ann_ivf_pq").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
+
   test("IVF index layout re-attaches without re-fitting the quantizer") {
     val before = run("q_sim_ann_ivf").collect().toSeq
     assert(before.nonEmpty)

@@ -88,6 +88,14 @@ class TextDedupSpec extends SparkSpec {
     assert(mh == exact, s"minhash-only: ${mh -- exact}; missed: ${exact -- mh}")
   }
 
+  test("bloom incremental twin emits exactly the plain form's rows") {
+    // no false negatives in the sketch + exact verify join ⇒ the two
+    // plans must agree row-for-row, not just set-wise
+    val plain = run("q_dedup_incremental").collect().toSeq
+    val bloom = run("q_dedup_incremental_bloom").collect().toSeq
+    assert(plain.nonEmpty && bloom == plain)
+  }
+
   test("simhash near-dups all within hamming bound") {
     val rows = run("q_dedup_simhash").collect()
     assert(rows.nonEmpty)
@@ -240,6 +248,46 @@ class AnnSpec extends SparkSpec {
       ivfKFor(Tables.embeddings(spark, sf).count()))
   }
 
+  test("IVF-PQ reaches >= 0.5 recall vs brute-force top-5 and is deterministic") {
+    val topk = run("q_sim_topk").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run("q_sim_ann_ivf_pq").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (topk intersect pq).size.toDouble / topk.size
+    assert(recall >= 0.5, s"recall=$recall (${(topk intersect pq).size}/${topk.size})")
+    assert(run("q_sim_ann_ivf_pq").collect().toSeq ==
+      run("q_sim_ann_ivf_pq").collect().toSeq)
+  }
+
+  test("PQ codebooks and codes have the advertised geometry") {
+    import org.apache.spark.sql.functions.col
+    val n = Tables.embeddings(spark, sf).count()
+    val codes = sim.Similarity.pqCodesFor(n)
+    val cb = sim.Similarity.pqCodebooks(spark, sf)
+    // PqM subspaces × `codes` centroids, each of dim 64/PqM
+    assert(cb.count() == sim.Similarity.PqM.toLong * codes)
+    assert(cb.select("m").distinct().count() == sim.Similarity.PqM)
+    assert(cb.filter(org.apache.spark.sql.functions
+      .size(col("centroid")) =!= 64 / sim.Similarity.PqM).count() == 0)
+    // every vector encodes as exactly PqM codes, all in [0, codes)
+    val pc = sim.Similarity.pqCodes(spark, sf)
+    assert(pc.count() == n)
+    assert(pc.filter(org.apache.spark.sql.functions
+      .size(col("codes")) =!= sim.Similarity.PqM).count() == 0)
+    assert(pc.selectExpr(s"exists(codes, c -> c < 0 OR c >= $codes) AS bad")
+      .filter(col("bad")).count() == 0)
+  }
+
+  // the code-count law differs from bits/k on purpose: 256 is PQ's
+  // RESOLUTION ceiling (one byte per subspace), not an occupancy knob,
+  // so it saturates instead of growing with n
+  test("PQ code count ramps with the corpus then saturates at 256") {
+    import sim.Similarity.pqCodesFor
+    assert(pqCodesFor(1) == 16 && pqCodesFor(128) == 16)
+    assert(pqCodesFor(500) == 62 && pqCodesFor(2000) == 250)
+    assert(pqCodesFor(2048) == 256 && pqCodesFor(1L << 40) == 256)
+  }
+
   test("multi-probe LSH recall beats nothing and scores are valid cosines") {
     import org.apache.spark.sql.functions.col
     val lsh = run("q_sim_ann_lsh")
@@ -316,6 +364,26 @@ class StreamingSpec extends SparkSpec {
     // ids are unique event_ids, so no pair repeats
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("streaming registry dedup agrees with the batch classification") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("q_stream_dedup_registry").collect().toSeq
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(dedup.Dedup.fpRegistry(spark, sf), Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("keeper").isNotNull, "duplicate").otherwise("new")
+          .as("status"),
+        col("keeper"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // both classes occur: unchanged docs hit, revised docs miss
+    assert(streamed.exists(_.getString(1) == "duplicate"))
+    assert(streamed.exists(_.getString(1) == "new"))
   }
 
   test("deterministic hash split is exhaustive and reproducible") {

@@ -317,6 +317,39 @@ class ScalePlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("PQ ADC scoring never exchanges a float vector; rerank fetch is bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    val qe = run("q_sim_ann_ivf_pq").queryExecution
+    // the ADC aggregate (sum of subspace lookups) must see only
+    // ids/codes/doubles — the float corpus is rerank-only, above it
+    val adcAggs = qe.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "adc") => a
+    }
+    assert(adcAggs.nonEmpty)
+    def subtree(p: LogicalPlan): Seq[LogicalPlan] = p +: p.children.flatMap(subtree)
+    adcAggs.foreach { a =>
+      // corpus float vectors (`embedding`) must never cross a join in
+      // the scoring path — candidates are (id, cell, code) thin; the
+      // only vector allowed through a join is `qv`, the renamed
+      // BOUNDED query batch (vec_id < QueryBatch) seeding the
+      // distance tables.
+      val joins = subtree(a).collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.nonEmpty)
+      joins.foreach(j =>
+        assert(!j.output.exists(_.name == "embedding"),
+          j.output.map(_.name).mkString(",")))
+      assert(subtree(a).exists(n =>
+        n.toString.contains("vec_id#") && n.toString.contains("< 8")),
+        "query-batch bound filter missing")
+    }
+    // no cartesian anywhere; codebook and probe sides broadcast
+    val phys = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!phys.contains("CartesianProduct"), phys)
+    assert(phys.contains("BroadcastExchange"), phys)
+  }
+
   test("approx profile twin plans without EXPAND; the exact audit form carries it") {
     // the whole point of the sketch twin: the exact form's 4-way
     // countDistinct multiplies the scan ~5× through Expand, the HLL
