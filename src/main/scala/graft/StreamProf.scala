@@ -19,9 +19,9 @@ object StreamProf {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.t(spark, d, "events").schema
     val dir3 = java.nio.file.Paths.get("/tmp", "graft_stream3_" + Tables.cacheKey(d))
-    def ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(dir3.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def ev = Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir3.toString))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))

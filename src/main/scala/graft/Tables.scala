@@ -27,15 +27,27 @@ object Tables {
   def part(s: SparkSession, d: String)       = t(s, d, "part")
   def orders(s: SparkSession, d: String)     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = t(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and truncate to
-    * a microsecond timestamp — integer `div`, since ns-since-epoch
-    * exceeds double's 2^53 mantissa. Matches DuckDB's ns→µs cast.
+  /** `events.ts` varies across driver testdata generations:
+    * TIMESTAMP(NANOS) parquet (which Spark's vectorized reader
+    * rejects — read as raw nanos via the legacy conf and truncate to
+    * µs with integer `div`, since ns-since-epoch exceeds double's
+    * 2^53 mantissa) or native TIMESTAMP_MICROS without timezone
+    * metadata (read as TIMESTAMP_NTZ). Both normalize here to a
+    * session-timezone (UTC) microsecond TIMESTAMP — the same values
+    * DuckDB sees through `CAST(ts AS TIMESTAMP)`, and one stable type
+    * for everything downstream.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String)  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")

@@ -36,7 +36,7 @@ object Streams {
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.t(s, d, "events").schema // ts arrives as raw nanos
+    val schema = Tables.t(s, d, "events").schema // raw nanos or µs NTZ
     // The file-stream source wants a directory; expose the single
     // events.parquet file through a per-sf symlink dir.
     val streamDir = java.nio.file.Paths.get("/tmp", "graft_stream_" + Tables.cacheKey(d))
@@ -49,8 +49,7 @@ object Streams {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link, target)
     }
-    s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** The documents table as a file-stream source (same per-sf symlink
@@ -90,7 +89,7 @@ object Streams {
   private def eventsStreamMulti(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.t(s, d, "events").schema // ts arrives as raw nanos
+    val schema = Tables.t(s, d, "events").schema // raw nanos or µs NTZ
     val dir = Paths.get("/tmp", "graft_stream3_" + Tables.cacheKey(d))
     if (!Files.exists(dir.resolve("_READY"))) synchronized {
       if (!Files.exists(dir.resolve("_READY"))) {
@@ -119,9 +118,9 @@ object Streams {
         Files.createFile(dir.resolve("_READY"))
       }
     }
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
   }
 
   /** Run a streaming aggregation to completion against the finite
