@@ -68,8 +68,57 @@ object Integrity {
     // non-distinct columns identical to the exact form and every
     // distinct estimate within ±5% at test scale.
     "q_profile_table_approx" -> ((s, d) =>
-      profile(s, d, c => approx_count_distinct(c, 0.02)))
+      profile(s, d, c => approx_count_distinct(c, 0.02))),
+
+    // Mergeable distinct-count sketches as a WRITTEN layout — the
+    // third member of the distinct family (exact `q_profile_table`,
+    // one-shot sketch `q_approx_distinct`): per-(group, shard) HLL
+    // sketch PARTIALS (Apache DataSketches HllSketch via Spark's
+    // hll_sketch_agg) persisted once at ingest, then ANY later
+    // rollup — per-group or global — is answered by unioning
+    // kilobyte sketches, never rescanning the table. That
+    // mergeability is what exact partial counts cannot do (distinct
+    // doesn't sum across shards) and what makes the pattern the
+    // 100 TB default for dashboard-grade cardinalities: the layout is
+    // groups×shards rows of ~KB sketches regardless of table size,
+    // and the union query reads ONLY the layout (PlanSpec pins the
+    // scan). The global "(all)" row unions the same partials across
+    // groups — one written artifact serving every rollup level.
+    // Rows-only by contract (estimates); HllPartialSpec pins every
+    // estimate within ±5% of the exact countDistinct and the exact
+    // row counts summing through the partials unchanged.
+    "q_hll_partial_union" -> ((s, d) => {
+      val p = hllPartials(s, d)
+      val per = p.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_parts"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(col("l_returnflag").as("flag"), col("approx_parts"),
+          col("n_rows"))
+      val glob = p
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_parts"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit("(all)").as("flag"), col("approx_parts"), col("n_rows"))
+      per.unionAll(glob).orderBy(col("flag"))
+    })
   )
+
+  /** The sketch-partial layout: one HllSketch per (l_returnflag,
+    * shard) over l_partkey, 16 hash shards per group (at scale:
+    * file/partition granularity), lgConfigK=12 (~2.5 KB max, <1.6%
+    * rse). Written once per corpus (`Layouts.ensureLayout`),
+    * re-attached by later sessions; the build is one map-side-
+    * combined aggregate pass over lineitem.
+    */
+  private[graft] def hllPartials(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "hll_partials") {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(16)).as("shard"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"),
+          count(lit(1)).as("n_rows"))
+    }
 
   /** Shared single-pass profile body; `dct` supplies the distinct
     * aggregator (exact vs sketch) — the ONLY difference between the

@@ -37,6 +37,34 @@ object Skew {
         .agg(count(lit(1)).as("n_events"),
           graft.Exact.sumMoney(col("value")).as("v_sum"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Join-key skew profile — the diagnostic a planner (or an
+    // engineer) runs BEFORE choosing a join strategy: the hottest
+    // keys of a prospective join column with their absolute counts
+    // and corpus share. A key near `total/shuffle_partitions` share
+    // is the signal to salt (q_salted_join) or lean on AQE skew
+    // handling. Shape at 100 TB: one map-side-combined per-key count
+    // (the only full-data pass), a distributed top-k via
+    // orderBy+limit (TakeOrderedAndProject — no global window sorts
+    // the key space), and a 2-value broadcast aggregate; the rank
+    // window runs over the 10 surviving rows. share_ppm is integer
+    // math (parts-per-million via integer division) so the oracle
+    // compares exactly — no double-rounding divergence.
+    "q_skew_keys" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val tot = freq.agg(sum(col("n_events")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val top = freq.orderBy(col("n_events").desc, col("user_id")).limit(10)
+      val w = Window.orderBy(col("n_events").desc, col("user_id"))
+      top.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("user_id"), col("n_events"),
+          expr("CAST(n_events * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+          col("n_keys"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -45,6 +73,19 @@ object Skew {
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_skew_keys" ->
+      """WITH freq AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_events) AS total, count(*) AS n_keys FROM freq),
+        |ranked AS (
+        |  SELECT user_id, n_events,
+        |    CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+        |      AS BIGINT) AS rnk
+        |  FROM freq)
+        |SELECT rnk, user_id, n_events,
+        |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm, n_keys
+        |FROM ranked, tot WHERE rnk <= 10 ORDER BY rnk""".stripMargin
   )
 }

@@ -361,6 +361,95 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // FILTERED vector search — top-k under a metadata predicate (the
+    // "where lang = X" / "where label = 3" retrieval every production
+    // vector store serves): the predicate applies to the CORPUS side
+    // and pushes into the parquet scan (PlanSpec pins PushedFilters),
+    // so the scan reads only matching row groups — the filter costs
+    // bytes-not-read, it is never a post-scan residual over the full
+    // corpus. The rest is the bounded-batch brute-force shape of
+    // q_sim_topk (broadcast queries, corpus never shuffles). On the
+    // IVF path the same predicate composes as probe-then-post-filter
+    // with over-fetch (search nprobe cells, filter, keep k — recall
+    // dips as selectivity drops, the documented trade every ANN
+    // engine makes); the exact form here is the oracle for that and
+    // is itself the right plan whenever the predicate is selective
+    // enough to beat the index. Fully oracled.
+    "q_sim_filtered_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).filter(col("label") === 3)
+        .select(col("vec_id"), col("embedding"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // HYBRID retrieval with reciprocal-rank fusion (RRF, Cormack et
+    // al. 2009 — the fusion BM25+vector engines like Elastic/Vespa
+    // default to): two independent retrievers rank the corpus per
+    // query — dense (cosine over embeddings, the q_sim_topk shape)
+    // and lexical (distinct shared 3-gram shingles from the written
+    // shingle-set layout, the q_decontaminate shape) — each keeps its
+    // top-50, and fused_score = Σ 1/(60 + rank) over the lists that
+    // retrieved the candidate. Rank fusion needs no score
+    // calibration between retrievers (ranks, not raw scores, so
+    // cosine-vs-count scales never meet) — that robustness is why
+    // RRF is the production default. Scale shape: both retrievers
+    // emit BOUNDED top-K lists per query (dense via ANN at scale,
+    // lexical via the DF-capped inverted index), fusion is a thin
+    // (qid, nid, rank) full-outer join — fused rows ≤ 2K per query
+    // regardless of corpus size, and both rank columns ride along
+    // for attribution. Integer ranks fuse through one fixed double
+    // expression, so the oracle compares exactly.
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nQ = 4L
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      val vrank = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("vr", row_number().over(wv).cast("long"))
+        .filter(col("vr") <= 50)
+        .select(col("qid"), col("nid"), col("vr"))
+      val sets = graft.dedup.Dedup.shingleSets(s, d)
+      val qsh = sets.filter(col("doc_id") < nQ)
+        .select(col("doc_id").as("qid"), explode(col("sh")).as("t"))
+      val csh = sets.select(col("doc_id").as("nid"), explode(col("sh")).as("t"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("n_shared").desc, col("nid"))
+      val trank = csh.join(broadcast(qsh), "t")
+        .filter(col("nid") =!= col("qid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(countDistinct(col("t")).as("n_shared"))
+        .withColumn("tr", row_number().over(wt).cast("long"))
+        .filter(col("tr") <= 50)
+        .select(col("qid"), col("nid"), col("tr"))
+      val fused = vrank.join(trank, Seq("qid", "nid"), "full")
+        .select(col("qid"), col("nid"),
+          (coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("tr")), lit(0.0))).as("rrf"),
+          col("vr"), col("tr"))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+      fused.withColumn("rk", row_number().over(wf).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("rk"), col("nid"), col("rrf"),
+          col("vr"), col("tr"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // IVF ANN over the WRITTEN cell-partitioned index (`ivfIndex`):
     // each query ranks the k cell centroids by L2 (the quantizer's
     // metric) and searches its IvfNProbe nearest cells. The probe set
@@ -591,6 +680,55 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sim_filtered_topk" ->
+      """SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
+        |  SELECT qid, nid, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        |  FROM (
+        |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+        |    FROM embeddings q JOIN embeddings e
+        |      ON e.vec_id != q.vec_id AND e.label = 3
+        |    WHERE q.vec_id < 8) pairs) ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH sets AS (${graft.text.Corpus.shingleSetsSql}),
+         |sh AS (SELECT doc_id, unnest(sh) AS t FROM sets),
+         |qsh AS (SELECT doc_id AS qid, t FROM sh WHERE doc_id < 4),
+         |tshared AS (
+         |  SELECT q.qid, c.doc_id AS nid, count(DISTINCT c.t) AS n_shared
+         |  FROM sh c JOIN qsh q USING (t)
+         |  WHERE c.doc_id != q.qid GROUP BY q.qid, c.doc_id),
+         |trank AS (
+         |  SELECT qid, nid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY n_shared DESC, nid) AS BIGINT) AS tr
+         |  FROM tshared),
+         |vsim AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |    / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |         * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < 4),
+         |vrank AS (
+         |  SELECT qid, nid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS vr
+         |  FROM vsim),
+         |fused AS (
+         |  SELECT qid, nid,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + vr), 0) +
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + tr), 0) AS rrf, vr, tr
+         |  FROM (SELECT * FROM vrank WHERE vr <= 50) v
+         |  FULL JOIN (SELECT * FROM trank WHERE tr <= 50) t USING (qid, nid))
+         |SELECT qid, rk, nid, rrf, vr, tr FROM (
+         |  SELECT qid, nid, rrf, vr, tr, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rk
+         |  FROM fused) f
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "q_sim_topk" ->
       """SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
         |  SELECT qid, nid, cos_sim,

@@ -46,6 +46,22 @@ object Corpus {
   /** Per-source reservoir budget for q_reservoir_sample. */
   val ReservoirK = 20L
 
+  /** Synthetic held-out benchmark for q_decontaminate_fuzzy: every
+    * %83==7 corpus doc with its leading token dropped — a light
+    * paraphrase whose 3-gram shingle set loses only the ~2 shingles
+    * touching the removed token, so each bench doc is a true
+    * document-level near-dup (Jaccard well above 0.5) of its source
+    * while matching it neither byte-exactly nor by content hash.
+    * Returns (bdoc, shb = shingle set of the paraphrase).
+    */
+  private[graft] def benchSets(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    Tables.documents(s, d).filter(col("doc_id") % 83 === 7)
+      .select(col("doc_id").as("bdoc"),
+        expr("shingles3(slice(split(text, ' '), 2, 2147483647))").as("shb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
@@ -69,6 +85,48 @@ object Corpus {
           countDistinct(col("bdoc")).as("n_bench_hits"))
         .withColumn("contaminated", col("max_shared") >= 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // NEAR-DUP benchmark decontamination — the fuzzy counterpart of
+    // q_decontaminate: exact n-gram overlap misses light paraphrase
+    // (reordered sentences, a few swapped words leave ≥5-shingle
+    // overlap behind only sometimes), so training-corpus hygiene also
+    // runs a document-level near-dup pass between the corpus and the
+    // held-out benchmark (the Lee et al. 2022 NearDup protocol:
+    // MinHash candidates + exact-Jaccard verify, applied CROSS-corpus
+    // instead of self-join). Candidates come from the shared banded
+    // MinHash index (`Dedup.minhashBands`) equi-joined on (band, sig)
+    // — the benchmark side is a few thousand docs at any real scale,
+    // so its bands broadcast and the corpus index streams past; the
+    // corpus NEVER self-joins and no document text enters the
+    // candidate exchange. Each candidate is then verified with exact
+    // Jaccard from the full shingle-set layout (fetch-join per pair),
+    // keeping pairs ≥ 0.5 — the output is exactly verified; only
+    // candidate RECALL is LSH-approximate, so the query is rows-only
+    // by contract and FuzzyDecontamSpec pins the pair set against the
+    // brute-force bench×corpus threshold answer at test scale. The
+    // benchmark fixture is lightly-paraphrased corpus docs (`benchSets`
+    // — leading token dropped), i.e. exactly the pairs a byte-exact
+    // or whole-document-hash check misses; the corpus's own %97 split
+    // contains no natural cross-split near-dups at test SFs, which
+    // would leave this query demonstrating nothing.
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val bench = benchSets(s, d)
+      val bbands = graft.dedup.Dedup.minhashBandsOf(s,
+        bench.select(col("bdoc"), col("shb")), "bdoc", "shb")
+      val cand = graft.dedup.Dedup.minhashBands(s, d)
+        .join(broadcast(bbands), Seq("band", "sig"))
+        .select(col("doc_id"), col("bdoc")).distinct()
+      val sets = graft.dedup.Dedup.shingleSets(s, d)
+      val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+      val un = (size(col("sha")) + size(col("shb"))).cast("long") - inter
+      cand
+        .join(sets.select(col("doc_id"), col("sh").as("sha")), "doc_id")
+        .join(bench, "bdoc")
+        .select(col("doc_id"), col("bdoc"), inter.as("inter"),
+          un.as("n_union"), (inter.cast("double") / un).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_id"), col("bdoc"))
     }),
 
     // Sequence packing: assign documents to fixed-capacity token bins
@@ -260,7 +318,7 @@ object Corpus {
         .orderBy(col("lang"), col("bucket")))
   )
 
-  private val shingleSetsSql =
+  private[graft] val shingleSetsSql =
     """SELECT doc_id, CASE WHEN len(l) >= 3
       |    THEN list_distinct(list_transform(generate_series(1, len(l) - 2),
       |         i -> array_to_string(l[i:i+2], ' ')))

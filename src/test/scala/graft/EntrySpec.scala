@@ -26,6 +26,7 @@ class EntrySpec extends AnyFunSuite {
       "q_heavy_hitters", "q_stream_gap_timers",
       "q_profile_table_approx", "q_dedup_semantic",
       "q_sim_ivf_append", "q_compact_files",
-      "q_sim_ann_ivf_pq"), rowsOnly.toSeq.sorted)
+      "q_sim_ann_ivf_pq", "q_hll_partial_union",
+      "q_decontaminate_fuzzy"), rowsOnly.toSeq.sorted)
   }
 }

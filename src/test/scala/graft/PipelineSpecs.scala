@@ -963,3 +963,70 @@ class IntegritySpec extends SparkSpec {
     assert(alt == ref.getLong(1))
   }
 }
+
+/** Fuzzy decontamination contract: the MinHash-banded cross-corpus
+  * candidate path must surface exactly the brute-force bench×corpus
+  * threshold pairs (banding recall is 1 at test scale, as for
+  * q_dedup_minhash), and the fixture must actually contain
+  * contamination to catch.
+  */
+class FuzzyDecontamSpec extends SparkSpec {
+  test("fuzzy decontamination pairs equal the brute-force threshold answer") {
+    val bench = text.Corpus.benchSets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val corpus = dedup.Dedup.shingleSets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expected = (for {
+      (b, shb) <- bench
+      (c, shc) <- corpus
+      j = shc.intersect(shb).size.toDouble / shc.union(shb).size
+      if j >= 0.5
+    } yield (c, b)).toSet
+    val got = run("q_decontaminate_fuzzy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no contaminated pairs")
+  }
+
+  test("every benchmark doc is caught against its own source") {
+    val got = run("q_decontaminate_fuzzy").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val benchIds = text.Corpus.benchSets(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(benchIds.nonEmpty)
+    assert(benchIds.forall(b => got.contains((b, b))),
+      s"missing self-source hits: ${benchIds.filterNot(b => got.contains((b, b)))}")
+  }
+}
+
+/** Mergeable-sketch contract: every HLL union estimate (per group AND
+  * the cross-group global row) within ±5% of the exact distinct, and
+  * the exact row counts survive the partials unchanged.
+  */
+class HllPartialSpec extends SparkSpec {
+  test("sketch-union estimates track exact distincts through the written partials") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val g = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey")).as("d"), count(lit(1)).as("n"))
+      .head
+    val all = exact + ("(all)" -> (g.getLong(0), g.getLong(1)))
+    val got = run("q_hll_partial_union").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == all.keySet)
+    got.foreach { case (flag, approx, n) =>
+      val (de, ne) = all(flag)
+      assert(n == ne, s"$flag n_rows: exact $ne vs $n")
+      assert(math.abs(approx - de).toDouble / de <= 0.05,
+        s"$flag distinct: exact $de vs sketch $approx")
+    }
+  }
+
+  test("union query is deterministic across runs (written partials)") {
+    val a = run("q_hll_partial_union").collect().toSeq
+    val b = run("q_hll_partial_union").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

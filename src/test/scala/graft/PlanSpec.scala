@@ -360,4 +360,24 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.contains("partial_approx_count_distinct") ||
       p.contains("approx_count_distinct"), p)
   }
+
+  test("filtered vector search pushes the label predicate into the corpus scan") {
+    val p = plan("q_sim_filtered_topk")
+    assert(p.contains("EqualTo(label,3)"), p)
+    assert(p.contains("BroadcastExchange"), p) // query batch broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hll partial union reads only the written sketch layout, never the base table") {
+    val p = plan("q_hll_partial_union")
+    assert(p.contains("hll_partials"), p)
+    assert(!p.contains("lineitem"), p)
+  }
+
+  test("skew profile is a distributed top-k, not a global window over the key space") {
+    val p = plan("q_skew_keys")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Window runs AFTER the 10-row limit (rank over survivors)
+    assert(p.contains("partial_count"), p) // map-side combined key counts
+  }
 }
