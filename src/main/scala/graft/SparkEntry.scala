@@ -45,6 +45,7 @@ object SparkEntry {
       sources.Layouts.queries ++
       text.TextOps.queries ++
       text.Corpus.queries ++
+      text.Bpe.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       media.Multimodal.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       sources.Layouts.oracle ++
       text.TextOps.oracle ++
       text.Corpus.oracle ++
+      text.Bpe.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       media.Multimodal.oracle ++

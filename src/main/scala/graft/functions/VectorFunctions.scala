@@ -122,6 +122,17 @@ object Planes {
       s"i -> CAST($col[i] AS DOUBLE) * ($lits::DOUBLE[])[i]))"
   }
 
+  /** DuckDB list expression mirroring `plane_project(col, k)`: each
+    * element the same dot times the same 1/√k double, rounded to 6
+    * decimals on both sides (list_sum's fold order can diverge from
+    * the JVM's sequential fold in the last ulp).
+    */
+  def sqlProject(col: String, k: Int): String = {
+    val scale = java.lang.Double.toString(1.0 / math.sqrt(k.toDouble))
+    (0 until k).map(j => s"round(${sqlDot(col, all(j))} * $scale, 6)")
+      .mkString("[", ", ", "]")
+  }
+
   /** DuckDB expression list for the banded sign signatures of `col`
     * (mirrors `plane_sigs(col, nPlanes, bandBits)`).
     */
@@ -158,6 +169,60 @@ object VectorKernels {
     }
     new GenericArrayData(sigs)
   }
+
+  /** Dense projection onto the first k planes, scaled 1/√k. The dot
+    * is the same sequential left fold as `Planes.sqlDot`, and the
+    * scale multiplies once at the end — one double op, mirrored
+    * verbatim in the oracle, so parity is bit-exact.
+    */
+  def planeProject(v: ArrayData, k: Int): ArrayData = {
+    val planes = Planes.all
+    val out = new Array[Double](k)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val n = v.numElements()
+    var j = 0
+    while (j < k) {
+      val plane = planes(j)
+      var dot = 0.0
+      var i = 0
+      val m = if (n < plane.length) n else plane.length
+      while (i < m) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      out(j) = dot * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `plane_project(vec, k)`: Gaussian random projection (the
+  * Johnson-Lindenstrauss transform) onto the first `k` seeded planes,
+  * scaled by 1/√k so expected pairwise distances are preserved. The
+  * dense-projection counterpart of the sign-only PlaneSigs — the
+  * embedding dimensionality-reduction pass a pipeline runs before
+  * indexing when 64 dims of float32 are 4× more bytes than retrieval
+  * quality needs. Same seeded plane pool as every LSH consumer, same
+  * sequential left-fold dot as the DuckDB mirror, so the projected
+  * values are bit-identical cross-engine and q_embed_project is fully
+  * oracled.
+  */
+case class PlaneProject(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= Planes.MaxPlanes,
+    s"plane_project: k=$k must be in 1..${Planes.MaxPlanes}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"plane_project expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.planeProject(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.planeProject($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `plane_sigs(vec, nPlanes, bandBits)`: array of per-band sign-LSH
@@ -195,6 +260,9 @@ object VectorFunctions {
       "plane_sigs", exprs => PlaneSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_project", exprs => PlaneProject(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Cosine similarity column over two array<float> columns. */

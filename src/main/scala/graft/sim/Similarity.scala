@@ -649,6 +649,26 @@ object Similarity {
           round(col("norm"), 6).as("norm_r6"))
         .orderBy(col("vec_id"))),
 
+    // Gaussian random projection (Johnson-Lindenstrauss) 64 → 16 dims
+    // via the codegen'd plane_project kernel over the shared seeded
+    // plane pool: the dimensionality-reduction pass before indexing
+    // when full-width floats cost more bytes than retrieval quality
+    // needs. Pure per-row map work, zero shuffle at any scale; the
+    // dot and 1/√k multiply are mirrored in DuckDB and both sides
+    // publish round(·, 6) (list_sum's fold order diverges from the
+    // JVM's in the last ulp — the same reason the cosine oracles
+    // round) — fully oracled. ProjectionSpec additionally pins the JL
+    // property the pass exists for: pairwise distances survive within
+    // the k=16 tolerance.
+    "q_embed_project" -> ((s, d) => {
+      VectorFunctions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(plane_project(embedding, 16), x -> round(x, 6))")
+            .as("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Incremental IVF maintenance: a delta batch of arriving vectors
     // is assigned to the WRITTEN index's cells by nearest derived
     // centroid (argmin L2 over the broadcast k-row centroid table) —
@@ -751,6 +771,9 @@ object Similarity {
         |        sqrt(list_sum(list_transform(e, y -> y * y))) AS norm
         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |            FROM embeddings) cast_e) normed
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    "q_embed_project" ->
+      s"""SELECT vec_id, ${graft.functions.Planes.sqlProject("embedding", 16)}
+         |  AS proj FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

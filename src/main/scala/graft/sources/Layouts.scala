@@ -96,6 +96,68 @@ object Layouts {
     writeBucketed(s"lineitem_b_$suffix", Tables.lineitem(s, d), "l_orderkey")
   }
 
+  /** Versioned (time-travel) layout — the Delta-log pattern in its
+    * minimal honest form. Data files are IMMUTABLE; a version is a
+    * manifest of (ver, add|remove, path) file actions; snapshot N =
+    * fold of all actions with ver ≤ N (adds minus later removes).
+    * Mutations never touch existing bytes: a delete REWRITES only the
+    * affected files and logs remove+add actions, so every earlier
+    * version stays readable forever — the snapshot-isolation /
+    * reproducibility property a training-data warehouse needs ("which
+    * corpus version did this run train on?"). At 100 TB the log is
+    * metadata (thousands of rows per version, KB against TB of data):
+    * the snapshot resolve reads ONLY the log, and the driver-side
+    * collect is file paths, never data. Version fixture: v0 = full
+    * orders partitioned by year; v1 = 1995's 'F' orders deleted via
+    * copy-on-write of the 1995 files alone (the q_delete_rewrite
+    * mutation, now with history retained).
+    */
+  private[graft] def ensureTimeTravel(s: SparkSession, d: String): String = {
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, s"timetravel_${sfSuffix(d)}")
+    synchronized {
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val base = Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+        base.write.partitionBy("o_year").parquet(s"$dir/v0")
+        val v0 = s.read.parquet(s"$dir/v0")
+          .select(input_file_name().as("path")).distinct()
+        base.filter(col("o_year") === 1995 && col("o_orderstatus") =!= "F")
+          .write.partitionBy("o_year").parquet(s"$dir/v1")
+        val v1 = s.read.parquet(s"$dir/v1")
+          .select(input_file_name().as("path")).distinct()
+        v0.select(lit(0L).as("ver"), lit("add").as("action"), col("path"))
+          .unionAll(v0.filter(col("path").contains("o_year=1995"))
+            .select(lit(1L).as("ver"), lit("remove").as("action"), col("path")))
+          .unionAll(v1.select(lit(1L).as("ver"), lit("add").as("action"),
+            col("path")))
+          .coalesce(1).write.parquet(s"$dir/_log")
+        java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+      }
+    }
+    dir.toString
+  }
+
+  /** Read the layout as of version `ver`: live files = adds ≤ ver not
+    * removed ≤ ver. Only the metadata log is collected; the data read
+    * is a plain parquet scan of exactly the live files (partition
+    * values ride in the data columns, so leaf-file reads need no
+    * directory inference).
+    */
+  private[graft] def snapshot(s: SparkSession, d: String, ver: Long): DataFrame = {
+    val dir = ensureTimeTravel(s, d)
+    val log = s.read.parquet(s"$dir/_log").filter(col("ver") <= ver)
+    val live = log.filter(col("action") === "add").select("path")
+      .except(log.filter(col("action") === "remove").select("path"))
+      .collect().map(_.getString(0)).sorted
+    s.read.parquet(live.toIndexedSeq: _*)
+  }
+
   /** Fresh dir per q_delete_rewrite invocation — the rewrite mutates
     * its layout, so it must never share with q_partition_pruning's.
     */
@@ -202,6 +264,25 @@ object Layouts {
           col("after_min_rows"), col("after_max_rows"))
     }),
 
+    // Time travel: the same aggregate over snapshot 0 (pre-delete) and
+    // snapshot 1 (1995's 'F' orders deleted) of the versioned layout —
+    // both versions answer from one immutable file set plus a metadata
+    // log, and version 0 remains byte-identical AFTER the delete
+    // shipped (TimeTravelSpec pins that, and that each snapshot scans
+    // exactly its own live files). Fully oracled: each snapshot's
+    // content is a pure function of the base table.
+    "q_time_travel" -> ((s, d) => {
+      def snap(v: Long): DataFrame =
+        snapshot(s, d, v)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Exact.sumMoney(col("o_totalprice")).as("total"))
+          .select(lit(v).as("version"), col("o_orderstatus"), col("n"),
+            col("total"))
+      snap(0L).unionAll(snap(1L))
+        .orderBy(col("version"), col("o_orderstatus"))
+    }),
+
     // Z-order (Morton-curve) clustering vs linear clustering, judged
     // by the zone maps it produces — the Delta `OPTIMIZE ZORDER BY` /
     // Iceberg sort-order decision, computed rather than asserted.
@@ -277,6 +358,17 @@ object Layouts {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderstatus, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+        |GROUP BY 2
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "q_zorder_skipping" ->
       """WITH base AS (
         |  SELECT l_orderkey AS a, l_partkey AS b,

@@ -1030,3 +1030,131 @@ class HllPartialSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 }
+
+/** Time-travel contract: version 0 stays byte-faithful to the
+  * pre-delete table AFTER version 1 shipped, version 1 equals the
+  * post-delete table, and each snapshot scans exactly its own live
+  * files (v0 reads nothing from the v1 rewrite; v1 reads no removed
+  * 1995 file).
+  */
+class TimeTravelSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("snapshots reproduce the pre- and post-delete tables") {
+    // build (and the v1 delete) happen on first touch
+    val snap1 = sources.Layouts.snapshot(spark, sf, 1L)
+    val snap0 = sources.Layouts.snapshot(spark, sf, 0L)
+    val base = Tables.orders(spark, sf)
+    assert(snap0.count() == base.count())
+    val deleted = base.filter(year(col("o_orderdate")) === 1995 &&
+      col("o_orderstatus") === "F").count()
+    assert(deleted > 0, "fixture deletes nothing")
+    assert(snap1.count() == base.count() - deleted)
+    // v0 content check beyond counts: the deleted slice is present
+    assert(snap0.filter(year(col("o_orderdate")) === 1995 &&
+      col("o_orderstatus") === "F").count() == deleted)
+    assert(snap1.filter(year(col("o_orderdate")) === 1995 &&
+      col("o_orderstatus") === "F").count() == 0)
+  }
+
+  test("each snapshot scans exactly its own live files") {
+    val f0 = sources.Layouts.snapshot(spark, sf, 0L).inputFiles.toSet
+    val f1 = sources.Layouts.snapshot(spark, sf, 1L).inputFiles.toSet
+    assert(f0.nonEmpty && f1.nonEmpty)
+    assert(f0.forall(_.contains("/v0/")), "v0 snapshot read a v1 file")
+    assert(!f1.exists(f => f.contains("/v0/") && f.contains("o_year=1995")),
+      "v1 snapshot read a removed file")
+    assert(f1.exists(_.contains("/v1/")), "v1 snapshot missed the rewrite")
+    // unaffected files are SHARED, not copied — the copy-on-write point
+    assert((f0 intersect f1).nonEmpty)
+  }
+}
+
+/** BPE training contract: the distributed merge loop must reproduce,
+  * step for step, the reference algorithm run in plain Scala over the
+  * same word frequencies — argmax pair with (count desc, left, right)
+  * tiebreak, greedy left-to-right merge pass.
+  */
+class BpeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def mergePassRef(ss: Vector[String], l: String, r: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    ss.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toVector
+  }
+
+  private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    var syms = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          pc((ss(i), ss(i + 1))) = pc.getOrElse((ss(i), ss(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step.toLong, l, r, c))
+        syms = syms.map { case (ss, c2) => (mergePassRef(ss, l, r), c2) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merges equal the reference algorithm on the same word counts") {
+    val words = text.Bpe.wordFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = refBpe(words, text.Bpe.Merges)
+    val got = run("q_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.length == text.Bpe.Merges, s"only ${got.length} merges learned")
+  }
+
+  test("merge pass is greedy left-to-right (aaa + (a,a) -> [aa, a])") {
+    assert(mergePassRef(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(mergePassRef(Vector("a", "a", "a", "a"), "a", "a") == Vector("aa", "aa"))
+  }
+}
+
+/** Random-projection contract: the JL property the pass exists for —
+  * pairwise distances survive the 64 -> 16 projection within the
+  * expected tolerance (deterministic data + seeded planes, so the
+  * measured distortion is run-stable).
+  */
+class ProjectionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("projection preserves pairwise squared distances within JL tolerance") {
+    val orig = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).map(_._2)
+    val proj = run("q_embed_project").filter(col("vec_id") < 40).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    assert(orig.length == proj.length && orig.nonEmpty)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- orig.indices; j <- orig.indices if i < j
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val meanAbsErr = ratios.map(r => math.abs(r - 1.0)).sum / ratios.size
+    // k=16 Gaussian projection: sd of the ratio ~ sqrt(2/16) = 0.35
+    assert(meanAbsErr < 0.35, s"mean |ratio-1| = $meanAbsErr")
+    assert(ratios.count(r => r > 0.25 && r < 2.5).toDouble / ratios.size > 0.95,
+      "too many badly-distorted pairs")
+  }
+}

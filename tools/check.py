@@ -24,7 +24,7 @@ ROWS_ONLY = {
     "q_sim_knn_graph", "q_heavy_hitters", "q_stream_gap_timers",
     "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
     "q_compact_files", "q_sim_ann_ivf_pq",
-    "q_hll_partial_union", "q_decontaminate_fuzzy",
+    "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
 }
 
 
