@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Integrity.queries ++
       operators.Skew.queries ++
+      operators.Graph.queries ++
       operators.AsOf.queries ++
       sources.Layouts.queries ++
       text.TextOps.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       operators.Analytics.oracle ++
       operators.Integrity.oracle ++
       operators.Skew.oracle ++
+      operators.Graph.oracle ++
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++
       text.TextOps.oracle ++

@@ -1158,3 +1158,47 @@ class ProjectionSpec extends SparkSpec {
       "too many badly-distorted pairs")
   }
 }
+
+/** PageRank contract: the distributed iteration must reproduce the
+  * same fixed iterate as a plain-Scala replay over the collected edge
+  * list — every node's rank to 1e-9, rank mass conserved, top-20
+  * ordering identical.
+  */
+class GraphSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("distributed pagerank equals the in-memory replay") {
+    val e = operators.Graph.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val nodes = outdeg.keys.toVector.sorted
+    val n = nodes.length
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to operators.Graph.PrIters) {
+      val msgs = scala.collection.mutable.Map.empty[Long, Double]
+      // per-src contribution, accumulated in edge order per dst; the
+      // 1e-9 tolerance absorbs double-sum order differences
+      e.foreach { case (s0, d0) =>
+        msgs(d0) = msgs.getOrElse(d0, 0.0) + rank(s0) / outdeg(s0)
+      }
+      val d = operators.Graph.Damping
+      rank = nodes.map(v => v -> ((1.0 - d) / n + d * msgs.getOrElse(v, 0.0))).toMap
+    }
+    assert(math.abs(rank.values.sum - 1.0) < 1e-9, "rank mass not conserved")
+    // mirror the query's published ordering: 6-decimal rounded rank
+    // (HALF_UP, matching Spark's round), node id tiebreak
+    def r6(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val expTop = rank.toSeq.map { case (v, r) => (v, r6(r).doubleValue) }
+      .sortBy { case (v, r) => (-r, v) }.take(20)
+    val got = run("q_graph_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 20)
+    got.zip(expTop).zipWithIndex.foreach { case (((rnk, node, rv), (en, er)), i) =>
+      assert(rnk == i + 1)
+      assert(node == en, s"rank $rnk: node $node vs expected $en")
+      assert(math.abs(rv - er) < 2e-6, s"node $node: $rv vs $er")
+    }
+  }
+}
