@@ -1,13 +1,15 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016, the
-  * GPT-2/Llama tokenizer construction) — the one tokenizer-side
-  * operator a training-data engine owes the pipeline beyond token
-  * counting: learn the first `Merges` merge rules from the corpus.
+/** Byte-pair-encoding tokenizer TRAINING and ENCODING (Sennrich et
+  * al. 2016, the GPT-2/Llama tokenizer construction) — the tokenizer
+  * operators a training-data engine owes the pipeline beyond token
+  * counting: learn the first `Merges` merge rules from the corpus
+  * (`q_bpe_merges`), then apply them to measure the corpus as the
+  * tokenizer would see it (`q_bpe_encode`).
   *
   * The scale design is the same one that makes BPE training feasible
   * anywhere: the merge loop never touches the corpus. The ONLY
@@ -25,11 +27,18 @@ import org.apache.spark.sql.functions._
   * the 8-deep lambda lineage, the standard iterative-algorithm
   * pattern (same as the connected-components fixpoint).
   *
-  * Rows-only by contract (an iterative argmax loop is not
-  * SQL-expressible); BpeSpec replays the identical algorithm over the
-  * collected word counts in plain Scala and pins every merge row —
-  * step, pair, and count — plus the greedy left-to-right merge-pass
-  * semantics on adversarial symbol runs ("aaa" + (a,a) → [aa, a]).
+  * Encoding is the reverse trade: the learned rules are a
+  * CONSTANT-SIZE table (8 here, ≤100k for a real tokenizer), so the
+  * encode pass folds them into a per-row expression over the
+  * documents scan — zero shuffle at any corpus size, the
+  * decode-free analog of "tokenize with a broadcast vocabulary".
+  *
+  * Both rows-only by contract (an iterative argmax loop is not
+  * SQL-expressible); BpeSpec replays the identical algorithms over
+  * the collected word counts / documents in plain Scala and pins
+  * every merge row and every per-document symbol count, plus the
+  * greedy left-to-right merge-pass semantics on adversarial symbol
+  * runs ("aaa" + (a,a) → [aa, a]).
   */
 object Bpe {
 
@@ -51,16 +60,23 @@ object Bpe {
     * re-merges with the element that follows in the same pass
     * ("aaa" + (a,a) → [aa, a] — the standard BPE pass semantics).
     */
-  private def mergePass(syms: org.apache.spark.sql.Column, l: String,
-      r: String): org.apache.spark.sql.Column =
+  private def mergePass(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
           element_at(acc, -1) === lit(l) && x === lit(r),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_merges" -> ((s, d) => {
+  /** The training loop, memoized per corpus dir (both queries and the
+    * spec share one learned rule set; the result is a bounded Seq,
+    * never an RDD lineage).
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+
+  private[graft] def learnedMerges(s: SparkSession,
+      d: String): Seq[(Long, String, String, Long)] =
+    mergeCache.computeIfAbsent(Tables.cacheKey(d), _ => {
       var words = wordFreq(s, d)
         .select(split(col("w"), "").as("syms"), col("cnt"))
         .localCheckpoint()
@@ -88,9 +104,40 @@ object Bpe {
           step += 1
         }
       }
-      s.createDataFrame(merges.toSeq)
+      merges.toSeq
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> ((s, d) =>
+      s.createDataFrame(learnedMerges(s, d))
         .toDF("step", "left", "right", "pair_count")
-        .orderBy(col("step"))
+        .orderBy(col("step"))),
+
+    // Tokenizer's-eye corpus measurement: per document, words, raw
+    // symbol (char) count, and symbol count after the learned merges
+    // — n_bpe/n_chars is the compression the tokenizer achieves,
+    // published as integer per-mille for cross-run determinism. The
+    // rule set folds into ONE per-row expression (nested merge
+    // passes over each word), so the pass is a pure map over the
+    // documents scan — zero shuffle at any corpus size.
+    "q_bpe_encode" -> ((s, d) => {
+      val rules = learnedMerges(s, d).map(m => (m._2, m._3))
+      def bpeLen(w: Column): Column =
+        size(rules.foldLeft(split(w, "")) {
+          case (c, (l, r)) => mergePass(c, l, r)
+        }).cast("long")
+      val tokens = filter(split(col("text"), "\\s+"),
+        w => length(w) > lit(0))
+      Tables.documents(s, d).select(col("doc_id"),
+          size(tokens).cast("long").as("n_words"),
+          aggregate(transform(tokens, w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_chars"),
+          aggregate(transform(tokens, w => bpeLen(w)),
+            lit(0L), (a, x) => a + x).as("n_bpe"))
+        .withColumn("compression_pm",
+          when(col("n_chars") > 0, col("n_bpe") * 1000L / col("n_chars"))
+            .otherwise(lit(1000L)).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 

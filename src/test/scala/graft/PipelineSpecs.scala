@@ -1127,6 +1127,31 @@ class BpeSpec extends SparkSpec {
     assert(mergePassRef(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
     assert(mergePassRef(Vector("a", "a", "a", "a"), "a", "a") == Vector("aa", "aa"))
   }
+
+  test("encode pass reproduces per-document symbol counts under the learned rules") {
+    val rules = text.Bpe.learnedMerges(spark, sf).map(m => (m._2, m._3))
+    assert(rules.length == text.Bpe.Merges)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = run("q_bpe_encode").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length == docs.size)
+    got.foreach { case (id, (nw, nc, nb, pm)) =>
+      val words = docs(id).split("\\s+").filter(_.nonEmpty)
+      val expNc = words.map(_.length.toLong).sum
+      val expNb = words.map { w =>
+        rules.foldLeft(w.map(_.toString).toVector) {
+          case (ss, (l, r)) => mergePassRef(ss, l, r)
+        }.length.toLong
+      }.sum
+      assert(nw == words.length.toLong, s"doc $id words")
+      assert(nc == expNc, s"doc $id chars")
+      assert(nb == expNb, s"doc $id bpe symbols: $nb vs $expNb")
+      assert(pm == (if (expNc > 0) expNb * 1000L / expNc else 1000L), s"doc $id pm")
+      assert(nb <= nc, s"doc $id: merges grew the symbol count")
+    }
+  }
 }
 
 /** Random-projection contract: the JL property the pass exists for —

@@ -381,3 +381,39 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combined key counts
   }
 }
+
+/** Plan pins for the round-8 additions. */
+class Round8PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("random projection is a pure map over the scan — no exchange before the sink sort") {
+    val p = plan("q_embed_project")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("bpe encode folds the rule table into the row projection — no join, no aggregate") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("fuzzy decontamination broadcasts the bench bands; no cartesian anywhere") {
+    val p = plan("q_decontaminate_fuzzy")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hybrid rrf never plans a cartesian; both retrievers broadcast the query side") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("time travel resolves snapshots from the metadata log, scanning only live data files") {
+    val f0 = sources.Layouts.snapshot(spark, sf, 0L).inputFiles
+    assert(f0.nonEmpty && f0.forall(_.contains("/v0/")))
+  }
+}
