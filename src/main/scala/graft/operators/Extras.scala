@@ -254,6 +254,33 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD Type-2 dimension history (Kimball): compress each user's
+    // event stream into state-validity intervals — one row per state
+    // CHANGE with [valid_from, valid_to) in epoch micros, open
+    // interval on the current state. This is the dimension-table side
+    // of the mutation surface (cdc_diff emits the changelog; this
+    // builds the history a point-in-time join consumes, the q_asof
+    // shape). Both windows partition by user_id — bounded per-user
+    // partitions, the q_sessionize scale profile; change-point
+    // filtering drops unchanged rows BEFORE the numbering window, so
+    // the second pass runs over the compressed set. Fully oracled.
+    "q_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("ver", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+        .select(col("user_id"), col("ver"), col("event_type").as("state"),
+          col("tus").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("ver"))
+    }),
+
     // Schema evolution: two parquet batches written with different
     // schemas (the second adds a column), read back through
     // `mergeSchema` — old rows surface NULL for the new column. This
@@ -460,6 +487,24 @@ object Extras {
         |            ELSE 'update' END AS action
         |FROM base FULL OUTER JOIN upd ON o_orderkey = u_key
         |ORDER BY 1""".stripMargin,
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, tus FROM (
+        |    SELECT user_id, event_id, event_type, tus,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) AS prev
+        |    FROM e) x
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS ver,
+        |  event_type AS state, tus AS valid_from_us,
+        |  lead(tus) OVER w AS valid_to_us,
+        |  lead(tus) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, ver""".stripMargin,
     "q_cdc_diff" ->
       """WITH v1 AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p1 FROM orders

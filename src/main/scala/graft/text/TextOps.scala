@@ -23,6 +23,12 @@ object TextOps {
     */
   private val stopwords: Seq[String] = graft.functions.GraftText.Stopwords.toSeq
 
+  /** q_feature_hash vector width. Real hashing-trick vectorizers use
+    * 2^18-2^20 buckets; the width is a constant in the per-row
+    * expression, so it is a quality knob, not a scale one.
+    */
+  val FeatureDim = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -122,6 +128,26 @@ object TextOps {
             .cast("long").as("n_num"),
           size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
             .cast("long").as("n_other"))
+        .orderBy(col("doc_id"))),
+
+    // Feature hashing (the "hashing trick", Weinberger et al. 2009 —
+    // the fastText/Vowpal-Wabbit input vectorizer): each document
+    // becomes a fixed FeatureDim-bucket bag-of-words count histogram,
+    // bucket = md5-derived hash of the token. No vocabulary pass and
+    // no dictionary join — the vectorizer is ONE zero-shuffle map
+    // over the corpus at any scale (the trade vs q_tfidf's
+    // corpus-wide IDF: accepted collisions buy statelessness). The
+    // md5 construction is the shared hashBucket parity idiom, so the
+    // whole vector compares exactly in DuckDB — fully oracled.
+    "q_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(FeatureDim - 1)),
+            b => size(filter(col("toks"),
+              t => pmod(conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
+                .cast("long"), lit(FeatureDim.toLong)) === b.cast("long")))
+              .cast("long")).as("fv"))
         .orderBy(col("doc_id"))),
 
     // Within-document repetition scoring (Gopher/MassiveText-style
@@ -302,6 +328,12 @@ object TextOps {
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q_feature_hash" ->
+      s"""SELECT doc_id, list_transform(generate_series(0, ${FeatureDim - 1}),
+         |    b -> CAST(len(list_filter(string_split(text, ' '),
+         |      t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % $FeatureDim = b))
+         |      AS BIGINT)) AS fv
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_domain_stats" ->
       s"""SELECT source, n_docs, n_tokens, n_stop,
          |  CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_pm,
