@@ -139,14 +139,17 @@ object TextOps {
     // corpus-wide IDF: accepted collisions buy statelessness). The
     // md5 construction is the shared hashBucket parity idiom, so the
     // whole vector compares exactly in DuckDB — fully oracled.
+    // (each token hashes ONCE into an int bucket array, then the
+    // histogram counts over ints — never one digest per bucket)
     "q_feature_hash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          transform(split(col("text"), " "),
+            t => pmod(conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
+              .cast("long"), lit(FeatureDim.toLong))).as("bks"))
         .select(col("doc_id"),
           transform(sequence(lit(0), lit(FeatureDim - 1)),
-            b => size(filter(col("toks"),
-              t => pmod(conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
-                .cast("long"), lit(FeatureDim.toLong)) === b.cast("long")))
+            b => size(filter(col("bks"), x => x === b.cast("long")))
               .cast("long")).as("fv"))
         .orderBy(col("doc_id"))),
 
@@ -330,10 +333,11 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_feature_hash" ->
       s"""SELECT doc_id, list_transform(generate_series(0, ${FeatureDim - 1}),
-         |    b -> CAST(len(list_filter(string_split(text, ' '),
-         |      t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % $FeatureDim = b))
-         |      AS BIGINT)) AS fv
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |    b -> CAST(len(list_filter(bks, x -> x = b)) AS BIGINT)) AS fv
+         |FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+         |    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % $FeatureDim) AS bks
+         |  FROM documents) hashed
+         |ORDER BY doc_id""".stripMargin,
     "q_domain_stats" ->
       s"""SELECT source, n_docs, n_tokens, n_stop,
          |  CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_pm,
