@@ -649,6 +649,39 @@ object Similarity {
           round(col("norm"), 6).as("norm_r6"))
         .orderBy(col("vec_id"))),
 
+    // HARD-NEGATIVE mining for contrastive embedding training (the
+    // DPR/SimCSE batch-construction step, Karpukhin et al. 2020):
+    // per query, the top-k MOST similar corpus vectors that are NOT
+    // positives — here the positive set is the engine's own
+    // oracle-exact near-dup pair set (Dedup.embedNearDupPairs), so
+    // the query composes the similarity and dedup subsystems: score
+    // brute-force (bounded broadcast batch, corpus never shuffles),
+    // LEFT ANTI join the symmetrized near-dup pairs, rank what
+    // remains. The exclusion join is thin (two longs per pair) and
+    // the pair set at scale comes from the written near-dup layout —
+    // no extra corpus pass. Fully oracled (the pair SQL composes as a
+    // CTE into the ranking SQL).
+    "q_sim_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val nd = graft.dedup.Dedup.embedNearDupPairs(s, d)
+      val excl = nd.select(col("va").as("qid"), col("vb").as("nid"))
+        .unionAll(nd.select(col("vb").as("qid"), col("va").as("nid")))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .join(excl, Seq("qid", "nid"), "left_anti")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Gaussian random projection (Johnson-Lindenstrauss) 64 → 16 dims
     // via the codegen'd plane_project kernel over the shared seeded
     // plane pool: the dimensionality-reduction pass before indexing
@@ -774,6 +807,26 @@ object Similarity {
         |ORDER BY vec_id""".stripMargin,
     "q_embed_project" ->
       s"""SELECT vec_id, ${graft.functions.Planes.sqlProject("embedding", 16)}
-         |  AS proj FROM embeddings ORDER BY vec_id""".stripMargin
+         |  AS proj FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sim_hard_negatives" ->
+      s"""WITH nd AS (SELECT va, vb FROM (${graft.dedup.Dedup.embedLshSql}) z),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |    / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |         * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < $QueryBatch),
+         |kept AS (
+         |  SELECT * FROM scored s WHERE NOT EXISTS (
+         |    SELECT 1 FROM nd
+         |    WHERE (nd.va = s.qid AND nd.vb = s.nid)
+         |       OR (nd.va = s.nid AND nd.vb = s.qid)))
+         |SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT qid, nid, cos_sim, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
+         |  FROM kept) r
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   )
 }

@@ -1227,3 +1227,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 }
+
+/** Hard-negative mining contract: the result is the brute-force
+  * ranking minus the near-dup positive set — replayed exactly in
+  * memory — and no excluded pair ever surfaces.
+  */
+class HardNegativeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("hard negatives equal the replayed rank-minus-positives answer") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val excl = dedup.Dedup.embedNearDupPairs(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = (0L until sim.Similarity.QueryBatch).flatMap { qid =>
+      emb.keys.toSeq.filter(n => n != qid && !excl((qid, n)))
+        .map(n => (n, cos(emb(qid), emb(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((n, c), i) => (qid, (i + 1).toLong, n) }
+    }.toSeq
+    val got = run("q_sim_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    got.foreach { case (q, _, n) =>
+      assert(!excl((q, n)), s"excluded pair ($q, $n) surfaced") }
+  }
+}
