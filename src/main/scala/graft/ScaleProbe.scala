@@ -70,6 +70,10 @@ object ScaleProbe {
       val semFloor = sim.Similarity.semanticCandidates(spark, d).count()
       val kNoFloor = math.max(2, ((vecs + 127) / 128).toInt)
       val semScaled = sim.Similarity.semanticCandidates(spark, d, kNoFloor).count()
+      // cross-corpus fuzzy decontamination: banded-MinHash candidates
+      // against the paraphrased bench fixture — should track the bench
+      // size (~docs/83), i.e. ~linear in corpus
+      val decontamCands = text.Corpus.decontamFuzzyCandidates(spark, d).count()
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -82,11 +86,12 @@ object ScaleProbe {
         s""""shingles_over_cap$probeCap":$overCap""",
         s""""ivf_k":$ivfK""",
         s""""semdedup_candidates_floor16":$semFloor""",
-        s""""semdedup_candidates_k$kNoFloor":$semScaled""")
+        s""""semdedup_candidates_k$kNoFloor":$semScaled""",
+        s""""decontam_fuzzy_candidates":$decontamCands""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
-        "sem_scaled" -> semScaled), secs)
+        "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands), secs)
     }
 
     if (rows.size >= 2) {
@@ -105,7 +110,8 @@ object ScaleProbe {
         s""""jaccard_capped_exp":${f"${exp(d1docs, d2docs, c1("jaccard_capped").toDouble, c2("jaccard_capped").toDouble)}%.2f"}""",
         s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""",
         s""""semdedup_floor16_exp":${f"${exp(d1vecs, d2vecs, c1("sem_floor").toDouble, c2("sem_floor").toDouble)}%.2f"}""",
-        s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""")
+        s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
+        s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

@@ -117,23 +117,37 @@ object Bpe {
     // symbol (char) count, and symbol count after the learned merges
     // — n_bpe/n_chars is the compression the tokenizer achieves,
     // published as integer per-mille for cross-run determinism. The
-    // rule set folds into ONE per-row expression (nested merge
-    // passes over each word), so the pass is a pure map over the
-    // documents scan — zero shuffle at any corpus size.
+    // merge folds run ONCE PER DISTINCT WORD (the vocabulary table —
+    // exactly where the training loop already did its work), and the
+    // corpus pass is then explode → broadcast dictionary join →
+    // map-combined per-doc sums: the standard tokenize-with-
+    // a-vocabulary shape. The exchange carries only thin (doc_id,
+    // len) pairs; the merge-fold cost is vocabulary-bounded, not
+    // token-bounded (a first cut folded the 8 passes per token
+    // occurrence and was 15 s at sf0.1 — this form is ~1 s).
     "q_bpe_encode" -> ((s, d) => {
       val rules = learnedMerges(s, d).map(m => (m._2, m._3))
       def bpeLen(w: Column): Column =
         size(rules.foldLeft(split(w, "")) {
           case (c, (l, r)) => mergePass(c, l, r)
         }).cast("long")
-      val tokens = filter(split(col("text"), "\\s+"),
-        w => length(w) > lit(0))
-      Tables.documents(s, d).select(col("doc_id"),
-          size(tokens).cast("long").as("n_words"),
-          aggregate(transform(tokens, w => length(w).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_chars"),
-          aggregate(transform(tokens, w => bpeLen(w)),
-            lit(0L), (a, x) => a + x).as("n_bpe"))
+      val vocab = wordFreq(s, d)
+        .select(col("w"), length(col("w")).cast("long").as("wc"),
+          bpeLen(col("w")).as("wb"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("wc")).as("n_chars"),
+          sum(col("wb")).as("n_bpe"))
+        .unionAll(
+          // docs with no tokens still report (the left-behind rows)
+          Tables.documents(s, d)
+            .filter(size(filter(split(col("text"), "\\s+"),
+              w => length(w) > lit(0))) === 0)
+            .select(col("doc_id"), lit(0L).as("n_words"),
+              lit(0L).as("n_chars"), lit(0L).as("n_bpe")))
         .withColumn("compression_pm",
           when(col("n_chars") > 0, col("n_bpe") * 1000L / col("n_chars"))
             .otherwise(lit(1000L)).cast("long"))

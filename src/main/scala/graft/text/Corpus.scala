@@ -62,6 +62,22 @@ object Corpus {
         expr("shingles3(slice(split(text, ' '), 2, 2147483647))").as("shb"))
   }
 
+  /** The cross-corpus MinHash-band candidate set behind
+    * q_decontaminate_fuzzy, exposed for ScaleProbe: (doc_id, bdoc)
+    * pairs where any of the 4 banded signatures collide. Growth with
+    * corpus size should be ~linear (true near-dups are one-per-bench-
+    * doc, random band collisions are ~0) — measured, not asserted.
+    */
+  private[graft] def decontamFuzzyCandidates(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bench = benchSets(s, d)
+    val bbands = graft.dedup.Dedup.minhashBandsOf(s,
+      bench.select(col("bdoc"), col("shb")), "bdoc", "shb")
+    graft.dedup.Dedup.minhashBands(s, d)
+      .join(broadcast(bbands), Seq("band", "sig"))
+      .select(col("doc_id"), col("bdoc")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
@@ -112,11 +128,7 @@ object Corpus {
     // would leave this query demonstrating nothing.
     "q_decontaminate_fuzzy" -> ((s, d) => {
       val bench = benchSets(s, d)
-      val bbands = graft.dedup.Dedup.minhashBandsOf(s,
-        bench.select(col("bdoc"), col("shb")), "bdoc", "shb")
-      val cand = graft.dedup.Dedup.minhashBands(s, d)
-        .join(broadcast(bbands), Seq("band", "sig"))
-        .select(col("doc_id"), col("bdoc")).distinct()
+      val cand = decontamFuzzyCandidates(s, d)
       val sets = graft.dedup.Dedup.shingleSets(s, d)
       val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
       val un = (size(col("sha")) + size(col("shb"))).cast("long") - inter

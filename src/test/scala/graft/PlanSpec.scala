@@ -394,10 +394,11 @@ class Round8PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
-  test("bpe encode folds the rule table into the row projection — no join, no aggregate") {
+  test("bpe encode joins the broadcast vocabulary and combines sums map-side") {
     val p = plan("q_bpe_encode")
-    assert(!p.contains("Join"), p)
-    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
   test("fuzzy decontamination broadcasts the bench bands; no cartesian anywhere") {
