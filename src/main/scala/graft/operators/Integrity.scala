@@ -29,6 +29,43 @@ import org.apache.spark.sql.functions._
 object Integrity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Constraint suite (the Deequ/Great-Expectations check run): five
+    // named expectations over orders/lineitem — not-null, uniqueness,
+    // value range, accepted values, referential integrity — each
+    // reported as (chk, status, violations). Shape at 100 TB: the
+    // three row-local checks share ONE map-combined aggregate over
+    // one scan (stack() fans the 1-row result into report rows — no
+    // EXPAND, unlike exact multi-distinct); uniqueness is a thin
+    // key-only group-by (never count-distinct in the shared agg);
+    // the FK check is a LEFT ANTI join on the key. Fully oracled.
+    "q_validate_constraints" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowLocal = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("rp"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("av"))
+        .select(expr("""stack(3,
+          |  'not_null_custkey', nn,
+          |  'range_totalprice_pos', rp,
+          |  'accepted_status_values', av) AS (chk, violations)""".stripMargin))
+      val uq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+        .select(lit("unique_orderkey").as("chk"), col("violations"))
+      val fk = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("fk_lineitem_orders").as("chk"), col("violations"))
+      rowLocal.unionAll(uq).unionAll(fk)
+        .select(col("chk"),
+          when(col("violations") === 0, "pass").otherwise("fail")
+            .as("status"),
+          col("violations").cast("long").as("violations"))
+        .orderBy(col("chk"))
+    }),
+
     // Order-independent integrity checksum over a canonical row
     // string: first 8 md5 hex chars → int64, summed exactly in
     // DECIMAL(38,0) (no int64 wrap — a plain BIGINT sum of 32-bit
@@ -166,6 +203,27 @@ object Integrity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_validate_constraints" ->
+      """WITH oc AS (SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS rp,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS av
+        |  FROM orders),
+        |uq AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM (
+        |    SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g
+        |  WHERE c > 1),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |rws AS (
+        |  SELECT 'not_null_custkey' AS chk, nn AS violations FROM oc
+        |  UNION ALL SELECT 'range_totalprice_pos', rp FROM oc
+        |  UNION ALL SELECT 'accepted_status_values', av FROM oc
+        |  UNION ALL SELECT 'unique_orderkey', v FROM uq
+        |  UNION ALL SELECT 'fk_lineitem_orders', v FROM fk)
+        |SELECT chk,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status,
+        |  violations
+        |FROM rws ORDER BY chk""".stripMargin,
     "q_table_checksum" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(('0x' || substr(md5(

@@ -146,4 +146,34 @@ class PersistenceSpec extends SparkSpec {
     assert(after == before)
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
+
+  test("HLL sketch-partial layout re-attaches; rollups never rescan or rebuild") {
+    val before = run("q_hll_partial_union").collect().toSeq
+    assert(before.nonEmpty)
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"hll_partials_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val dataFiles = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    val after = run("q_hll_partial_union").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
+
+  test("time-travel log and data files survive re-reads; snapshots never rewrite") {
+    val before = run("q_time_travel").collect().toSeq
+    assert(before.nonEmpty)
+    val dir = Paths.get(sources.Layouts.ensureTimeTravel(spark, sf))
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val all = Files.walk(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(all.nonEmpty)
+    val mtimes = all.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    val after = run("q_time_travel").collect().toSeq
+    assert(after == before)
+    assert(all.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
 }
