@@ -64,6 +64,43 @@ object Multimodal {
         ow.toLong * oh * m.channels)
     }
 
+  /** dHash-style 64-bit perceptual hash over the payload byte stream:
+    * 64 stripes, bit i set when stripe i's mean byte value exceeds
+    * stripe (i+1 mod 64)'s. This IS difference-hash with the byte
+    * stream standing in for the downsampled grayscale grid (the
+    * container has no codecs). The gradient form is chosen over the
+    * global-mean aHash deliberately: a global mean makes EVERY bit
+    * borderline-sensitive to any edit (measured here: one changed
+    * byte flipped 5-15 bits on homogeneous text payloads), while
+    * adjacent-stripe comparisons localize damage — a single-byte edit
+    * touches one stripe and therefore AT MOST its two adjacent
+    * comparisons, a provable ≤2-bit Hamming bound. A real
+    * implementation hashes decoded pixels; the kernel swap is one
+    * function, the pipeline around it is the real shape.
+    */
+  private[graft] def dHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val avg = new Array[Double](64)
+    var s = 0
+    while (s < 64) {
+      val from = s * n / 64
+      val to = math.max(from + 1, (s + 1) * n / 64)
+      var sum = 0.0
+      var j = from
+      while (j < to) { sum += (bytes(j) & 0xFF); j += 1 }
+      avg(s) = sum / (to - from)
+      s += 1
+    }
+    var h = 0L
+    s = 0
+    while (s < 64) {
+      if (avg(s) > avg((s + 1) % 64)) h |= 1L << s
+      s += 1
+    }
+    h
+  }
+
   private def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -109,6 +146,57 @@ object Multimodal {
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("n_out_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // IMAGE near-dup via perceptual hashing — the multimodal member of
+    // the dedup family (every image-corpus pipeline runs pHash dedup;
+    // the text-dedup machinery cannot see re-encoded or lightly-edited
+    // images). Each image hashes to 64 bits in one mapPartitions
+    // kernel pass (the decodeBatch contract); candidates come from a
+    // SimHash-style banded equi-join on 4×16-bit chunks — with a
+    // Hamming threshold of 3, the pigeonhole guarantees one clean
+    // band, so banding recall is EXACTLY 1, not probabilistic — and
+    // the verify is one codegen'd bit_count(xor) per candidate. The
+    // exchange carries only (img_id, band, chunk) + the 8-byte hash;
+    // payloads never shuffle. Fixture: every %11 image re-keyed past
+    // max(doc_id) with its FIRST byte replaced — a length-preserving
+    // edit, the re-encode analog. Rows-only (per-byte kernel);
+    // MediaPhashSpec replays the hash + brute-force threshold pairs
+    // and pins set equality.
+    "q_media_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val imgs = mediaRecords(s, d).toDF()
+        .filter(col("media_type") === "image")
+        .select(col("doc_id"), col("payload"))
+      val off = imgs.agg((max(col("doc_id")) + 1L).as("off"))
+      val variants = imgs.filter(col("doc_id") % 11 === 0)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
+          concat(lit(Array[Byte]('Z'.toByte)),
+            expr("substring(payload, 2, 2147483647)")).as("payload"))
+      val hashed = imgs.unionAll(variants)
+        .select(col("doc_id").as("img_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => (id, dHash64(b)) })
+        .toDF("img_id", "phash")
+      val bands = hashed.select(col("img_id"), col("phash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .select(col("img_id"), col("phash"),
+          col("pos").as("band"), col("col").as("chunk"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.chunk") === col("y.chunk") &&
+            col("x.img_id") < col("y.img_id"))
+        .select(col("x.img_id").as("a_id"), col("x.phash").as("ha"),
+          col("y.img_id").as("b_id"), col("y.phash").as("hb"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Frame sampling for video rows: stub frame count, then every

@@ -1263,3 +1263,58 @@ class HardNegativeSpec extends SparkSpec {
       assert(!excl((q, n)), s"excluded pair ($q, $n) surfaced") }
   }
 }
+
+/** Perceptual-hash image dedup contract: the banded candidate path
+  * must surface exactly the brute-force Hamming-threshold pairs (with
+  * 4 bands and threshold 3 the pigeonhole guarantees a clean band, so
+  * recall is exactly 1), and the length-preserving edit fixture must
+  * actually produce near-dup pairs to catch.
+  */
+class MediaPhashSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // independent dHash replay (fresh loop structure, same math)
+  private def refHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val vals = bytes.map(b => (b & 0xFF).toDouble)
+    val avgs = (0 until 64).map { s =>
+      val from = s * n / 64
+      val to = math.max(from + 1, (s + 1) * n / 64)
+      val stripe = vals.slice(from, to)
+      stripe.sum / stripe.length
+    }
+    (0 until 64).foldLeft(0L) { (acc, s) =>
+      if (avgs(s) > avgs((s + 1) % 64)) acc | (1L << s) else acc
+    }
+  }
+
+  test("banded phash pairs equal the brute-force hamming-threshold answer") {
+    val imgs = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select(col("doc_id"), col("text").cast("binary")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(imgs.nonEmpty)
+    val off = imgs.map(_._1).max + 1
+    val variants = imgs.filter(_._1 % 11 == 0).map { case (id, b) =>
+      (id + off, ('Z'.toByte +: b.drop(1)))
+    }
+    val hashed = (imgs ++ variants).map { case (id, b) => (id, refHash(b)) }
+    val expected = (for {
+      (a, ha) <- hashed; (b, hb) <- hashed if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = run("q_media_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no near-dup image pairs")
+    // fixture health: a single-byte edit touches one stripe, hence at
+    // most its two adjacent dHash comparisons — EVERY variant must be
+    // within the threshold of its source
+    val caught = variants.count { case (vid, _) =>
+      got.exists(p => p._1 == vid - off && p._2 == vid)
+    }
+    assert(caught == variants.length,
+      s"only $caught/${variants.length} variants caught")
+  }
+}

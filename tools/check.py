@@ -25,7 +25,7 @@ ROWS_ONLY = {
     "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
     "q_compact_files", "q_sim_ann_ivf_pq",
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
-    "q_bpe_encode", "q_graph_pagerank",
+    "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
 }
 
 
