@@ -270,6 +270,36 @@ object Corpus {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // WEIGHTED reservoir sample (Efraimidis–Spirakis 2006 A-ES): keep
+    // k docs per source, drawn WITHOUT replacement with probability
+    // proportional to a quality weight (here n_chars — longer docs
+    // favored, the shape of sampling-by-quality-score corpus
+    // construction). Each row gets priority u^(1/w) with u a
+    // deterministic md5-derived uniform — the A-ES theorem makes
+    // top-k-by-priority exactly the weighted draw, and the top-k
+    // shares the uniform reservoir's mergeability (partial
+    // WindowGroupLimit keeps ≤ k rows per partition map-side). No RNG
+    // state, reproducible across engines, partitionings and retries.
+    // Rows-only (pow's cross-engine bit-parity is not guaranteed);
+    // WeightedSampleSpec replays the selection exactly in the same
+    // JVM math and pins that the heavy-weight quartile is
+    // overrepresented vs the uniform reservoir.
+    "q_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":ws42")).cast("binary")), 1, 8), 16, 10).cast("double") + 1.0) /
+        4294967296.0
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("priority").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars").cast("double")).as("priority"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= ReservoirK)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Equal-frequency (quantile) bucketing: ntile(10) over document
     // length per language — the curriculum-ordering pass (shortest
     // decile first). Deterministic: the tiebreak on doc_id pins the

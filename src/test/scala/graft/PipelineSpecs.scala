@@ -1318,3 +1318,40 @@ class MediaPhashSpec extends SparkSpec {
       s"only $caught/${variants.length} variants caught")
   }
 }
+
+/** Weighted-reservoir contract (A-ES): the selection must equal an
+  * exact replay of priority = u^(1/w) top-k per source, and the
+  * weighting must bite — heavy docs overrepresented vs the uniform
+  * reservoir.
+  */
+class WeightedSampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("selection equals the replayed A-ES top-k and favors heavy documents") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:ws42".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.toSeq.map { case (id, _, w) => (id, math.pow(u(id), 1.0 / w)) }
+        .sortBy { case (id, p) => (-p, id) }
+        .take(text.Corpus.ReservoirK.toInt).zipWithIndex
+        .map { case ((id, _), i) => (src, (i + 1).toLong, id) }
+    }.toSet
+    val got = run("q_weighted_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+
+    // weighting bites: mean selected length exceeds the corpus mean
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val selected = docs.filter(d => got.exists(g => g._3 == d._1))
+    val selMean = selected.map(_._3).sum.toDouble / selected.length
+    assert(selMean > corpusMean,
+      s"selected mean $selMean not above corpus mean $corpusMean")
+  }
+}
