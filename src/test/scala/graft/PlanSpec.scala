@@ -418,3 +418,35 @@ class Round8PlanSpec extends SparkSpec {
     assert(f0.nonEmpty && f0.forall(_.contains("/v0/")))
   }
 }
+
+/** Plan pins for the round-8 tail additions. */
+class Round8TailPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("constraint suite plans without EXPAND; FK check is a broadcast anti join") {
+    val p = plan("q_validate_constraints")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("scd2 history reuses one hash partitioning across both windows") {
+    val p = plan("q_scd2_history")
+    val hashExchanges = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges:\n$p")
+  }
+
+  test("weighted sample keeps the reservoir's map-side group limit") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("phash dedup never carries the payload through the candidate join") {
+    val p = plan("q_media_phash_dedup")
+    val joinLines = p.split("\n").filter(_.contains("Join"))
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.exists(_.contains("payload")), p)
+  }
+}
