@@ -649,6 +649,32 @@ object Similarity {
           round(col("norm"), 6).as("norm_r6"))
         .orderBy(col("vec_id"))),
 
+    // MAX-INNER-PRODUCT retrieval (MIPS) — the recommender / reward-
+    // model mode where magnitude carries signal (un-normalized
+    // embeddings encode popularity or confidence; cosine strips it).
+    // Brute-force bounded-batch shape with the codegen'd InnerProduct
+    // kernel (CosineSim's un-normalized sibling); at scale the
+    // standard reduction (Bachrach et al. 2014) augments vectors with
+    // sqrt(M² − ‖x‖²) to turn MIPS into cosine ANN, at which point
+    // this engine's LSH/IVF paths apply unchanged. Fully oracled.
+    "q_sim_mips" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("ip").desc, col("nid"))
+      broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          expr("inner_product(qv, embedding)").as("ip"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("ip"), 6).as("ip"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // HARD-NEGATIVE mining for contrastive embedding training (the
     // DPR/SimCSE batch-construction step, Karpukhin et al. 2020):
     // per query, the top-k MOST similar corpus vectors that are NOT
@@ -808,6 +834,17 @@ object Similarity {
     "q_embed_project" ->
       s"""SELECT vec_id, ${graft.functions.Planes.sqlProject("embedding", 16)}
          |  AS proj FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sim_mips" ->
+      s"""SELECT qid, rk, nid, round(ip, 6) AS ip FROM (
+         |  SELECT qid, nid, ip, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY ip DESC, nid) AS BIGINT) AS rk
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ip
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |    WHERE q.vec_id < $QueryBatch) pairs) ranked
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_sim_hard_negatives" ->
       s"""WITH nd AS (SELECT va, vb FROM (${graft.dedup.Dedup.embedLshSql}) z),
          |scored AS (
