@@ -51,6 +51,42 @@ object Skew {
     // window runs over the 10 surviving rows. share_ppm is integer
     // math (parts-per-million via integer division) so the oracle
     // compares exactly — no double-rounding divergence.
+    // Sketch-based JOIN-CARDINALITY estimation — the other number a
+    // planner wants before committing to a join strategy (q_skew_keys
+    // profiles the hot keys; this estimates distinct-key overlap):
+    // one HLL sketch per side over the join column, union them, and
+    // inclusion-exclusion gives the estimated key intersection —
+    // |A∩B| ≈ |A| + |B| − |A∪B| — without ever joining. Each sketch
+    // is one map-combined constant-size aggregate (the shape that
+    // works when both sides are 100 TB and a dry-run join is
+    // unaffordable); the exact intersection rides along as the
+    // audit column (a key-only semi-join distinct — itself thin).
+    // HLL insertion is order-independent, so the estimates are
+    // deterministic; rows-only by contract (sketch internals),
+    // JoinCardSpec pins each estimate within ±5% of exact.
+    "q_join_card_est" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val b = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val ska = a.agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+        .select(lit(1).as("j"), col("sk").as("ska"))
+      val skb = b.agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+        .select(lit(1).as("j"), col("sk").as("skb"))
+      val exact = a.distinct().join(b.distinct(), "k")
+        .agg(count(lit(1)).as("exact_overlap"))
+        .select(lit(1).as("j"), col("exact_overlap"))
+      ska.join(skb, "j").join(exact, "j")
+        .select(
+          hll_sketch_estimate(col("ska")).as("est_a"),
+          hll_sketch_estimate(col("skb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"),
+          (hll_sketch_estimate(col("ska")) +
+            hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+            .as("est_overlap"),
+          col("exact_overlap"))
+    }),
+
     "q_skew_keys" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val freq = Tables.events(s, d)

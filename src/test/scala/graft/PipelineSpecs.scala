@@ -1355,3 +1355,26 @@ class WeightedSampleSpec extends SparkSpec {
       s"selected mean $selMean not above corpus mean $corpusMean")
   }
 }
+
+/** Join-cardinality estimator contract: every sketch estimate within
+  * ±5% of the exact count it estimates.
+  */
+class JoinCardSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("sketch estimates track exact per-side and overlap cardinalities") {
+    val r = run("q_join_card_est").head
+    val (estA, estB, estU, estO) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val exactO = r.getLong(4)
+    val a = Tables.orders(spark, sf).select(col("o_orderkey")).distinct().count()
+    val b = Tables.lineitem(spark, sf).select(col("l_orderkey")).distinct().count()
+    def within(est: Long, exact: Long, what: String): Unit =
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$what: est $est vs $exact")
+    within(estA, a, "side A")
+    within(estB, b, "side B")
+    within(estO, exactO, "overlap")
+    assert(estU >= (math.max(estA, estB) * 0.95).toLong)
+  }
+}
