@@ -29,6 +29,11 @@ object TextOps {
     */
   val FeatureDim = 16
 
+  /** q_vocab_coverage vocabulary size (real tokenizers: 32k-256k; the
+    * vocab stays broadcast-size at any corpus scale either way).
+    */
+  val VocabCoverageK = 500
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -42,6 +47,37 @@ object TextOps {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
+
+    // Tokenizer-vocabulary COVERAGE: what share of corpus token
+    // occurrences a top-K vocabulary covers, per source and overall —
+    // the OOV-rate measurement that decides a vocab size (and flags a
+    // domain the tokenizer underserves: a low-coverage source will
+    // fragment into more pieces per word). The vocab is the exact
+    // top-K frequency head (deterministic tiebreak); coverage counts
+    // via ONE pass over the exploded tokens with the K-row vocab
+    // BROADCAST into a map-combined conditional sum — no second
+    // corpus scan, no per-token shuffle beyond the (source, sums)
+    // aggregate. Integer per-mille output; fully oracled.
+    "q_vocab_coverage" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(VocabCoverageK)
+        .select(col("token"), lit(1).as("in_vocab"))
+      val per = Tables.documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0)).cast("long")).as("n_covered"))
+      per.unionAll(per.agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_covered")).as("n_covered"))
+        .select(lit("(all)").as("source"), col("n_tokens"), col("n_covered")))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          (col("n_covered") * 1000L / col("n_tokens")).cast("long")
+            .as("coverage_pm"))
+        .orderBy(col("source"))
+    }),
 
     // Sketch-based heavy hitters: approx_top_k (DataSketches frequent
     // items) over the token stream — ONE constant-size sketch per
@@ -372,6 +408,26 @@ object TextOps {
          |SELECT d.doc_id, d.source, k.src_pm, k.corpus_pm
          |FROM documents d JOIN kept k USING (source)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH vocab AS (
+         |  SELECT token FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         |  GROUP BY token ORDER BY count(*) DESC, token LIMIT $VocabCoverageK),
+         |tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |  FROM tok GROUP BY source),
+         |em AS (
+         |  SELECT source, n_tokens, n_covered FROM per
+         |  UNION ALL
+         |  SELECT '(all)', sum(n_tokens), sum(n_covered) FROM per)
+         |SELECT source, n_tokens, n_covered,
+         |  CAST(n_covered * 1000 // n_tokens AS BIGINT) AS coverage_pm
+         |FROM em ORDER BY source""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, freq FROM (
         |  SELECT token, count(*) AS freq FROM (
