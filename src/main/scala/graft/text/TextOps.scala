@@ -290,6 +290,37 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram coherence score — the context-sensitive sibling of the
+    // unigram LM filter (a doc whose TOKENS are all common can still
+    // be incoherent; its word PAIRS betray it — shuffled or generated
+    // text has rare bigrams). Per document: bigram count, occurrences
+    // whose corpus-wide bigram frequency ≥ 3 (corpus-typical pairs),
+    // their ratio, and mean bigram frequency — all-integer sums with
+    // one IEEE division per ratio, the q_lm_unigram_score parity
+    // recipe. Model build is one map-combined bigram-frequency agg;
+    // scoring shuffles thin (doc_id, bigram) pairs. Fully oracled.
+    "q_lm_bigram_score" -> ((s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+            .stripMargin)).as("bg"))
+      val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      bigrams.join(freq, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n_common"),
+          sum(col("cnt")).as("cnt_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+          (col("n_common").cast("double") / col("n_bigrams"))
+            .as("common_ratio"),
+          (col("cnt_sum").cast("double") / col("n_bigrams"))
+            .as("mean_bigram_freq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: redact email-like tokens and long digit runs with
     // sentinels, counting redactions per document. The corpus has no
     // digits, so deterministic synthetic PII (an email + a numeric ref
@@ -408,6 +439,23 @@ object TextOps {
          |SELECT d.doc_id, d.source, k.src_pm, k.corpus_pm
          |FROM documents d JOIN kept k USING (source)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_lm_bigram_score" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) t
+        |  WHERE len(l) >= 2),
+        |freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS common_ratio,
+        |  CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_bigram_freq
+        |FROM bg JOIN freq USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH vocab AS (
          |  SELECT token FROM (
