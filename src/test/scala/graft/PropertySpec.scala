@@ -248,3 +248,37 @@ class SpanMergePropertySpec extends SparkSpec {
     })
   }
 }
+
+/** The dHash locality bound q_media_phash_dedup's fixture relies on:
+  * a single-byte substitution touches one stripe, hence at most its
+  * two adjacent comparisons — Hamming distance ≤ 2 for ANY payload
+  * and ANY edit position (length-preserving).
+  */
+class DHashPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import graft.media.Multimodal.dHash64
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.chooseNum(64, 2048).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126)).map(_.map(_.toByte).toArray))
+
+  test("single-byte substitution flips at most 2 dHash bits") {
+    check(Prop.forAll(payloadGen, Gen.chooseNum(0, 1 << 20),
+      Gen.chooseNum(32, 126)) { (b, posSeed, nb) =>
+      val pos = posSeed % b.length
+      val edited = b.clone(); edited(pos) = nb.toByte
+      java.lang.Long.bitCount(dHash64(b) ^ dHash64(edited)) <= 2
+    })
+  }
+
+  test("hash is deterministic and total on empty/short payloads") {
+    assert(dHash64(Array.emptyByteArray) == 0L)
+    val one = Array[Byte](65)
+    assert(dHash64(one) == dHash64(one.clone()))
+  }
+}
