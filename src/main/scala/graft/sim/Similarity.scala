@@ -716,16 +716,20 @@ object Similarity {
     // dot and 1/√k multiply are mirrored in DuckDB and both sides
     // publish round(·, 6) (list_sum's fold order diverges from the
     // JVM's in the last ulp — the same reason the cosine oracles
-    // round) — fully oracled. ProjectionSpec additionally pins the JL
+    // round) — fully oracled. The projection is published EXPLODED to
+    // (vec_id, pos, val) rows: raw array columns crash the driver's
+    // pandas row-sort (unhashable ndarray cells), and scalar rows
+    // hash dtype-exactly. ProjectionSpec additionally pins the JL
     // property the pass exists for: pairwise distances survive within
     // the k=16 tolerance.
     "q_embed_project" -> ((s, d) => {
       VectorFunctions.register(s)
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          expr("transform(plane_project(embedding, 16), x -> round(x, 6))")
-            .as("proj"))
-        .orderBy(col("vec_id"))
+          posexplode(expr(
+            "transform(plane_project(embedding, 16), x -> round(x, 6))"))
+            .as(Seq("pos", "val")))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // Incremental IVF maintenance: a delta batch of arriving vectors
@@ -832,8 +836,12 @@ object Similarity {
         |            FROM embeddings) cast_e) normed
         |ORDER BY vec_id""".stripMargin,
     "q_embed_project" ->
-      s"""SELECT vec_id, ${graft.functions.Planes.sqlProject("embedding", 16)}
-         |  AS proj FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, CAST(i - 1 AS INT) AS pos, proj[i] AS val FROM (
+         |  SELECT vec_id, proj, unnest(generate_series(1, len(proj))) AS i
+         |  FROM (SELECT vec_id,
+         |          ${graft.functions.Planes.sqlProject("embedding", 16)} AS proj
+         |        FROM embeddings) t) u
+         |ORDER BY vec_id, pos""".stripMargin,
     "q_sim_mips" ->
       s"""SELECT qid, rk, nid, round(ip, 6) AS ip FROM (
          |  SELECT qid, nid, ip, CAST(row_number() OVER (

@@ -245,7 +245,7 @@ object Streams {
     * sub-watermark rows before the processor), and re-opening sealed
     * buckets could double-emit their zeros.
     */
-  private class GapTimerProcessor(bucketMs: Long)
+  private[graft] class GapTimerProcessor(bucketMs: Long)
       extends StatefulProcessor[String, (String, Long), (String, Long)] {
     @transient private var nextSeal: ValueState[Long] = _
     @transient private var sealed0: ValueState[Boolean] = _

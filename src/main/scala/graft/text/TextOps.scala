@@ -191,9 +191,12 @@ object TextOps {
         .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
           .as("m"))
         .select(col("doc_id"),
-          transform(sequence(lit(0), lit(FeatureDim - 1)),
-            b => coalesce(element_at(col("m"), b.cast("long")), lit(0L)))
-            .as("fv"))
+          // Published as a ','-joined string, not a raw array: the
+          // driver's pandas row-sort crashes on ndarray cells, and
+          // integer→string renders identically in Spark and DuckDB.
+          array_join(transform(sequence(lit(0), lit(FeatureDim - 1)),
+            b => coalesce(element_at(col("m"), b.cast("long")), lit(0L))
+              .cast("string")), ",").as("fv"))
         .orderBy(col("doc_id"))),
 
     // Within-document repetition scoring (Gopher/MassiveText-style
@@ -406,8 +409,9 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_feature_hash" ->
-      s"""SELECT doc_id, list_transform(generate_series(0, ${FeatureDim - 1}),
-         |    b -> CAST(len(list_filter(bks, x -> x = b)) AS BIGINT)) AS fv
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(0, ${FeatureDim - 1}),
+         |    b -> CAST(len(list_filter(bks, x -> x = b)) AS BIGINT)), ',') AS fv
          |FROM (SELECT doc_id, list_transform(string_split(text, ' '),
          |    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % $FeatureDim) AS bks
          |  FROM documents) hashed
@@ -472,7 +476,8 @@ object TextOps {
          |em AS (
          |  SELECT source, n_tokens, n_covered FROM per
          |  UNION ALL
-         |  SELECT '(all)', sum(n_tokens), sum(n_covered) FROM per)
+         |  SELECT '(all)', CAST(sum(n_tokens) AS BIGINT),
+         |    CAST(sum(n_covered) AS BIGINT) FROM per)
          |SELECT source, n_tokens, n_covered,
          |  CAST(n_covered * 1000 // n_tokens AS BIGINT) AS coverage_pm
          |FROM em ORDER BY source""".stripMargin,

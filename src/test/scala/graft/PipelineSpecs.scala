@@ -599,6 +599,61 @@ class TransformWithStateSpec extends SparkSpec {
     assert(rows.length == perUser.values.sum)
   }
 
+  test("timer gap fill: sparse-first-batch key — floor moves down pre-seal, no false zeros") {
+    // The fixture-independent contract: a key whose FIRST batch
+    // observes only bucket 5 then receives an admissible EARLIER
+    // bucket (3) in the next batch must re-floor to 3 before the
+    // first seal — zeros start at the true minimum, every empty
+    // sealed bucket emits exactly once, nothing below the floor.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val bucketMs = 1000L
+    val mem = MemoryStream[(String, Long)]
+    val ds = mem.toDF().toDF("event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "8 seconds")
+      .select(col("event_type"), col("ts_ms")).as[(String, Long)]
+    val out = ds.groupByKey(_._1)
+      .transformWithState(new streaming.Streams.GapTimerProcessor(bucketMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("event_type", "bucket")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gap_spec_").toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_gap_sparse").option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: dense drives the watermark; sparse sees only bucket 5
+      mem.addData(((0L to 10L).map(b => ("dense", b * 1000 + 500)) :+
+        ("sparse", 5500L)): _*)
+      q.processAllAvailable()
+      // batch 2: admissible earlier bucket for sparse (wm = 10.5-8 = 2.5 s)
+      mem.addData(("sparse", 3200L))
+      q.processAllAvailable()
+      // batch 3: advance the watermark to 12.5 s -> buckets < 12 seal
+      mem.addData((11L to 20L).map(b => ("dense", b * 1000 + 500)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("graft_gap_sparse").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val sparseZeros = rows.filter(_._1 == "sparse").map(_._2).sorted.toSeq
+      val denseZeros = rows.filter(_._1 == "dense").map(_._2)
+      // dense observed every bucket 0..20: nothing to fill
+      assert(denseZeros.isEmpty, s"false zeros for dense: ${denseZeros.toSeq}")
+      // sparse sealed prefix [3, 12) minus observed {3, 5}: complete,
+      // exactly once, nothing below the re-floored minimum
+      assert(sparseZeros == Seq(4L, 6L, 7L, 8L, 9L, 10L, 11L),
+        s"sparse zeros: $sparseZeros")
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(ckpt)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("timer gap fill: sealed empty buckets emit exactly once, no false zeros") {
     val bucketMs = 10L * 60 * 1000
     val zeros = run("q_stream_gap_timers").collect()
@@ -878,6 +933,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(hits.forall(_.getString(2) == "duplicate"))
     assert(hits.forall(r => !r.isNullAt(3)))
     assert(misses.forall(r => r.getString(2) == "new" && r.isNullAt(3)))
+  }
+
+  test("ingest-batch ids stay disjoint on a large-doc_id corpus (≥200k)") {
+    // The synthetic batch ids derive from max(doc_id)+1, not fixed
+    // constants — pin that on a corpus whose ids would have collided
+    // with the old +100000/+200000 offsets.
+    val sess = spark
+    import sess.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bigid_").toString
+    val docs = (0 until 50).map { i =>
+      val id = 200000L + i * 7  // %7==3 and %7==4 both hit across the range
+      (id, s"document body number $i", "en", "bigid", 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batch = dedup.Dedup.ingestBatch(spark, tmp).collect()
+    assert(batch.nonEmpty)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reing = batch.filter(_.getString(1) == "reingest").map(_.getLong(0)).toSet
+    val revs = batch.filter(_.getString(1) == "revision").map(_.getLong(0)).toSet
+    assert(reing.nonEmpty && revs.nonEmpty)
+    assert((reing ++ revs).intersect(ids).isEmpty, "batch ids collide with corpus")
+    assert(reing.intersect(revs).isEmpty, "batch halves collide with each other")
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, tmp).collect()
+    val (hits, misses) = rows.partition(_.getString(1) == "reingest")
+    assert(hits.forall(_.getString(2) == "duplicate"))
+    assert(misses.forall(_.getString(2) == "new"))
   }
 
   test("cohort retention week-0 diagonal accounts for every user once") {
@@ -1167,9 +1248,12 @@ class ProjectionSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1).map(_._2)
+    // q_embed_project publishes exploded (vec_id, pos, val) rows for
+    // the driver harness; regroup them into per-vector arrays here.
     val proj = run("q_embed_project").filter(col("vec_id") < 40).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
     assert(orig.length == proj.length && orig.nonEmpty)
     def d2(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum

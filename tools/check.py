@@ -3,12 +3,27 @@
 
 Reads a graft.Verify output dir (per-query parquet + oracle_sql.json),
 runs each oracle SQL in DuckDB against the same sf tables, and compares
-values with columns sorted by name (mirroring the driver's hash compare).
+DRIVER-FAITHFULLY:
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+  * the Spark side is read with pandas/pyarrow (NOT through DuckDB,
+    which would silently normalize dtypes the driver hash is
+    sensitive to);
+  * columns are sorted by name, then rows are sorted with pandas
+    ``sort_values`` over ALL columns — the exact step that crashes the
+    driver on array cells (unhashable ndarray), so a crash here is a
+    red result, not a masked one;
+  * dtypes must match exactly after pandas conversion (the driver
+    hash is dtype-sensitive: DuckDB HUGEINT -> float64 vs Spark int64
+    hash-differs even when every value is equal);
+  * a lint pass flags HUGEINT-typed oracle columns and array-typed
+    output columns BEFORE compare, naming the class of driver failure
+    each causes.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -20,22 +35,48 @@ ROWS_ONLY = {
     "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
     "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_rollhash",
-    "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left", "q_stream_stream_full",
+    "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
+    "q_stream_stream_full",
     "q_sim_knn_graph", "q_heavy_hitters", "q_stream_gap_timers",
     "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
     "q_compact_files", "q_sim_ann_ivf_pq",
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
     "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
-    "q_weighted_sample", "q_join_card_est",
+    "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
 }
 
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    return df
+def is_arraylike(v):
+    return hasattr(v, "__len__") and not isinstance(v, (str, bytes))
 
 
-def main(sf_dir, out_dir):
+def lint(name, oracle_rel, got):
+    """Pre-compare lint: the two known driver-killing column classes."""
+    issues = []
+    if oracle_rel is not None:
+        for cname, t in zip(oracle_rel.columns, oracle_rel.types):
+            ts = str(t).upper()
+            if "HUGEINT" in ts:
+                issues.append(
+                    f"oracle col '{cname}' is {ts}: pandas renders it float64 "
+                    "vs Spark int64 — driver hash poisoned; CAST(... AS BIGINT)")
+    for c in got.columns:
+        if got[c].dtype == object and got[c].map(is_arraylike).any():
+            issues.append(
+                f"output col '{c}' holds arrays: driver sort_values dies on "
+                "unhashable ndarray — publish a joined string or explode")
+    return issues
+
+
+def driver_sort(df):
+    """The driver's row canonicalization: sort_values over all columns.
+    Raises on unhashable cells exactly like the driver does."""
+    if len(df.columns) == 0 or len(df) == 0:
+        return df.reset_index(drop=True)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -43,50 +84,92 @@ def main(sf_dir, out_dir):
     results = {}
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
+        if not os.path.isdir(qdir) or (only and name not in only):
             continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             results[name] = "NO_OUTPUT"
             continue
-        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        # Driver-faithful read: pandas/pyarrow straight off the Spark
+        # parquet, so Spark's physical types survive into the compare.
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                        ignore_index=True)
         if name not in oracle:
+            arr = [c for c in got.columns
+                   if got[c].dtype == object and got[c].map(is_arraylike).any()]
+            if arr:
+                # rows-only queries still pass through the driver's
+                # parquet->pandas read; arrays are fine there (no
+                # sort/hash), but flag if ever oracled later.
+                pass
             results[name] = (f"rows_only({len(got)})" if name in ROWS_ONLY
                              else "MISSING_ORACLE (not in rows-only allowlist)")
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            exp = rel.df()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        g, e = norm(got), norm(exp)
+        issues = lint(name, rel, got)
+        if issues:
+            results[name] = "LINT " + "; ".join(issues)
+            continue
+        # pyarrow reads parquet date32 as object datetime.date cells;
+        # the driver (and DuckDB) surface datetime64 — normalize so the
+        # value compare sees the same thing the driver hashes.
+        import datetime as _dt
+        for df in (got, exp):
+            for c in df.columns:
+                if df[c].dtype == object and df[c].map(
+                        lambda v: v is None or isinstance(v, _dt.date)).all() \
+                        and df[c].notna().any():
+                    df[c] = pd.to_datetime(df[c])
+        g, e = got[sorted(got.columns)], exp[sorted(exp.columns)]
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} exp={list(e.columns)}"
+            results[name] = (f"SCHEMA_MISMATCH got={list(g.columns)} "
+                             f"exp={list(e.columns)}")
             continue
         if len(g) != len(e):
             results[name] = f"ROWCOUNT got={len(g)} exp={len(e)}"
             continue
+        # Driver hash is dtype-KIND-sensitive: int-width (int32 vs
+        # int64) and datetime-unit (ns vs us) differences hash equal,
+        # but float-vs-int does NOT (the HUGEINT failure class:
+        # 27165.0 hashes differently from 27165). Flag only the kind
+        # mismatches that poison the driver hash.
+        def kind(dt):
+            k = getattr(dt, "kind", "O")
+            return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                    "M": "datetime", "m": "timedelta"}.get(k, "object")
+        dt_bad = [f"{c}: got={g[c].dtype} exp={e[c].dtype}"
+                  for c in g.columns
+                  if {kind(g[c].dtype), kind(e[c].dtype)} == {"int", "float"}]
+        if dt_bad:
+            results[name] = "DTYPE_KIND_MISMATCH " + "; ".join(dt_bad)
+            continue
         try:
-            import pandas as pd
+            g, e = driver_sort(g), driver_sort(e)
+        except Exception as ex:
+            results[name] = f"DRIVER_SORT_CRASH: {type(ex).__name__}: {ex}"
+            continue
+        try:
             bad = []
-            def cell(v):
-                # list/array cells: tuple-ize so == is scalar, not elementwise
-                return tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v
             for c in g.columns:
-                gc, ec = g[c].map(cell), e[c].map(cell)
-                isna = lambda s: s.map(lambda v: not isinstance(v, tuple)) & pd.isna(
-                    s.map(lambda v: None if isinstance(v, tuple) else v))
-                # timestamps: compare as values; numerics exact
-                eq = (gc.astype(object).where(~isna(gc), None) ==
-                      ec.astype(object).where(~isna(ec), None)) | (isna(gc) & isna(ec))
+                gc, ec = g[c], e[c]
+                eq = (gc.astype(object).where(~pd.isna(gc), None) ==
+                      ec.astype(object).where(~pd.isna(ec), None)) \
+                    | (pd.isna(gc) & pd.isna(ec))
                 if not eq.all():
                     i = int(eq.idxmin() if hasattr(eq, "idxmin") else 0)
                     n_bad = int((~eq).sum())
-                    bad.append(f"{c}[{n_bad} diff, first@{i}: got={gc[i]!r} exp={ec[i]!r}]")
+                    bad.append(f"{c}[{n_bad} diff, first@{i}: "
+                               f"got={gc[i]!r} exp={ec[i]!r}]")
             results[name] = "OK" if not bad else "VALUE_MISMATCH " + "; ".join(bad)
         except Exception as ex:
             results[name] = f"COMPARE_ERROR: {ex}"
-    n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows_only"))
+    n_ok = sum(1 for v in results.values()
+               if v == "OK" or v.startswith("rows_only"))
     for k, v in sorted(results.items()):
         flag = "  " if v == "OK" or v.startswith("rows_only") else "XX"
         print(f"{flag} {k}: {v}")
@@ -95,4 +178,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) or None))
