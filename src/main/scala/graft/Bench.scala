@@ -149,5 +149,14 @@ object Bench {
     // outgrew the driver's captured tail in rounds 2-4, losing the
     // total; this line is always last and always fits.
     println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$mode","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Compact per-query signal for the expensive head: the full
+    // queries/spread dicts outgrew the driver's 2 KB captured tail in
+    // round 7, leaving no per-query driver seconds at all. This line
+    // is ~400 bytes (10 names × [min_sec, spread]) and rides after
+    // total_only so the tail always carries the slowest queries.
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v, sp, _) => "\"" + k + f"""\":[$v%.3f,$sp%.2f]""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"top10_slowest","unit":"sec","mode":"$mode","slowest":$top10}""")
   }
 }

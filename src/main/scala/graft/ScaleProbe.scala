@@ -74,6 +74,14 @@ object ScaleProbe {
       // against the paraphrased bench fixture — should track the bench
       // size (~docs/83), i.e. ~linear in corpus
       val decontamCands = text.Corpus.decontamFuzzyCandidates(spark, d).count()
+      // two-level IVF: probed candidate rows per query batch and mean
+      // (cell, fine) partition occupancy — the per-cell bound the
+      // two-level composition exists to hold past the flat-k ceiling
+      // (candidates ≈ batch · nprobe · FineNProbe · occupancy, so the
+      // exponent should read ~0 once kf leaves its floor)
+      val ivf2Cands = sim.Ivf2.ivf2Candidates(spark, d).count()
+      val ivf2Parts = sim.Ivf2.ivf2Index(spark, d)
+        .select("cell", "fine").distinct().count()
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -87,11 +95,15 @@ object ScaleProbe {
         s""""ivf_k":$ivfK""",
         s""""semdedup_candidates_floor16":$semFloor""",
         s""""semdedup_candidates_k$kNoFloor":$semScaled""",
-        s""""decontam_fuzzy_candidates":$decontamCands""")
+        s""""decontam_fuzzy_candidates":$decontamCands""",
+        s""""ivf2_candidates":$ivf2Cands""",
+        s""""ivf2_partitions":$ivf2Parts""",
+        s""""ivf2_mean_occupancy":${vecs / math.max(1L, ivf2Parts)}""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
-        "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands), secs)
+        "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands,
+        "ivf2_cands" -> ivf2Cands), secs)
     }
 
     if (rows.size >= 2) {
@@ -111,7 +123,8 @@ object ScaleProbe {
         s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""",
         s""""semdedup_floor16_exp":${f"${exp(d1vecs, d2vecs, c1("sem_floor").toDouble, c2("sem_floor").toDouble)}%.2f"}""",
         s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
-        s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""")
+        s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""",
+        s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

@@ -49,6 +49,7 @@ object SparkEntry {
       text.Bpe.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
+      sim.Ivf2.queries ++
       media.Multimodal.queries ++
       streaming.Streams.queries
 
@@ -72,6 +73,7 @@ object SparkEntry {
       text.Bpe.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
+      sim.Ivf2.oracle ++
       media.Multimodal.oracle ++
       streaming.Streams.oracle
 }

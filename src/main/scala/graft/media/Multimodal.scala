@@ -74,13 +74,21 @@ object Multimodal {
     * byte flipped 5-15 bits on homogeneous text payloads), while
     * adjacent-stripe comparisons localize damage — a single-byte edit
     * touches one stripe and therefore AT MOST its two adjacent
-    * comparisons, a provable ≤2-bit Hamming bound. A real
-    * implementation hashes decoded pixels; the kernel swap is one
-    * function, the pipeline around it is the real shape.
+    * comparisons, a provable ≤2-bit Hamming bound. Payloads shorter
+    * than 64 bytes are ZERO-PADDED to 64 before striping: below that
+    * length multiple stripes would share a byte (from = s*n/64
+    * collides) and one edit could flip more than two comparisons —
+    * padding gives every stripe its own byte so the locality bound
+    * holds unconditionally (tiling would NOT: a repeated byte appears
+    * in several stripes). A real implementation hashes decoded
+    * pixels; the kernel swap is one function, the pipeline around it
+    * is the real shape.
     */
-  private[graft] def dHash64(bytes: Array[Byte]): Long = {
+  private[graft] def dHash64(raw: Array[Byte]): Long = {
+    if (raw.length == 0) return 0L
+    val bytes =
+      if (raw.length >= 64) raw else java.util.Arrays.copyOf(raw, 64)
     val n = bytes.length
-    if (n == 0) return 0L
     val avg = new Array[Double](64)
     var s = 0
     while (s < 64) {

@@ -43,8 +43,14 @@ object Graph {
   val PrIters = 6
   val Damping = 0.85
 
-  /** Customer node ids offset into a disjoint range from suppliers. */
-  private val CustOffset = 1000000L
+  /** Customer node-id tag: high bit 40. An ADDITIVE offset is only
+    * disjoint while suppkey stays below the constant (a fixed 1e6
+    * broke past TPC-H sf100); the high-bit tag stays disjoint for any
+    * key below 2^40 ≈ 1.1e12 — comfortably above both key spaces at
+    * the 100 TB target (customers ~1.5e10 at sf100k) — with no
+    * per-corpus aggregate to derive it.
+    */
+  private val CustTag = 1L << 40
 
   /** Distinct supplier→customer edges, symmetrized. */
   private[graft] def edges(s: SparkSession, d: String): DataFrame = {
@@ -53,7 +59,7 @@ object Graph {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("a"),
-        (col("o_custkey") + CustOffset).as("b"))
+        col("o_custkey").bitwiseOR(CustTag).as("b"))
       .distinct()
     ab.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(ab.select(col("b").as("src"), col("a").as("dst")))

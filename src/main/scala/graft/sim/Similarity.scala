@@ -93,8 +93,8 @@ object Similarity {
     * IvfMaxFlatK (n ≈ 8.4e9) a single flat quantizer stops being
     * trainable; the standard path is the two-level composition (cell
     * id = (coarse, fine), each level-1 cell training its own level-2
-    * quantizer — this same code applied per partition), which the cap
-    * documents rather than hides.
+    * quantizer — this same code applied per partition), IMPLEMENTED
+    * in sim/Ivf2.scala (`q_sim_ann_ivf2`).
     */
   val IvfCellTarget = 128
   val IvfMaxFlatK = 1 << 16
@@ -416,8 +416,12 @@ object Similarity {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // rank on the ROUND-9 cosine: vr feeds the published rrf value,
+      // and a near-exact cosine tie between two candidates would flip
+      // ranks across engines on last-ulp fold-order noise — the same
+      // rationale the published values already round under
       val wv = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("nid"))
+        .orderBy(round(col("cos_sim"), 9).desc, col("nid"))
       val vrank = broadcast(q).join(e, col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
@@ -764,19 +768,19 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_sim_filtered_topk" ->
-      """SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
-        |  SELECT qid, nid, cos_sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
-        |  FROM (
-        |    SELECT q.vec_id AS qid, e.vec_id AS nid,
-        |      list_sum(list_transform(generate_series(1, len(q.embedding)),
-        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-        |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
-        |    FROM embeddings q JOIN embeddings e
-        |      ON e.vec_id != q.vec_id AND e.label = 3
-        |    WHERE q.vec_id < 8) pairs) ranked
-        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      s"""SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT qid, nid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+         |    FROM embeddings q JOIN embeddings e
+         |      ON e.vec_id != q.vec_id AND e.label = 3
+         |    WHERE q.vec_id < $QueryBatch) pairs) ranked
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH sets AS (${graft.text.Corpus.shingleSetsSql}),
          |sh AS (SELECT doc_id, unnest(sh) AS t FROM sets),
@@ -799,7 +803,7 @@ object Similarity {
          |  WHERE q.vec_id < 4),
          |vrank AS (
          |  SELECT qid, nid, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS vr
+         |    PARTITION BY qid ORDER BY round(cos_sim, 9) DESC, nid) AS BIGINT) AS vr
          |  FROM vsim),
          |fused AS (
          |  SELECT qid, nid,
@@ -813,18 +817,18 @@ object Similarity {
          |  FROM fused) f
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "q_sim_topk" ->
-      """SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
-        |  SELECT qid, nid, cos_sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
-        |  FROM (
-        |    SELECT q.vec_id AS qid, e.vec_id AS nid,
-        |      list_sum(list_transform(generate_series(1, len(q.embedding)),
-        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-        |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
-        |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-        |    WHERE q.vec_id < 8) pairs) ranked
-        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      s"""SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT qid, nid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |    WHERE q.vec_id < $QueryBatch) pairs) ranked
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         |  array_to_string(list_transform(e,

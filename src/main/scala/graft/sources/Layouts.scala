@@ -145,9 +145,12 @@ object Layouts {
 
   /** Read the layout as of version `ver`: live files = adds ≤ ver not
     * removed ≤ ver. Only the metadata log is collected; the data read
-    * is a plain parquet scan of exactly the live files (partition
-    * values ride in the data columns, so leaf-file reads need no
-    * directory inference).
+    * is a plain parquet scan of exactly the live files. NOTE:
+    * `partitionBy("o_year")` strips the partition column from the
+    * data files, and leaf-file reads do no directory inference — so
+    * snapshots surface orders WITHOUT `o_year`; a consumer that needs
+    * it must re-derive it (`year(o_orderdate)`, as q_time_travel and
+    * TimeTravelSpec do).
     */
   private[graft] def snapshot(s: SparkSession, d: String, ver: Long): DataFrame = {
     val dir = ensureTimeTravel(s, d)

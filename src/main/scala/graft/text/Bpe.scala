@@ -134,10 +134,19 @@ object Bpe {
       val vocab = wordFreq(s, d)
         .select(col("w"), length(col("w")).cast("long").as("wc"),
           bpeLen(col("w")).as("wb"))
+      // Broadcast GATED on measured vocabulary size, not hard-coded:
+      // an unconditional hint would force an over-threshold broadcast
+      // the day a corpus's distinct-word table outgrows executor
+      // memory (100k merges × a web-scale vocabulary). The count is
+      // one map-combined aggregate over the vocabulary — already the
+      // cheap side — and above the bound the hint disappears so
+      // AQE picks the join from runtime sizes.
+      val vocabRows = vocab.count()
+      val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
-        .join(broadcast(vocab), "w")
+        .join(dict, "w")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("wc")).as("n_chars"),
           sum(col("wb")).as("n_bpe"))

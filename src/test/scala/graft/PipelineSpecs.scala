@@ -201,6 +201,67 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** Two-level IVF contracts: the fine assignment must equal a plain
+  * argmin replay over the written centroids, the per-cell fine count
+  * must follow the occupancy law, and the two-level probe must not
+  * cost recall at test scale (kf at the floor ⇒ probing FineNProbe=2
+  * reads every fine cell, so recall ≥ the single-level pin).
+  */
+class Ivf2Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("fine assignment equals the brute-force argmin over the written centroids") {
+    val cents = sim.Ivf2.fineCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).map { case (c, rs) => c -> rs.sortBy(_._2) }
+    val idx = sim.Ivf2.ivf2Index(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2), r.getInt(3)))
+    assert(idx.nonEmpty)
+    idx.foreach { case (vid, emb, cell, fine) =>
+      val expected = cents(cell).map { case (_, f, cv) =>
+        var d2 = 0.0
+        var j = 0
+        while (j < emb.length) { val t = emb(j) - cv(j); d2 += t * t; j += 1 }
+        (d2, f)
+      }.min
+      assert(expected._2 == fine,
+        s"vec $vid cell $cell: assigned $fine, argmin ${expected._2}")
+    }
+  }
+
+  test("fine cell count per coarse cell follows the occupancy law") {
+    val members = sim.Similarity.ivfIndex(spark, sf)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fines = sim.Ivf2.fineCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2) }
+    assert(fines.nonEmpty)
+    fines.foreach { case (cell, ids) =>
+      val kf = sim.Ivf2.kfFor(members(cell))
+      // Lloyd clamps k to its sample size; ids are dense 0..count-1
+      assert(ids.length <= kf, s"cell $cell: ${ids.length} fine > kf $kf")
+      assert(ids.sorted.toSeq == (0 until ids.length),
+        s"cell $cell fine ids not dense: ${ids.sorted.toSeq}")
+    }
+  }
+
+  test("two-level probe reaches >= 0.5 recall vs brute-force top-5") {
+    val topk = run("q_sim_topk").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = run("q_sim_ann_ivf2").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (topk intersect ivf2).size.toDouble / topk.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // at the kf floor the fine probe reads every fine cell, so the
+    // result must EQUAL single-level IVF's — the pruning is free here
+    val ivf1 = run("q_sim_ann_ivf").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 == ivf1, s"ivf2-only: ${ivf2 -- ivf1}; ivf1-only: ${ivf1 -- ivf2}")
+  }
+}
+
 class AnnSpec extends SparkSpec {
   test("IVF top-k is deterministic (seeded KMeans) and rank-valid") {
     val a = run("q_sim_ann_ivf").collect().toSeq
@@ -622,6 +683,11 @@ class TransformWithStateSpec extends SparkSpec {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("event_type", "bucket")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gap_spec_").toString
+    // transformWithState needs column families -> RocksDB provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = sess.conf.getOption(provKey)
+    sess.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("graft_gap_sparse").option("checkpointLocation", ckpt).start()
     try {
@@ -647,6 +713,10 @@ class TransformWithStateSpec extends SparkSpec {
         s"sparse zeros: $sparseZeros")
     } finally {
       q.stop()
+      prevProv match {
+        case Some(p) => sess.conf.set(provKey, p)
+        case None => sess.conf.unset(provKey)
+      }
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(ckpt)
       java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -943,7 +1013,7 @@ class AnalyticsSpec extends SparkSpec {
     import sess.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bigid_").toString
     val docs = (0 until 50).map { i =>
-      val id = 200000L + i * 7  // %7==3 and %7==4 both hit across the range
+      val id = 200000L + i  // consecutive ids: %7==3 and %7==4 both hit
       (id, s"document body number $i", "en", "bigid", 20L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")

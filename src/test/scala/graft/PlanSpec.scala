@@ -218,6 +218,19 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruningexpression(cell"), p)
   }
 
+  test("two-level IVF search prunes BOTH partition levels at the scan") {
+    val p = plan("q_sim_ann_ivf2")
+    assert(p.contains("ivf2_index_"), p)
+    // both partition columns carry a dynamic pruning expression from
+    // the broadcast probe side — the scan reads only the probed
+    // (cell, fine) directories. (The explain string truncates the
+    // PartitionFilters list, so count the pruning subqueries instead
+    // of matching each column by name.)
+    assert(p.contains("dynamicpruningexpression(cell"), p)
+    val nPrune = "dynamicpruning#".r.findAllIn(p).size
+    assert(nPrune >= 2, s"expected 2 pruning subqueries, saw $nPrune:\n$p")
+  }
+
   test("JSON queries read the parsed-events layout and never re-parse") {
     Seq("q_json_funcs", "q_map_funcs").foreach { q =>
       val p = plan(q)

@@ -263,8 +263,11 @@ class DHashPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  // From length 1: sub-64 payloads are zero-padded inside dHash64 so
+  // the ≤2-bit single-edit bound holds unconditionally — the floor
+  // this generator used to carry (64) would have masked that case.
   private val payloadGen: Gen[Array[Byte]] =
-    Gen.chooseNum(64, 2048).flatMap(n =>
+    Gen.chooseNum(1, 2048).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126)).map(_.map(_.toByte).toArray))
 
   test("single-byte substitution flips at most 2 dHash bits") {
