@@ -34,6 +34,9 @@ object Corpus {
     */
   val ShuffleShards = 4096
 
+  /** q_span_corruption mask rate, per-mille (T5's default is 15%). */
+  val MaskPm = 150
+
   /** Docs per prefix-sum sub-shard (q_seq_pack / q_quantile_bucket).
     * `doc_id div SubShardDocs` is monotone in doc_id, so ordering by
     * (sub, doc_id) equals ordering by doc_id — which is what lets a
@@ -345,6 +348,55 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): turn each
+    // document into a (input, target) denoising pair — ~15% of token
+    // positions are masked, contiguous masked runs collapse to one
+    // numbered sentinel in the input, and the target lists each
+    // sentinel followed by the tokens it hides. This is the op that
+    // turns a cleaned corpus into seq2seq pretraining examples. The
+    // mask decision is the shared md5-bucket idiom (hash of
+    // doc_id:pos:salt — no RNG state, byte-identical in DuckDB), runs
+    // come from one per-doc gaps-and-islands window (documents are
+    // KB-bounded, so per-doc partitions are the natural grain — the
+    // q_dedup_spans precedent), and the rebuild is an ordered
+    // null-skipping string_agg in both engines. Tokens cross the
+    // exchange exactly once — unavoidable, the output IS rebuilt
+    // text. Fully oracled.
+    "q_span_corruption" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sentinel = concat(lit("<extra_id_"),
+        (col("run_id") - 1).cast("string"), lit(">"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("masked",
+          hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string"), lit(":sc42")), 1, 1000) < MaskPm)
+        .withColumn("run_start", col("masked") &&
+          !coalesce(lag(col("masked"), 1).over(wDoc), lit(false)))
+        .withColumn("run_id",
+          sum(when(col("run_start"), 1L).otherwise(0L)).over(wRun))
+        .select(col("doc_id"), col("pos"),
+          when(!col("masked"), col("tok"))
+            .when(col("run_start"), sentinel).as("in_piece"),
+          when(col("masked"),
+            when(col("run_start"), concat(sentinel, lit(" "), col("tok")))
+              .otherwise(col("tok"))).as("tgt_piece"))
+        .groupBy(col("doc_id"))
+        .agg(
+          concat_ws(" ", expr(
+            """transform(filter(array_sort(collect_list(struct(pos, in_piece))),
+              |  x -> x.in_piece is not null), x -> x.in_piece)""".stripMargin))
+            .as("input"),
+          concat_ws(" ", expr(
+            """transform(filter(array_sort(collect_list(struct(pos, tgt_piece))),
+              |  x -> x.tgt_piece is not null), x -> x.tgt_piece)""".stripMargin))
+            .as("target"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length histogram: fixed-width n_chars buckets per language —
     // the corpus-profiling pass that drives chunking and filter
     // thresholds. Bounded output (langs × 10 buckets); map-side
@@ -368,6 +420,42 @@ object Corpus {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) toks""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_span_corruption" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS tok
+         |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |              FROM documents) t) u),
+         |flagged AS (
+         |  SELECT doc_id, pos, tok,
+         |    ('0x' || substr(md5(doc_id || ':' || pos || ':sc42'), 1, 4))::BIGINT
+         |      % 1000 < $MaskPm AS masked
+         |  FROM toks),
+         |starts AS (
+         |  SELECT doc_id, pos, tok, masked,
+         |    masked AND NOT coalesce(lag(masked) OVER
+         |      (PARTITION BY doc_id ORDER BY pos), false) AS run_start
+         |  FROM flagged),
+         |runs AS (
+         |  SELECT doc_id, pos, tok, masked, run_start,
+         |    sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |  FROM starts),
+         |pieces AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN NOT masked THEN tok
+         |         WHEN run_start THEN '<extra_id_' || (run_id - 1) || '>'
+         |    END AS in_piece,
+         |    CASE WHEN masked AND run_start
+         |           THEN '<extra_id_' || (run_id - 1) || '> ' || tok
+         |         WHEN masked THEN tok
+         |    END AS tgt_piece
+         |  FROM runs)
+         |SELECT doc_id,
+         |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input,
+         |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
+         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sets AS ($shingleSetsSql),
          |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),

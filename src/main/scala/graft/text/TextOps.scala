@@ -119,6 +119,46 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // MODEL-BASED quality filter — the fixed-weight logistic
+    // classifier standing in for CCNet/GPT-3's fastText quality model:
+    // score = σ(b + w·x) over interpretable, integer-derived features
+    // (stopword ratio, mean token length, duplicate-token ratio), all
+    // from the single-pass TextStats kernel + one array_distinct —
+    // zero shuffle, one codegen'd projection per row at any corpus
+    // size; the learned-weights swap is a constant edit, the pipeline
+    // is the real shape. Feature arithmetic is single IEEE ops off
+    // integer counts, the sigmoid is one exp + divide mirrored
+    // operand-for-operand in DuckDB, and the keep/drop decision
+    // thresholds the ROUND-9 score (the q_dedup_embed lesson: a
+    // last-ulp exp divergence must not flip a boundary label) —
+    // fully oracled.
+    "q_quality_logistic" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val z = lit(1.3) + lit(3.0) * col("stop_ratio") +
+        lit(0.15) * col("avg_len") - lit(4.0) * col("dup_ratio")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("text_stats(split(text, ' '))").as("st"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct"))
+        .select(col("doc_id"),
+          (col("st.n_stop").cast("double") / col("st.n_tokens"))
+            .as("stop_ratio"),
+          (col("st.char_sum").cast("double") / col("st.n_tokens"))
+            .as("avg_len"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("st.n_tokens"))
+            .as("dup_ratio"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+        .select(col("doc_id"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("avg_len"), 6).as("avg_len"),
+          round(col("dup_ratio"), 6).as("dup_ratio"),
+          round(col("score"), 6).as("score"),
+          when(round(col("score"), 9) >= 0.5, "keep").otherwise("drop")
+            .as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic: function-word density → 'en-like' vs
     // 'unknown'. (The corpus `lang` column is the labeled comparison.)
     "q_lang_guess" -> ((s, d) => {
@@ -415,6 +455,30 @@ object TextOps {
          |FROM (SELECT doc_id, list_transform(string_split(text, ' '),
          |    t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % $FeatureDim) AS bks
          |  FROM documents) hashed
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_logistic" ->
+      s"""SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+         |  round(avg_len, 6) AS avg_len, round(dup_ratio, 6) AS dup_ratio,
+         |  round(score, 6) AS score,
+         |  CASE WHEN round(score, 9) >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+         |FROM (SELECT doc_id, stop_ratio, avg_len, dup_ratio,
+         |        1.0 / (1.0 + exp(-(1.3 + 3.0 * stop_ratio
+         |          + 0.15 * avg_len - 4.0 * dup_ratio))) AS score
+         |      FROM (SELECT doc_id,
+         |              CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |              CAST(char_sum AS DOUBLE) / n_tokens AS avg_len,
+         |              1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio
+         |            FROM (SELECT doc_id,
+         |                    CAST(len(string_split(text, ' ')) AS BIGINT)
+         |                      AS n_tokens,
+         |                    CAST(len(list_filter(string_split(text, ' '),
+         |                      x -> list_contains($stopSql, x))) AS BIGINT)
+         |                      AS n_stop,
+         |                    CAST(list_sum(list_transform(string_split(text, ' '),
+         |                      x -> len(x))) AS BIGINT) AS char_sum,
+         |                    CAST(len(list_distinct(string_split(text, ' ')))
+         |                      AS BIGINT) AS n_distinct
+         |                  FROM documents) f) feats) scored
          |ORDER BY doc_id""".stripMargin,
     "q_domain_stats" ->
       s"""SELECT source, n_docs, n_tokens, n_stop,

@@ -201,6 +201,78 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** Span-corruption contract: the (input, target) pair must be a
+  * LOSSLESS encoding — substituting each sentinel's target tokens
+  * back into the input reproduces the original document exactly —
+  * with the mask rate near the configured 15% and sentinel numbering
+  * dense per document.
+  */
+class CorruptionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val sent = "<extra_id_(\\d+)>".r
+
+  test("substituting targets back into input reproduces every document") {
+    val orig = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q_span_corruption").collect()
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val (id, input, target) = (r.getLong(0), r.getString(1), r.getString(2))
+      val runs = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case sent(k) => cur = k.toInt; runs(cur) = Vector()
+        case tok => runs(cur) = runs(cur) :+ tok
+      }
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toVector.flatMap {
+        case sent(k) => runs(k.toInt)
+        case tok => Vector(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reconstruction mismatch")
+    }
+  }
+
+  test("mask rate tracks the 15% knob and sentinels number densely") {
+    val rows = run("q_span_corruption").collect()
+    var masked = 0L
+    rows.foreach { r =>
+      val target = r.getString(2)
+      val input = r.getString(1)
+      masked += target.split(" ").count(t => t.nonEmpty && sent.findFirstIn(t).isEmpty)
+      val ids = sent.findAllMatchIn(input).map(_.group(1).toInt).toVector
+      assert(ids == ids.indices.toVector, s"doc ${r.getLong(0)} sentinels $ids")
+    }
+    val tokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0).toLong).sum
+    val rate = masked.toDouble / tokens
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+  }
+}
+
+/** Logistic quality filter: the published score must replay through
+  * the same sigmoid from the published features, and the label must
+  * be the thresholded score.
+  */
+class QualityLogisticSpec extends SparkSpec {
+  test("score replays from features; label thresholds the score; both classes occur") {
+    val rows = run("q_quality_logistic").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sr, al, dr, score, label) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))
+      val z = 1.3 + 3.0 * sr + 0.15 * al - 4.0 * dr
+      val replay = 1.0 / (1.0 + math.exp(-z))
+      // features are round-6 published, so the replay agrees to ~1e-5
+      assert(math.abs(replay - score) < 1e-4,
+        s"doc ${r.getLong(0)}: score $score vs replay $replay")
+      assert(score > 0.0 && score < 1.0)
+      assert(label == (if (score >= 0.5) "keep" else "drop"))
+    }
+    val labels = rows.map(_.getString(5)).toSet
+    assert(labels == Set("keep", "drop"), s"degenerate split: $labels")
+  }
+}
+
 /** Two-level IVF contracts: the fine assignment must equal a plain
   * argmin replay over the written centroids, the per-cell fine count
   * must follow the occupancy law, and the two-level probe must not
