@@ -339,6 +339,44 @@ object Layouts {
           graft.Exact.sumMoney(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))),
 
+    // VACUUM / retention over the versioned layout — the lifecycle
+    // step after delete/compact/clone: pick a retention horizon
+    // (here: the current version, 1), and every file that only
+    // versions BELOW the horizon reference becomes reclaimable —
+    // exactly Delta VACUUM's contract (time travel below the horizon
+    // is given up; every snapshot at or above it stays byte-complete).
+    // Resolution is pure metadata: reclaimable = remove-actions ≤
+    // horizon (their adds are strictly older), live = adds ≤ horizon
+    // minus those removes — the data files are never opened, and the
+    // only driver-side work is the KB-scale path list (the same
+    // budget as snapshot()). Published as the AUDIT manifest
+    // (category, file count, bytes); the physical delete is a trivial
+    // rm over the reclaim list, withheld here so earlier versions
+    // stay readable for q_time_travel in the same warehouse.
+    // Rows-only (file counts depend on write parallelism);
+    // VacuumSpec pins the partition: reclaimable ∪ live = all
+    // referenced files, reclaimable ∩ snapshot(horizon) = ∅, and
+    // snapshot(0) is the one that needs the reclaimed bytes.
+    "q_layout_vacuum" -> ((s, d) => {
+      val dir = ensureTimeTravel(s, d)
+      val log = s.read.parquet(s"$dir/_log")
+      val horizon = 1L
+      val removed = log
+        .filter(col("action") === "remove" && col("ver") <= horizon)
+        .select(col("path"))
+      val live = log
+        .filter(col("action") === "add" && col("ver") <= horizon)
+        .select(col("path")).except(removed)
+      def summarize(df: DataFrame, label: String): DataFrame = {
+        val paths = df.collect().map(_.getString(0).stripPrefix("file:"))
+        val bytes = paths.map(p => new java.io.File(p).length()).sum
+        s.createDataFrame(Seq((label, paths.length.toLong, bytes)))
+          .toDF("category", "n_files", "bytes")
+      }
+      summarize(removed, "reclaimable").unionAll(summarize(live, "live"))
+        .orderBy(col("category"))
+    }),
+
     // Z-order (Morton-curve) clustering vs linear clustering, judged
     // by the zone maps it produces — the Delta `OPTIMIZE ZORDER BY` /
     // Iceberg sort-order decision, computed rather than asserted.

@@ -201,6 +201,38 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** Vacuum contract: the reclaim set is exactly the files only
+  * pre-horizon versions reference — disjoint from the horizon
+  * snapshot's live set, contained in version 0's file set, and the
+  * published counts match an independent metadata resolve.
+  */
+class VacuumSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("reclaimable files are v0-only; live files fully serve the horizon snapshot") {
+    val dir = sources.Layouts.ensureTimeTravel(spark, sf)
+    val log = spark.read.parquet(s"$dir/_log").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val removed = log.collect { case (v, "remove", p) if v <= 1 => p }.toSet
+    val adds = log.collect { case (v, "add", p) if v <= 1 => p }.toSet
+    val v0Files = log.collect { case (0L, "add", p) => p }.toSet
+    val live = adds -- removed
+    assert(removed.nonEmpty && live.nonEmpty)
+    assert(removed.subsetOf(v0Files), "reclaim must only hurt pre-horizon versions")
+    assert(removed.intersect(live).isEmpty)
+    val rows = run("q_layout_vacuum").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("reclaimable")._1 == removed.size)
+    assert(rows("live")._1 == live.size)
+    assert(rows("reclaimable")._2 > 0 && rows("live")._2 > 0)
+    // the horizon snapshot reads exactly the live set — so a vacuum
+    // that deletes the reclaim list cannot touch it
+    val snap1 = sources.Layouts.snapshot(spark, sf, 1L).count()
+    val fromLive = spark.read.parquet(live.toSeq.map(_.stripPrefix("file:")): _*).count()
+    assert(snap1 == fromLive)
+  }
+}
+
 /** Span-corruption contract: the (input, target) pair must be a
   * LOSSLESS encoding — substituting each sentinel's target tokens
   * back into the input reproduces the original document exactly —

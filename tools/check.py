@@ -39,7 +39,7 @@ ROWS_ONLY = {
     "q_stream_stream_full",
     "q_sim_knn_graph", "q_heavy_hitters", "q_stream_gap_timers",
     "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
-    "q_compact_files", "q_sim_ann_ivf_pq",
+    "q_compact_files", "q_sim_ann_ivf_pq", "q_layout_vacuum",
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
     "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
