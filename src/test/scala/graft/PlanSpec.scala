@@ -463,3 +463,34 @@ class Round8TailPlanSpec extends SparkSpec {
     assert(!joinLines.exists(_.contains("payload")), p)
   }
 }
+
+/** Plan pins for the round-9 additions. */
+class Round9PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("logistic quality filter is a pure codegen map — only the sink sort exchanges") {
+    val p = plan("q_quality_logistic")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("span corruption shuffles tokens exactly once; windows and the rebuild share it") {
+    val p = plan("q_span_corruption")
+    val n = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"$n hash exchanges:\n$p")
+    // the rebuild aggregate combines map-side on the window's layout
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("vacuum publishes from collected metadata — no data file in the final plan") {
+    // the log resolve runs eagerly at build time (KB-scale path
+    // lists); the published manifest must be a local relation that
+    // never scans the versioned data files
+    val p = plan("q_layout_vacuum")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+}
