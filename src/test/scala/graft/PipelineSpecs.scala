@@ -1115,7 +1115,10 @@ class AnalyticsSpec extends SparkSpec {
     // with the old +100000/+200000 offsets.
     val sess = spark
     import sess.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bigid_").toString
+    // FIXED fixture path: a per-run random dir would leak one
+    // fp_registry warehouse layout per test run (ensureLayout keys on
+    // the data dir); a stable path reuses one.
+    val tmp = "/tmp/graft_bigid_fixture"
     val docs = (0 until 50).map { i =>
       val id = 200000L + i  // consecutive ids: %7==3 and %7==4 both hit
       (id, s"document body number $i", "en", "bigid", 20L)
