@@ -109,6 +109,47 @@ object Multimodal {
     h
   }
 
+  /** q_media_audio_vad window width: 16 payload bytes = one 1 ms
+    * frame at the 16 kB/s stand-in rate. Window energies are k/16
+    * with k an integer sum of byte values — exactly representable
+    * doubles whose partial sums are order-independent, which is what
+    * makes the active-threshold compare engine-exact.
+    */
+  val VadWindowBytes = 16
+
+  /** q_media_scene_cut Hamming threshold: identical stub frames hash
+    * identically (distance 0); a content jump between 64-byte blocks
+    * of the byte stream lands near 32 — 10 splits the two regimes
+    * with wide margin on both sides.
+    */
+  val CutThreshold = 10
+
+  /** Per-video frame rows (frame_idx, ts_ms, scene_id) for
+    * q_media_scene_cut — ALL sequential logic local to one row's
+    * payload. Stub frame f's content is the 64-byte block at
+    * ((f / shotLen) * 64) mod span: runs of shotLen identical frames
+    * (a static shot) with a content jump at each shot boundary; the
+    * kernel swap for real decoded frames is this one function.
+    */
+  private[graft] def sceneFrames(id: Long, payload: Array[Byte])
+      : Seq[(Long, Long, Long, Long)] = {
+    val n = payload.length
+    if (n == 0) return Seq((id, 0L, 0L, 0L))
+    val nFrames = (1L + n % 240L).toInt
+    val span = math.max(1, n - 63)
+    val shotLen = 4 + (n % 5)
+    var scene = 0L
+    var prev = 0L
+    (0 until nFrames).map { f =>
+      val off = ((f / shotLen) * 64) % span
+      val h = dHash64(java.util.Arrays.copyOfRange(payload, off,
+        math.min(n, off + 64)))
+      if (f > 0 && java.lang.Long.bitCount(h ^ prev) > CutThreshold) scene += 1
+      prev = h
+      (id, f.toLong, f * 40L, scene)
+    }
+  }
+
   private def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -220,10 +261,112 @@ object Multimodal {
           explode(slice(sequence(lit(0L), col("n_frames") - 1L, col("step")),
             1, 8)).as("frame_idx"))
         .withColumn("ts_ms", col("frame_idx") * 40L)
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // SHOT-BOUNDARY (scene-cut) detection for video rows — the
+    // segmentation pass a video training pipeline runs before frame
+    // extraction (sample a few frames PER SHOT, not per fixed
+    // interval, or a static shot floods the dataset with near-dup
+    // frames). Per video, every frame hashes to 64 bits (the dHash
+    // kernel over the stub frame content — a real implementation
+    // hands decoded frames to the same hash) and a cut fires where
+    // consecutive frames' Hamming distance exceeds CutThreshold; the
+    // running cut count is the frame's scene id. ALL per-video
+    // sequential logic runs inside ONE mapPartitions pass over the
+    // video's own row — frames of a video never cross a partition,
+    // payload bytes never shuffle, and only thin (doc_id, frame_idx,
+    // ts_ms, scene_id) rows come out: at 100 TB the exchange is the
+    // sink sort, nothing else. Stub frame content is block-aligned
+    // slices advancing every shotLen frames, so shots are runs of
+    // identical frames with content jumps at boundaries — the replay
+    // spec recomputes cuts from the payload bytes independently.
+    // Rows-only (per-byte kernel).
+    "q_media_scene_cut" -> ((s, d) => {
+      import s.implicits._
+      mediaRecords(s, d)
+        .filter(_.media_type == "video")
+        .mapPartitions(_.flatMap(m => sceneFrames(m.doc_id, m.payload)))
+        .toDF("doc_id", "frame_idx", "ts_ms", "scene_id")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // VOICE-ACTIVITY segmentation for audio rows — the VAD pass a
+    // speech pipeline runs before transcription/training (silence
+    // carries no training signal; segment boundaries define the
+    // utterances). The payload byte stream stands in for 16 kB/s
+    // PCM: each 16-byte window is one 1 ms frame whose "energy" is
+    // its mean byte value (a fixed 16-term codegen'd sum of
+    // ascii(substr) — bytes ARE chars here, so DuckDB mirrors it
+    // exactly and the query is FULLY ORACLED, unique in the
+    // multimodal family); a window is active when its energy exceeds
+    // the document's mean (energies are exact multiples of 1/16, so
+    // the threshold compare is order-independent and engine-exact),
+    // and adjacent active windows merge gaps-and-islands style into
+    // published (start_ms, end_ms) segments. Per-doc windows are
+    // KB-bounded; the only exchange carries thin (doc_id, w, energy)
+    // rows.
+    "q_media_audio_vad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = VadWindowBytes
+      val energySum = (0 until W).map(i =>
+        ascii(substring(col("text"), col("w") * W + i + 1, lit(1)))).reduce(_ + _)
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .filter(col("source") === "src1" && octet_length(col("text")) >= W)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            (octet_length(col("text")) / W - 1).cast("int"))).as("w"))
+        .withColumn("energy", energySum.cast("double") / W)
+        .select(col("doc_id"), col("w"), col("energy"))
+        .withColumn("doc_mean", avg(col("energy")).over(wDoc))
+        .filter(col("energy") > col("doc_mean"))
+        .withColumn("brk",
+          when(col("w") - lag(col("w"), 1).over(wOrd) > 1, 1).otherwise(0))
+        .withColumn("seg", sum(col("brk")).over(wRun).cast("long"))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(min(col("w")).cast("long").as("start_ms"),
+          (max(col("w")) + 1L).as("end_ms"),
+          count(lit(1)).as("n_windows"))
+        .orderBy(col("doc_id"), col("seg"))
+    })
   )
 
+  private val vadEnergyTerms = (1 to VadWindowBytes)
+    .map(k => s"ascii(substr(text, i*$VadWindowBytes + $k, 1))")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_media_audio_vad" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE source = 'src1' AND strlen(text) >= $VadWindowBytes),
+         |wins AS (
+         |  SELECT doc_id, CAST(i AS INT) AS w,
+         |    ($vadEnergyTerms) / 16.0 AS energy
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(0, strlen(text) // $VadWindowBytes - 1)) AS i
+         |        FROM aud) t),
+         |act AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, w, energy,
+         |      avg(energy) OVER (PARTITION BY doc_id) AS m FROM wins) x
+         |  WHERE energy > m),
+         |brk AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN w - lag(w) OVER (PARTITION BY doc_id ORDER BY w) > 1
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM act),
+         |isl AS (
+         |  SELECT doc_id, w,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |  FROM brk)
+         |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+         |  CAST(min(w) AS BIGINT) AS start_ms,
+         |  CAST(max(w) + 1 AS BIGINT) AS end_ms, count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN source = 'src0' THEN 'image'

@@ -28,7 +28,7 @@ class EntrySpec extends AnyFunSuite {
       "q_sim_ivf_append", "q_compact_files", "q_layout_vacuum",
       "q_sim_ann_ivf_pq", "q_sim_ann_ivf2", "q_hll_partial_union",
       "q_decontaminate_fuzzy", "q_bpe_merges", "q_bpe_encode",
-      "q_graph_pagerank", "q_media_phash_dedup",
+      "q_graph_pagerank", "q_media_phash_dedup", "q_media_scene_cut",
       "q_weighted_sample", "q_join_card_est"), rowsOnly.toSeq.sorted)
   }
 }

@@ -201,6 +201,76 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** Scene-cut contract: the distributed kernel's frame/scene rows
+  * must equal an independent replay from the payload bytes, with
+  * scene ids counting exactly the above-threshold Hamming jumps.
+  */
+class SceneCutSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("scene ids replay from payload bytes; cuts are exactly the hash jumps") {
+    val payloads = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0" && col("source") =!= "src1")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val rows = run("q_media_scene_cut").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == payloads.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val got = rs.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
+      val replay = media.Multimodal.sceneFrames(id, payloads(id))
+        .map(t => (t._2, t._3, t._4))
+      assert(got == replay, s"doc $id")
+      // scene ids start at 0, move by 0 or 1, and at least one video
+      // in the corpus has a real cut
+      assert(got.head._3 == 0L)
+      got.zip(got.tail).foreach { case (a, b) =>
+        assert(b._3 - a._3 == 0L || b._3 - a._3 == 1L) }
+    }
+    assert(rows.map(_._4).max > 0, "no video has any scene cut")
+  }
+}
+
+/** VAD contract: published segments are maximal runs of
+  * above-doc-mean windows, re-derived independently from the text
+  * bytes.
+  */
+class VadSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("segments are exactly the maximal above-mean runs") {
+    val W = media.Multimodal.VadWindowBytes
+    val docs = Tables.documents(spark, sf)
+      .filter(col("source") === "src1").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val nw = b.length / W
+      if (nw == 0) Nil
+      else {
+        val energy = (0 until nw).map(w =>
+          (w * W until (w + 1) * W).map(i => (b(i) & 0xFF)).sum.toDouble / W)
+        val mean = energy.sum / nw
+        val active = (0 until nw).filter(w => energy(w) > mean)
+        // gaps-and-islands over the active window indices
+        val segs = active.foldLeft(Vector.empty[Vector[Int]]) { (acc, w) =>
+          if (acc.nonEmpty && acc.last.last == w - 1)
+            acc.init :+ (acc.last :+ w)
+          else acc :+ Vector(w)
+        }
+        segs.map(seg => (id, seg.head.toLong, seg.last.toLong + 1, seg.length.toLong))
+      }
+    }.toSet
+    val got = run("q_media_audio_vad").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"only-got: ${got -- expected}; only-expected: ${expected -- got}")
+    assert(got.nonEmpty)
+  }
+}
+
 /** Vacuum contract: the reclaim set is exactly the files only
   * pre-horizon versions reference — disjoint from the horizon
   * snapshot's live set, contained in version 0's file set, and the

@@ -42,6 +42,7 @@ ROWS_ONLY = {
     "q_compact_files", "q_sim_ann_ivf_pq", "q_layout_vacuum",
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
     "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
+    "q_media_scene_cut",
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
 }
 
