@@ -100,10 +100,45 @@ object Advanced {
             .as("centroid"),
           size(col("centroid")).cast("long").as("dim"))
         .orderBy(col("label"))
+    }),
+
+    // RECURSIVE CTE hierarchy walk (`WITH RECURSIVE`, new engine
+    // surface in Spark 4): every document walks its ancestor chain in
+    // the implicit binary tree parent(n) = n div 2 — the
+    // thread-ancestry / taxonomy-rollup traversal shape (conversation
+    // trees, category hierarchies) expressed in the QUERY LANGUAGE
+    // rather than a hand-rolled loop (contrast q_graph_pagerank /
+    // connected components, which drive iteration from the driver).
+    // Scale: each recursion step is one thin (doc_id, node, depth)
+    // projection and the depth is log2(max id) — 64 steps bound the
+    // walk at ANY corpus size, and Catalyst plans each step as an
+    // ordinary union increment. Fully oracled (DuckDB WITH RECURSIVE
+    // mirrors verbatim; the per-doc aggregate casts away HUGEINT).
+    "q_recursive_ancestry" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("graft_rec_docs")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT doc_id, doc_id AS node, 0 AS depth FROM graft_rec_docs
+          |  UNION ALL
+          |  SELECT doc_id, node DIV 2, depth + 1 FROM anc WHERE node > 1)
+          |SELECT doc_id, CAST(max(depth) AS BIGINT) AS walk_depth,
+          |  CAST(count(*) AS BIGINT) AS n_nodes,
+          |  CAST(sum(node) AS BIGINT) AS path_sum
+          |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_recursive_ancestry" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, node // 2, depth + 1 FROM anc WHERE node > 1)
+        |SELECT doc_id, CAST(max(depth) AS BIGINT) AS walk_depth,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_topk_agg" ->
       """SELECT event_type, CAST(rk AS BIGINT) AS rk, value, event_id FROM (
         |  SELECT event_type, value, event_id,

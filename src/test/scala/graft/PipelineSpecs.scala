@@ -201,6 +201,30 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** Recursive-CTE contract: the halving walk's closed form —
+  * walk_depth = floor(log2(id)), n_nodes = depth + 1, path_sum =
+  * the exact ancestor-chain sum — for every document.
+  */
+class RecursiveCteSpec extends SparkSpec {
+  test("ancestry walk matches the closed-form replay for every doc") {
+    val rows = run("q_recursive_ancestry").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, depth, n, sum) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val chain = Iterator.iterate(id)(_ / 2)
+        .takeWhile(_ > 1).toVector ++ (if (id >= 1) Vector(1L) else Vector())
+      val expChain = if (id == 0) Vector(0L) else chain
+      assert(depth == expChain.length - 1, s"doc $id depth")
+      assert(n == expChain.length, s"doc $id n_nodes")
+      assert(sum == expChain.sum, s"doc $id path_sum")
+      if (id >= 1)
+        assert(depth == (63 - java.lang.Long.numberOfLeadingZeros(id)),
+          s"doc $id log2 law")
+    }
+  }
+}
+
 /** Scene-cut contract: the distributed kernel's frame/scene rows
   * must equal an independent replay from the payload bytes, with
   * scene ids counting exactly the above-threshold Hamming jumps.
