@@ -283,9 +283,15 @@ object Multimodal {
     // Rows-only (per-byte kernel).
     "q_media_scene_cut" -> ((s, d) => {
       import s.implicits._
-      mediaRecords(s, d)
-        .filter(_.media_type == "video")
-        .mapPartitions(_.flatMap(m => sceneFrames(m.doc_id, m.payload)))
+      // video = every non-image, non-audio source: filtered on the
+      // raw source COLUMN (not the derived media_type or a typed
+      // lambda) so the predicate pushes into the parquet scan and
+      // image/audio rows are never read, let alone deserialized
+      Tables.documents(s, d)
+        .filter(col("source") =!= "src0" && col("source") =!= "src1")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, p) => sceneFrames(id, p) })
         .toDF("doc_id", "frame_idx", "ts_ms", "scene_id")
         .orderBy(col("doc_id"), col("frame_idx"))
     }),

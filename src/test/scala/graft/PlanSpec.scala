@@ -485,6 +485,27 @@ class Round9PlanSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p)
   }
 
+  test("scene cut is one mapPartitions pass; the source filter pushes to the scan") {
+    val p = plan("q_media_scene_cut")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("Not(EqualTo(source,src0))"), p)
+  }
+
+  test("audio VAD shares one doc_id exchange across all three windows and the agg") {
+    val p = plan("q_media_audio_vad")
+    val n = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"$n hash exchanges:\n$p")
+    assert(p.contains("EqualTo(source,src1)"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("recursive ancestry aggregates map-side before its one exchange") {
+    val p = plan("q_recursive_ancestry")
+    assert(p.contains("UnionLoop"), p)
+    assert(p.contains("partial_max"), p)
+  }
+
   test("vacuum publishes from collected metadata — no data file in the final plan") {
     // the log resolve runs eagerly at build time (KB-scale path
     // lists); the published manifest must be a local relation that
