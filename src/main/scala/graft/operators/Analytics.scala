@@ -24,6 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** q_ewma truncation depth and the exact (3/4)^j weight literals.
+    * Powers of 3/4 are finite decimal fractions, hence exactly
+    * representable doubles — both engines parse identical weights, so
+    * the whole EWMA arithmetic is the same IEEE ops in the same order.
+    * The num/den/n_prev fragments are SHARED between the Spark
+    * selectExpr and the DuckDB oracle (identical window syntax), which
+    * makes cross-engine drift structurally impossible.
+    */
+  val EwmaK = 8
+  private val ewmaW: IndexedSeq[String] =
+    (0 until EwmaK).map(j =>
+      java.math.BigDecimal.valueOf(0.75).pow(j).toPlainString)
+  private val ewmaOver = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+  private val ewmaNumSql: String =
+    (s"value * ${ewmaW(0)}" +:
+      (1 until EwmaK).map(j =>
+        s"coalesce(lag(value, $j) $ewmaOver * ${ewmaW(j)}, 0.0)")).mkString(" + ")
+  private val ewmaDenSql: String =
+    (ewmaW(0) +:
+      (1 until EwmaK).map(j =>
+        s"(CASE WHEN lag(value, $j) $ewmaOver IS NULL THEN 0.0 ELSE ${ewmaW(j)} END)"))
+      .mkString(" + ")
+  private val ewmaNPrevSql: String =
+    (1 until EwmaK).map(j =>
+      s"(CASE WHEN lag(value, $j) $ewmaOver IS NULL THEN 0 ELSE 1 END)")
+      .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Weekly cohort retention: cohort = a user's first active ISO week;
     // cell (cohort_w, week_n) = distinct users from that cohort active
@@ -70,6 +97,55 @@ object Analytics {
           col("z"))
         .orderBy(col("event_id"))
     }),
+
+    // Robust (median/MAD) anomaly scoring — the heavy-tail twin of
+    // q_anomaly_zscore: mean/std move with the outliers they hunt,
+    // medians don't (50% breakdown point), so the modified z-score
+    // 0.6745·(x−med)/MAD (Iglewicz–Hoaglin) flags tails a
+    // contaminated std misses. Shape: two bounded aggregates — exact
+    // per-type medians via sort-based percentile over each type's
+    // values, then the MAD over broadcast-joined deviations — and the
+    // 5-row moment tables broadcast back over the fact scan: the fact
+    // side never shuffles, same as the z-score. (At extreme per-key
+    // cardinality the exact median swaps for approx_percentile the
+    // way q_profile_table_approx twins the exact profile.) The
+    // published score is rounded: the two engines' quantile
+    // interpolation formulas (lo·(1−f)+hi·f vs lo+f·(hi−lo)) can
+    // differ in the last ulp.
+    "q_anomaly_mad" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("rz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("rz"), 6).as("rz"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Truncated exponentially-weighted moving average per user — the
+    // smoothing pass behind rate trends and engagement decay. The
+    // recursive EWMA is a sequential scan; the K-term truncation
+    // (error ≤ (1−α)^K = 0.75⁸ ≈ 10%, and any tolerance is one K
+    // notch away) re-expresses it as K fixed lags inside ONE window
+    // pass — fully parallel over users, the standard trade that makes
+    // EWMA distributable. Weights (3/4)^j are finite decimals, hence
+    // EXACT doubles in both engines, and the term sum is written in
+    // one fixed order — every double is IEEE-identical to the oracle
+    // (rounding is belt-and-braces). One shuffle on user_id; per-user
+    // partitions are bounded by the activity horizon.
+    "q_ewma" -> ((s, d) =>
+      Tables.events(s, d)
+        .selectExpr("user_id", "event_id", "value",
+          s"CAST($ewmaNPrevSql AS BIGINT) AS n_prev",
+          s"round(($ewmaNumSql) / ($ewmaDenSql), 9) AS ewma")
+        .orderBy(col("user_id"), col("event_id"))),
 
     // Ordered funnel conversion: how many users progress
     // view → click-after-view → purchase-after-click, where each stage
@@ -124,6 +200,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round(0.6745 * (d.value - d.med) / m2.mad, 6) AS rz
+        |FROM dev d JOIN mad m2 USING (event_type)
+        |WHERE abs(0.6745 * (d.value - d.med) / m2.mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
+    "q_ewma" ->
+      s"""SELECT user_id, event_id, value,
+         |  CAST($ewmaNPrevSql AS BIGINT) AS n_prev,
+         |  round(($ewmaNumSql) / ($ewmaDenSql), 9) AS ewma
+         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |      FROM events) e
+         |ORDER BY user_id, event_id""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w

@@ -49,6 +49,12 @@ object Corpus {
   /** Per-source reservoir budget for q_reservoir_sample. */
   val ReservoirK = 20L
 
+  /** q_token_budget total training-token budget. A knob, not a scale
+    * parameter: the planner's cost is one per-source aggregate
+    * regardless of the budget or corpus size.
+    */
+  val BudgetTokens = 50000L
+
   /** Synthetic held-out benchmark for q_decontaminate_fuzzy: every
     * %83==7 corpus doc with its leading token dropped — a light
     * paraphrase whose 3-gram shingle set loses only the ~2 shingles
@@ -409,7 +415,34 @@ object Corpus {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("lang"), col("bucket")))
+        .orderBy(col("lang"), col("bucket"))),
+
+    // Token-budget mixture PLANNER — the step before any sampling
+    // pass runs: given per-source token inventories and a total
+    // training budget, allocate each source's token share under a
+    // temperature-½ mixture (share ∝ √tokens, the q_temperature_sample
+    // law) and report the sampling rate as epochs-per-mille (>1000 ⇒
+    // the source repeats — the small-source upsampling decision). One
+    // map-combined per-source aggregate (thin: |sources| rows), a
+    // broadcast 1-row weight total, and ALL-INTEGER allocation
+    // arithmetic: the weight is ⌊√n·1000⌋ (sqrt is correctly-rounded
+    // IEEE in both engines; floor sidesteps half-cases, exactly the
+    // temperature-sampler's rationale), so the plan is bit-stable
+    // under any summation order and hash-matches the oracle exactly.
+    "q_token_budget" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000.0).cast("long"))
+      w.crossJoin(broadcast(w.agg(sum(col("w")).as("w_tot"))))
+        .select(col("source"), col("n_tokens"), col("w"),
+          expr(s"$BudgetTokens * w div w_tot").as("ideal_tokens"),
+          expr(s"($BudgetTokens * w div w_tot) * 1000 div n_tokens")
+            .as("epochs_pm"))
+        .orderBy(col("source"))
+    })
   )
 
   private[graft] val shingleSetsSql =
@@ -420,6 +453,21 @@ object Corpus {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) toks""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_token_budget" ->
+      s"""WITH w AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), ww AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+         |  FROM w
+         |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM ww)
+         |SELECT source, n_tokens, w,
+         |  CAST($BudgetTokens * w // w_tot AS BIGINT) AS ideal_tokens,
+         |  CAST(($BudgetTokens * w // w_tot) * 1000 // n_tokens AS BIGINT)
+         |    AS epochs_pm
+         |FROM ww, tot ORDER BY source""".stripMargin,
     "q_span_corruption" ->
       s"""WITH toks AS (
          |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS tok

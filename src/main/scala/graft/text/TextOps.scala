@@ -34,6 +34,12 @@ object TextOps {
     */
   val VocabCoverageK = 500
 
+  /** q_bm25 query terms — a bounded user search query (the filtered-
+    * search contract; a query is words, not a corpus). Mid-frequency
+    * corpus terms so idf and tf-saturation both exercise.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -442,12 +448,129 @@ object TextOps {
         .join(broadcast(kept), "source")
         .select(col("doc_id"), col("source"), col("src_pm"), col("corpus_pm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Okapi BM25 lexical retrieval for a bounded query (Robertson et
+    // al., TREC-3): idf × tf-saturation × doc-length normalization,
+    // the scoring the hybrid-RRF lexical leg approximates with raw
+    // shingle overlap. The query term set is BOUNDED (a search query),
+    // so each term's tf is a per-row array count in ONE codegen'd
+    // projection — ZERO shuffle on the corpus; the only exchange is
+    // the 1-row corpus-stats aggregate (N, Σdl, per-term df)
+    // broadcast back, and top-20 is TakeOrderedAndProject. The
+    // many-query form is q_tfidf's exploded thin-pair shape. The idf
+    // is the LINEAR (N−df+½)/(df+½) form — one IEEE division instead
+    // of libm ln() (which is not cross-engine bit-stable), the same
+    // dodge as q_tfidf's linear IDF; k1=1.2, b=0.75 fold into
+    // literal-identical double expressions in both engines, so the
+    // scores hash-match exactly.
+    "q_bm25" -> ((s, d) => {
+      val terms = Bm25Terms
+      val tfCols = terms.map(t =>
+        size(filter(col("tk"), x => x === t)).cast("long").as(s"tf_$t"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +: tfCols: _*)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val score = terms.map { t =>
+        val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5))
+        idf * (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }.reduceLeft(_ + _)
+      base.crossJoin(broadcast(
+          base.agg(count(lit(1)).as("n_docs"),
+            (sum(col("dl")).as("sum_dl") +:
+              terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+                .as(s"df_$t"))): _*)))
+        .filter(terms.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+        .select(col("doc_id") +: col("dl") +:
+          terms.map(t => col(s"tf_$t")) :+ round(score, 6).as("bm25"): _*)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Per-document token diversity — the repetition/quality features a
+    // Shannon-entropy filter wants, in RATIONAL form so the doubles
+    // never touch libm: Simpson concentration Σ(c/n)² surfaces as the
+    // integer-ppm Simpson DIVERSITY index (1−Σp², the Rényi order-2
+    // entropy's monotone twin — ranking by it IS ranking by H₂ =
+    // −ln Σp², without the ln), plus type-token ratio and top-token
+    // concentration. One thin (doc_id, token) count shuffle with
+    // map-side combine; all-integer per-mille/ppm output is
+    // summation-order independent, so AQE re-plans can't move a bit.
+    // Σc²·10⁶ ≤ n²·10⁶ stays inside int64 to n ≈ 3M tokens per doc —
+    // far past any training-document cap.
+    "q_doc_diversity" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"),
+          max(col("c")).as("max_c"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          expr("1000000 - (sum_c2 * 1000000 div (n_tok * n_tok))")
+            .as("simpson_ppm"),
+          expr("n_types * 1000 div n_tok").as("ttr_pm"),
+          expr("max_c * 1000 div n_tok").as("top_pm"))
+        .orderBy(col("doc_id"))
     })
   )
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private val bm25TermSql = Bm25Terms.map { t =>
+    // Per-term factors mirror the Spark column expressions token for
+    // token: linear idf × saturated tf × length norm, left-assoc. The
+    // ::DOUBLE casts matter: DuckDB keeps integer±decimal-literal
+    // subexpressions in exact DECIMAL (Spark computes IEEE doubles),
+    // and e.g. exact 3·2.2 = 6.6 converts to a DIFFERENT double than
+    // IEEE 3·double(2.2) — forcing the literals to DOUBLE makes every
+    // operation the same IEEE op in the same order in both engines.
+    s"""(n_docs - df_$t + 0.5::DOUBLE) / (df_$t + 0.5::DOUBLE)
+       |    * (tf_$t * 2.2::DOUBLE)
+       |    / (tf_$t + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))"""
+      .stripMargin
+  }.mkString("\n  + ")
+
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |${Bm25Terms.map(t =>
+             s"    CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t")
+             .mkString(",\n")}
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+         |), st AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |${Bm25Terms.map(t =>
+             s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+             .mkString(",\n")},
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM base
+         |)
+         |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+         |  round($bm25TermSql, 6) AS bm25
+         |FROM base, st
+         |WHERE ${Bm25Terms.map(t => s"tf_$t").mkString(" + ")} > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_doc_diversity" ->
+      """SELECT doc_id, n_tok, n_types,
+        |  CAST(1000000 - (sum_c2 * 1000000 // (n_tok * n_tok)) AS BIGINT)
+        |    AS simpson_ppm,
+        |  CAST(n_types * 1000 // n_tok AS BIGINT) AS ttr_pm,
+        |  CAST(max_c * 1000 // n_tok AS BIGINT) AS top_pm
+        |FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_c2,
+        |    CAST(max(c) AS BIGINT) AS max_c
+        |  FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) x GROUP BY doc_id, tok) cnt
+        |  GROUP BY doc_id) agg
+        |ORDER BY doc_id""".stripMargin,
     "q_feature_hash" ->
       s"""SELECT doc_id,
          |  array_to_string(list_transform(generate_series(0, ${FeatureDim - 1}),
