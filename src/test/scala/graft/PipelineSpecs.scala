@@ -1756,3 +1756,158 @@ class CloneSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 }
+
+class RetrievalQualitySpec extends SparkSpec {
+  import graft.text.TextOps
+
+  test("bm25: bounded result, every hit contains a query term, score replays exactly") {
+    val rows = run("q_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // columns: doc_id, dl, tf_spark, tf_vector, tf_merge, bm25
+    rows.foreach(r => assert(r.getLong(2) + r.getLong(3) + r.getLong(4) > 0, r.toString))
+    // scores are descending (tie-broken by doc_id)
+    val scores = rows.map(_.getDouble(5))
+    scores.zip(scores.tail).foreach { case (a, b) => assert(a >= b) }
+    // replay the formula from corpus stats with the same IEEE op order
+    val base = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr(Seq("doc_id", "CAST(size(tk) AS LONG) AS dl") ++
+        TextOps.Bm25Terms.map(t =>
+          s"CAST(size(filter(tk, x -> x = '$t')) AS LONG) AS tf_$t"): _*)
+      .collect()
+    val n = base.length.toLong
+    val sumDl = base.map(_.getLong(1)).sum
+    val avgdl = sumDl.toDouble / n
+    val df = TextOps.Bm25Terms.indices.map(i =>
+      base.count(_.getLong(2 + i) > 0).toLong)
+    rows.foreach { r =>
+      val dl = r.getLong(1)
+      val score = TextOps.Bm25Terms.indices.map { i =>
+        val tf = r.getLong(2 + i)
+        val idf = (n - df(i) + 0.5) / (df(i) + 0.5)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.reduceLeft(_ + _)
+      assert(math.abs(score - r.getDouble(5)) < 1e-6, r.toString)
+    }
+  }
+
+  test("doc diversity: ppm/pm bounds hold and one doc replays exactly") {
+    val rows = run("q_doc_diversity").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nTok, nTypes, simpson, ttr, top) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nTypes <= nTok)
+      assert(simpson >= 0 && simpson < 1000000, r.toString)
+      assert(ttr >= 1 && ttr <= 1000)
+      assert(top >= 1000 / nTypes && top <= 1000, r.toString)
+    }
+    // exact replay for doc 0
+    val text = Tables.documents(spark, sf).filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .head.getAs[String]("text")
+    val counts = text.split(" ").groupBy(identity).map(_._2.length.toLong).toSeq
+    val nTok = counts.sum
+    val sumC2 = counts.map(c => c * c).sum
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == nTok && r0.getLong(2) == counts.length)
+    assert(r0.getLong(3) == 1000000L - (sumC2 * 1000000L / (nTok * nTok)))
+    assert(r0.getLong(5) == counts.max * 1000L / nTok)
+  }
+
+  test("line dedup: line accounting exact; untouched docs keep their original fingerprint") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replay the segmentation + DF threshold in Scala
+    val lines = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ").grouped(graft.dedup.Dedup.LineTokens)
+        .map(w => (id, w.mkString(" "))).toSeq
+    }
+    val boiler = lines.groupBy(_._2).filter(_._2.map(_._1).distinct.size >=
+      graft.dedup.Dedup.LineDfBoiler).keySet
+    val rows = run("q_dedup_lines").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (id, nLines, nDropped, fp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val segs = docs(id).split(" ").grouped(graft.dedup.Dedup.LineTokens)
+        .map(_.mkString(" ")).toSeq
+      assert(nLines == segs.length, r.toString)
+      val kept = segs.filterNot(boiler.contains)
+      assert(nDropped == segs.length - kept.length, r.toString)
+      assert(fp == md5hex(kept.mkString(" ")), r.toString)
+      if (nDropped == 0) assert(fp == md5hex(docs(id)))
+    }
+    // the threshold bites on this corpus — otherwise the op is untested
+    assert(rows.map(_.getLong(2)).sum > 0, "no boilerplate lines found")
+  }
+
+  test("token budget: integer allocation sums within budget and replays exactly") {
+    val rows = run("q_token_budget").collect()
+    assert(rows.length == 20)
+    val wTot = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (nTokens, w, ideal, epochsPm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w == math.floor(math.sqrt(nTokens.toDouble) * 1000.0).toLong)
+      assert(ideal == graft.text.Corpus.BudgetTokens * w / wTot)
+      assert(epochsPm == ideal * 1000 / nTokens)
+    }
+    assert(rows.map(_.getLong(3)).sum <= graft.text.Corpus.BudgetTokens)
+    // sub-linear weighting: every source's budget share must sit
+    // between proportional and uniform allocation (that is the point
+    // of the temperature mixture)
+    val totTok = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val sharePm = r.getLong(3) * 1000 / graft.text.Corpus.BudgetTokens
+      val propPm = r.getLong(1) * 1000 / totTok
+      val unifPm = 1000L / rows.length
+      val (lo, hi) = (math.min(propPm, unifPm) - 60, math.max(propPm, unifPm) + 60)
+      assert(sharePm >= lo && sharePm <= hi, s"$r share=$sharePm prop=$propPm")
+    }
+  }
+
+  test("ewma: per-user replay is exact; n_prev tracks history depth") {
+    val rows = run("q_ewma").collect()
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) < graft.operators.Analytics.EwmaK))
+    val uid = rows.head.getLong(0)
+    val hist = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id") === uid)
+      .selectExpr("event_id", "value").orderBy("ts", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val w = (0 until graft.operators.Analytics.EwmaK).map(j => math.pow(0.75, j))
+    val got = rows.filter(_.getLong(0) == uid).map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    hist.indices.foreach { i =>
+      val terms = (0 until graft.operators.Analytics.EwmaK).filter(_ <= i)
+      val num = terms.map(j => w(j) * hist(i - j)._2).reduceLeft(_ + _)
+      val den = terms.map(w).reduceLeft(_ + _)
+      val expect = BigDecimal(num / den).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(hist(i)._1) - expect) < 1e-9, s"row $i of user $uid")
+    }
+    // first event of every user has no history
+    val firsts = rows.groupBy(_.getLong(0)).map(_._2.minBy(_.getLong(1)))
+    firsts.foreach(r => assert(r.getDouble(4) == BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString))
+  }
+
+  test("mad anomaly: flagged set equals a full Scala replay of the robust z-score") {
+    val e = Tables.events(spark, sf).selectExpr("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) * 0.5 + s(n / 2) * 0.5
+    }
+    val byType = e.groupBy(_._2)
+    val flags = byType.toSeq.flatMap { case (_, es) =>
+      val m = med(es.map(_._3).toSeq)
+      val mad = med(es.map(x => math.abs(x._3 - m)).toSeq)
+      es.filter(x => math.abs(0.6745 * (x._3 - m) / mad) > 3.5).map(_._1).toSeq
+    }.toSet
+    val rows = run("q_anomaly_mad").collect()
+    assert(rows.map(_.getLong(0)).toSet == flags)
+    assert(rows.nonEmpty, "threshold never fires on this corpus")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 3.5))
+  }
+}
