@@ -373,6 +373,41 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Line-oriented TEXT source — the raw LLM-corpus ingest format
+    // (one document per line, the WebText/Pile shape): sink the
+    // corpus through the text writer, read it back with
+    // spark.read.text, and re-key each line by content fingerprint.
+    // Unlike q_binary_source (whole-file ingest, key from the
+    // directory), this is the splittable line reader: at 100 TB the
+    // scan parallelizes WITHIN files by line boundary, zero shuffle
+    // until the re-key aggregate — text lands as rows, not files. The
+    // oracle reads the same documents from parquet: the roundtrip is
+    // lossless (documents contain no newlines), so equality IS the
+    // source's correctness. Compared per content FINGERPRINT (the
+    // corpus deliberately contains exact-duplicate texts for the
+    // dedup family), with the line count carried from the TEXT side
+    // and the doc count from the PARQUET side — the join proves the
+    // source preserves line multiplicity, and only 16-byte hashes
+    // ever enter the exchange.
+    "q_text_source" -> ((s, d) => {
+      val out = sinkDir("textlines", d)
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(out)
+      val lines = s.read.text(out)
+        .select(md5(col("value").cast("binary")).as("line_fp"),
+          length(col("value")).cast("long").as("n_chars"))
+        .groupBy(col("line_fp"), col("n_chars"))
+        .agg(count(lit(1)).as("n_lines"))
+      val keys = Tables.documents(s, d)
+        .select(md5(col("text").cast("binary")).as("line_fp"), col("doc_id"))
+        .groupBy(col("line_fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      lines.join(keys, "line_fp")
+        .select(col("line_fp"), col("n_chars"), col("n_lines"),
+          col("n_docs"), col("first_doc"))
+        .orderBy(col("line_fp"))
+    }),
+
     // JSON sink + source round-trip.
     "q_json_roundtrip" -> ((s, d) => {
       val out = sinkDir("json", d)
@@ -547,6 +582,14 @@ object Extras {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // lossless roundtrip ⇒ the oracle is the corpus itself (both the
+    // text-side line count and the parquet-side doc count are count(*))
+    "q_text_source" ->
+      """SELECT md5(text) AS line_fp, CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  count(*) AS n_lines, count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents GROUP BY md5(text), strlen(text)
+        |ORDER BY line_fp""".stripMargin,
     // the text sink terminates each document with '\n'
     "q_binary_source" ->
       """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,

@@ -542,6 +542,78 @@ object Streams {
       s.read.parquet(out).orderBy(col("event_type"))
     }),
 
+    // Exactly-once streaming UPSERT — foreachBatch MERGE into a
+    // versioned keyed table with a TRANSACTION LOG (the Delta `txn`
+    // pattern): each micro-batch's per-user delta full-outer-merges
+    // into the current state version, the new version writes under a
+    // batch-keyed dir, and the batch id is recorded in the txn log
+    // LAST — so a batch redelivered after a sink failure (here:
+    // commit() literally invoked twice per batch) finds its txn
+    // marker and NO-OPS. That idempotent-commit discipline is what
+    // turns the engine's at-least-once redelivery into exactly-once
+    // sink semantics; the in-query require() fails the whole query if
+    // any redelivery double-applied. State totals are EXACT DECIMAL,
+    // so three sequential merges equal one batch aggregate to the
+    // bit — the query is fully oracled against plain GROUP BY over
+    // events. Scale shape: the per-batch merge is one thin
+    // (user_id, n, sum) full-outer join — at 100 TB the state table
+    // is key-partitioned and only partitions touched by the delta
+    // rewrite (q_delete_rewrite's dynamic-overwrite mechanics); the
+    // txn log stays KB-sized forever.
+    "q_stream_upsert" -> ((s, d) => {
+      val root = s"/tmp/graft_upsert_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
+      val txnDir = new java.io.File(root, "_txn")
+      txnDir.mkdirs()
+      val redelivered = new java.util.concurrent.atomic.AtomicInteger(0)
+      def committed: Seq[Long] = txnDir.listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("batch-")).map(_.stripPrefix("batch-").toLong)
+      def stateDir(v: Long) = s"$root/state_v$v"
+      def commit(batch: DataFrame, batchId: Long): Unit = {
+        if (new java.io.File(txnDir, s"batch-$batchId").exists()) {
+          redelivered.incrementAndGet(); return // redelivery: no-op
+        }
+        val delta = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("dn"), sum(money(col("value"))).as("dv"))
+        val merged = committed.sorted.lastOption match {
+          case None => delta.select(col("user_id"), col("dn").as("n_events"),
+            col("dv").cast("decimal(28,2)").as("v_sum"))
+          case Some(p) =>
+            s.read.parquet(stateDir(p))
+              .select(col("user_id"), col("n_events").as("cn"),
+                col("v_sum").as("cv"))
+              .join(delta, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("cn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                  .as("n_events"),
+                (coalesce(col("cv"), lit(0).cast("decimal(28,2)")) +
+                  coalesce(col("dv"), lit(0).cast("decimal(28,2)")))
+                  .cast("decimal(28,2)").as("v_sum"))
+        }
+        merged.write.mode("overwrite").parquet(stateDir(batchId))
+        new java.io.File(txnDir, s"batch-$batchId").createNewFile()
+      }
+      val ckpt = s"$ckptRoot/graft_ckpt_upsert_${sinkCounter.incrementAndGet()}"
+      try {
+        val q = eventsStreamMulti(s, d).select(col("user_id"), col("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            commit(b, id)
+            commit(b, id) // simulated sink-failure redelivery
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmTree(ckpt)
+      require(redelivered.get() == committed.size && committed.nonEmpty,
+        s"exactly-once violated: ${redelivered.get()} no-ops for " +
+          s"${committed.size} commits")
+      s.read.parquet(stateDir(committed.max))
+        .select(col("user_id"), col("n_events"),
+          col("v_sum").cast("double").as("v_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     // Stream-stream interval join: each click matched to same-user
     // purchases within the next 10 minutes. Both sides carry
     // watermarks and the join condition bounds event time on both
@@ -658,6 +730,11 @@ object Streams {
       |GROUP BY user_id, session_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // three idempotent decimal merges ≡ one batch aggregate
+    "q_stream_upsert" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         |       event_type, count(*) AS n,

@@ -1911,3 +1911,28 @@ class RetrievalQualitySpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(3)) > 3.5))
   }
 }
+
+class IngestSinkSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("text-lines source: lossless roundtrip, line multiplicity preserved") {
+    val rows = run("q_text_source").collect()
+    assert(rows.length == 500) // sf0.001: all texts distinct
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), s"line/doc multiplicity: $r")
+      assert(r.getString(0).length == 32)
+    }
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("stream upsert: three merged versions equal the batch aggregate (redelivery no-ops are require()d in-query)") {
+    val got = run("q_stream_upsert").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.money(col("value"))).cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == exp)
+  }
+}
