@@ -514,4 +514,44 @@ class Round9PlanSpec extends SparkSpec {
     assert(p.contains("LocalTableScan"), p)
     assert(!p.contains("FileScan"), p)
   }
+
+  test("bm25 never shuffle-joins the corpus: stats broadcast, top-k is a bounded head") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("doc diversity aggregates map-side before its exchanges") {
+    val p = plan("q_doc_diversity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("line dedup: document text rides no join or aggregate output") {
+    val qe = run("q_dedup_lines").queryExecution
+    val p = qe.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    qe.optimizedPlan.collect { case j: Join => j.output }
+      .foreach(_.foreach(attr =>
+        assert(attr.name != "text", "text rides a join output")))
+    qe.optimizedPlan.collect { case a: Aggregate => a.output }
+      .foreach(_.foreach(attr =>
+        assert(attr.name != "text" && attr.name != "tk",
+          s"${attr.name} rides an aggregate output")))
+  }
+
+  test("ewma is one window pass over one user_id exchange") {
+    val p = plan("q_ewma")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"$n hash exchanges:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("mad anomaly broadcasts both moment tables; the fact side never shuffles") {
+    val p = plan("q_anomaly_mad")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
