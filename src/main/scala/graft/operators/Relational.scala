@@ -142,6 +142,24 @@ object Relational {
           sumMoney(col("p_retailprice")).as("sum_price"))
         .orderBy(col("p_brand"))),
 
+    // ARG-MAX aggregation (max_by / arg_max): the group member that
+    // attains the group's maximum — here, each event type's
+    // top-spending user. Expressed as max over a (value, key) STRUCT,
+    // which both engines order lexicographically: the embedded key IS
+    // the deterministic tiebreak (bare max_by/arg_max leave ties
+    // engine-defined — the reason this idiom, not those functions, is
+    // the library form). Two map-combined aggregates, exact-decimal
+    // sums; no window, no sort of the group space.
+    "q_agg_argmax" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(money(col("value"))).as("v_sum"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("v_sum"), col("user_id"))).as("m"))
+        .select(col("event_type"), col("m.user_id").as("top_user"),
+          col("m.v_sum").cast("double").as("top_sum"))
+        .orderBy(col("event_type"))),
+
     // Approximate distinct (HLL++). No oracle: DuckDB's approx sketch
     // differs by construction → rows-only check.
     "q_approx_distinct" -> ((s, d) =>
@@ -241,6 +259,18 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_agg_argmax" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v_sum
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    max(struct_pack(v := v_sum, u := user_id)) AS m
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, CAST(m.m.u AS BIGINT) AS top_user,
+        |  CAST(m.m.v AS DOUBLE) AS top_sum
+        |FROM m ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

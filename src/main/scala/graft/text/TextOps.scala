@@ -40,6 +40,11 @@ object TextOps {
     */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge")
 
+  /** q_phrase_search query phrase — a bounded exact phrase with
+    * multiple corpus occurrences (so the position scan is exercised).
+    */
+  val PhraseTerms: Seq[String] = Seq("join", "part", "filter")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -450,6 +455,52 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style text NORMALIZATION — the canonicalization that runs
+    // BEFORE line dedup and LM scoring (Wenzek et al. 2020): lowercase,
+    // digits → 0, strip non-alphanumeric runs, collapse whitespace.
+    // Runs over the PII-injected raw fixture (the corpus itself has no
+    // digits or punctuation, so q_pii_scrub's synthetic raw column
+    // makes every rule do real work on both sides). Pure per-row regex
+    // map — zero shuffle at any scale; published as fingerprints so
+    // only 16-byte hashes leave the row.
+    "q_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("raw",
+          concat(col("text"), lit(" Contact User"),
+            col("doc_id").cast("string"), lit("@example.com REF "),
+            ((col("doc_id") + 1000L) * 7919L).cast("string")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit("[0-9]"), lit(0)))
+            .cast("long").as("n_digits"),
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("raw")), "[0-9]", "0"), "[^a-z0 ]+", " "), " +", " "))
+            .as("norm"))
+        .select(col("doc_id"), col("n_digits"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          md5(col("norm").cast("binary")).as("norm_fp"))
+        .orderBy(col("doc_id"))),
+
+    // Positional PHRASE search — the exact-match retrieval primitive a
+    // positional inverted index serves: every (document, position) at
+    // which a bounded query phrase occurs verbatim. The position scan
+    // is a per-row filtered sequence over the token array — ZERO
+    // shuffle, occurrences stream straight out (at 100 TB the phrase
+    // postings land as rows, the building block for snippet windows
+    // and co-occurrence stats). Fully oracled via the same 1-based
+    // window test in DuckDB.
+    "q_phrase_search" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          s"""filter(sequence(1, size(tk) - 2),
+             |  i -> element_at(tk, i) = '${PhraseTerms(0)}'
+             |   AND element_at(tk, i + 1) = '${PhraseTerms(1)}'
+             |   AND element_at(tk, i + 2) = '${PhraseTerms(2)}')"""
+            .stripMargin)).as("pos0"))
+        .select(col("doc_id"), col("pos0").cast("long").as("pos"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Okapi BM25 lexical retrieval for a bounded query (Robertson et
     // al., TREC-3): idf × tf-saturation × doc-length normalization,
     // the scoring the hybrid-RRF lexical leg approximates with raw
@@ -537,6 +588,31 @@ object TextOps {
   }.mkString("\n  + ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]')) AS BIGINT) AS n_digits,
+        |  CAST(strlen(norm) AS BIGINT) AS n_chars_norm,
+        |  md5(norm) AS norm_fp
+        |FROM (SELECT doc_id, raw,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(raw), '[0-9]', '0', 'g'), '[^a-z0 ]+', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id,
+        |      text || ' Contact User' || doc_id || '@example.com REF '
+        |           || ((doc_id + 1000) * 7919) AS raw
+        |    FROM documents) t) n
+        |ORDER BY doc_id""".stripMargin,
+    "q_phrase_search" ->
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS pos
+         |FROM (SELECT doc_id, tk,
+         |    unnest(generate_series(1, len(tk) - 2)) AS i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+         |    FROM documents) t
+         |  WHERE len(tk) >= 3) u
+         |WHERE tk[i] = '${PhraseTerms(0)}'
+         |  AND tk[i + 1] = '${PhraseTerms(1)}'
+         |  AND tk[i + 2] = '${PhraseTerms(2)}'
+         |ORDER BY doc_id, pos""".stripMargin,
     "q_bm25" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,

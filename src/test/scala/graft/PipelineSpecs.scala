@@ -1936,3 +1936,58 @@ class IngestSinkSpec extends SparkSpec {
     assert(got == exp)
   }
 }
+
+class TextRetrievalOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("text normalize: digits injected and zeroed, fingerprint replays exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = run("q_text_normalize").collect()
+    assert(rows.length == 500)
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val raw = s"${docs(id)} Contact User$id@example.com REF ${(id + 1000L) * 7919L}"
+      assert(r.getLong(1) == raw.count(_.isDigit), r.toString)
+      val norm = raw.toLowerCase.replaceAll("[0-9]", "0")
+        .replaceAll("[^a-z0 ]+", " ").replaceAll(" +", " ").trim
+      assert(r.getLong(2) == norm.length, r.toString)
+      assert(r.getString(3) == md5hex(norm), r.toString)
+    }
+  }
+
+  test("phrase search: every hit is a verbatim occurrence and none is missed") {
+    val rows = run("q_phrase_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "phrase never occurs — fixture degenerate")
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val expect = docs.toSeq.flatMap { case (id, tk) =>
+      (0 to tk.length - 3).collect {
+        case i if tk(i) == "join" && tk(i + 1) == "part" && tk(i + 2) == "filter" =>
+          (id, (i + 1).toLong)
+      }
+    }.toSet
+    assert(rows.toSet == expect)
+  }
+
+  test("agg argmax: top spender per event type replays exactly with deterministic ties") {
+    val sums = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(Exact.money(col("value"))).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val expect = sums.groupBy(_._1).map { case (t, xs) =>
+      val best = xs.maxBy(x => (BigDecimal(x._3), x._2))
+      t -> (best._2, best._3.doubleValue)
+    }
+    val rows = run("q_agg_argmax").collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (u, v) = expect(r.getString(0))
+      assert(r.getLong(1) == u && r.getDouble(2) == v, r.toString)
+    }
+  }
+}
