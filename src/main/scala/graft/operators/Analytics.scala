@@ -147,6 +147,31 @@ object Analytics {
           s"round(($ewmaNumSql) / ($ewmaDenSql), 9) AS ewma")
         .orderBy(col("user_id"), col("event_id"))),
 
+    // First-order Markov TRANSITION matrix over per-user event
+    // sequences — the behavioral model behind next-action prediction
+    // and bot detection (a scripted client's transition rows are
+    // near-deterministic; organic ones aren't). One window pass on
+    // user_id pairs each event with its predecessor; the (prev, next)
+    // counts aggregate map-side to a |types|² bounded table, and the
+    // per-prev row normalization is integer per-mille off a thin
+    // self-aggregate — nothing after the single user_id exchange
+    // scales with the event count. Fully oracled.
+    "q_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("nxt"))
+        .withColumn("prev", lag(col("nxt"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), "prev")
+        .select(col("prev"), col("nxt"), col("n"),
+          expr("n * 1000 div tot").as("p_pm"))
+        .orderBy(col("prev"), col("nxt"))
+    }),
+
     // Ordered funnel conversion: how many users progress
     // view → click-after-view → purchase-after-click, where each stage
     // must happen strictly after the user's first event of the prior
@@ -221,6 +246,18 @@ object Analytics {
          |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
          |      FROM events) e
          |ORDER BY user_id, event_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev,
+        |    event_type AS nxt
+        |  FROM events),
+        |c AS (SELECT prev, nxt, count(*) AS n FROM t
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.prev, c.nxt, c.n, CAST(c.n * 1000 // t.tot AS BIGINT) AS p_pm
+        |FROM c JOIN tot t USING (prev) ORDER BY prev, nxt""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w

@@ -107,6 +107,42 @@ object Integrity {
     "q_profile_table_approx" -> ((s, d) =>
       profile(s, d, c => approx_count_distinct(c, 0.02))),
 
+    // Distribution DRIFT monitor — the data-quality gate between
+    // ingest batches: total-variation distance between each year's
+    // order-price distribution and the base year's, over 10 fixed
+    // price buckets. TVD = ½·Σ|pA−pB| is the RATIONAL drift measure
+    // (PSI's Σ(pA−pB)·ln(pA/pB) needs libm and diverges on empty
+    // buckets — TVD is the same monotone alarm without either
+    // failure mode, the q_doc_diversity rationale). Buckets come
+    // from exact DECIMAL cents (integer div — no float boundary can
+    // disagree across engines), the (year, bucket) histogram is ONE
+    // map-combined thin aggregate densified against the literal
+    // bucket range, and the per-mille arithmetic is all-integer —
+    // bit-stable under any partitioning. Fully oracled.
+    "q_drift_tvd" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          expr("least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 5000000, 9L)").as("bucket"))
+        .groupBy(col("y"), col("bucket")).agg(count(lit(1)).as("n"))
+      val years = counts.select(col("y")).distinct()
+      val dense = years
+        .crossJoin(s.range(0, 10).toDF("bucket"))
+        .join(counts, Seq("y", "bucket"), "left")
+        .select(col("y"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      val tot = dense.groupBy(col("y")).agg(sum(col("n")).as("tot"))
+      val pm = dense.join(broadcast(tot), "y")
+        .select(col("y"), col("bucket"), expr("n * 1000 div tot").as("pm"))
+      val base = pm.join(broadcast(tot.agg(min(col("y")).as("y"))), "y")
+        .select(col("bucket"), col("pm").as("base_pm"))
+      pm.join(broadcast(base), "bucket")
+        .groupBy(col("y"))
+        .agg(expr("sum(abs(pm - base_pm)) div 2").as("tvd_pm"))
+        .join(tot, "y")
+        .select(col("y"), col("tot").as("n_orders"), col("tvd_pm"))
+        .orderBy(col("y"))
+    }),
+
     // Mergeable distinct-count sketches as a WRITTEN layout — the
     // third member of the distinct family (exact `q_profile_table`,
     // one-shot sketch `q_approx_distinct`): per-(group, shard) HLL
@@ -203,6 +239,27 @@ object Integrity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_drift_tvd" ->
+      """WITH b AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 5000000, 9) AS bucket
+        |  FROM orders),
+        |c AS (SELECT y, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT y, g.bucket, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT y FROM c) ys
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+        |  LEFT JOIN c USING (y, bucket)),
+        |tot AS (SELECT y, CAST(sum(n) AS BIGINT) AS tot FROM dense GROUP BY 1),
+        |pm AS (SELECT d.y, d.bucket, CAST(d.n * 1000 // t.tot AS BIGINT) AS pm
+        |  FROM dense d JOIN tot t USING (y)),
+        |base AS (SELECT bucket, pm AS base_pm FROM pm
+        |  WHERE y = (SELECT min(y) FROM tot))
+        |SELECT p.y, t.tot AS n_orders,
+        |  CAST(sum(abs(p.pm - b2.base_pm)) // 2 AS BIGINT) AS tvd_pm
+        |FROM pm p JOIN base b2 USING (bucket) JOIN tot t ON t.y = p.y
+        |GROUP BY p.y, t.tot ORDER BY p.y""".stripMargin,
     "q_validate_constraints" ->
       """WITH oc AS (SELECT
         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,

@@ -1991,3 +1991,50 @@ class TextRetrievalOpsSpec extends SparkSpec {
     }
   }
 }
+
+class BehaviorDriftSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("event transitions: Markov counts replay exactly; per-prev rows normalize") {
+    val seq = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val trans = seq.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      o.zip(o.tail)
+    }
+    val expectN = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = run("q_event_transitions").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == expectN)
+    // per-prev p_pm is n*1000 div the prev row-sum
+    val tot = rows.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> rs.map(_.getLong(2)).sum }
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000 / tot(r.getString(0)), r.toString))
+  }
+
+  test("drift tvd: base year reads zero; per-year TVD replays exactly") {
+    val o = Tables.orders(spark, sf)
+      .selectExpr("CAST(year(o_orderdate) AS LONG) AS y",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) AS cents")
+      .collect().map(r => (r.getLong(0), math.min(r.getLong(1) / 5000000L, 9L)))
+    val years = o.map(_._1).distinct.sorted
+    def pms(y: Long): Map[Long, Long] = {
+      val mine = o.filter(_._1 == y)
+      (0L to 9L).map(b =>
+        b -> mine.count(_._2 == b).toLong * 1000 / mine.length).toMap
+    }
+    val base = pms(years.head)
+    val rows = run("q_drift_tvd").collect()
+    assert(rows.length == years.length)
+    rows.foreach { r =>
+      val y = r.getLong(0)
+      val p = pms(y)
+      val tvd = (0L to 9L).map(b => math.abs(p(b) - base(b))).sum / 2
+      assert(r.getLong(2) == tvd, r.toString)
+      assert(r.getLong(1) == o.count(_._1 == y))
+    }
+    assert(rows.find(_.getLong(0) == years.head).get.getLong(2) == 0)
+  }
+}
