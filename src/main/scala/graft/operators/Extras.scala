@@ -281,6 +281,43 @@ object Extras {
         .orderBy(col("user_id"), col("ver"))
     }),
 
+    // TEMPORAL (SCD2 as-of) dimension join: resolve, for every fact
+    // event, the dimension state version EFFECTIVE at its event time —
+    // the join every warehouse runs between a fact stream and an
+    // effective-dated dimension. The generic form is an interval join
+    // (valid_from ≤ ts < valid_to — the binned-range-join operator's
+    // territory); when fact and dimension share the entity key, the
+    // scale-right plan is this one: ONE co-partitioned window pass
+    // that numbers change-points (running sum of change indicators =
+    // the SCD2 `ver`) and fills each island with its opening state —
+    // gaps-and-islands instead of a range join, zero join state, one
+    // user_id exchange. Fully oracled; by construction each event's
+    // resolved state equals the q_scd2_history version whose interval
+    // contains it (the spec joins the two outputs to pin exactly
+    // that).
+    "q_scd2_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg")).over(run))
+        .withColumn("eff_state",
+          max(when(col("chg") === 1L, col("event_type")))
+            .over(Window.partitionBy(col("user_id"), col("ver"))))
+        .select(col("user_id"), col("event_id"), col("tus"), col("ver"),
+          col("eff_state"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     // Schema evolution: two parquet batches written with different
     // schemas (the second adds a column), read back through
     // `mergeSchema` — old rows surface NULL for the new column. This
@@ -522,6 +559,27 @@ object Extras {
         |            ELSE 'update' END AS action
         |FROM base FULL OUTER JOIN upd ON o_orderkey = u_key
         |ORDER BY 1""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |vered AS (
+        |  SELECT user_id, event_id, event_type, tus, chg,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ver
+        |  FROM marked)
+        |SELECT user_id, event_id, tus, ver,
+        |  max(CASE WHEN chg = 1 THEN event_type END)
+        |    OVER (PARTITION BY user_id, ver) AS eff_state
+        |FROM vered ORDER BY user_id, tus, event_id""".stripMargin,
     "q_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

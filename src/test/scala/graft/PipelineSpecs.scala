@@ -2038,3 +2038,25 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == years.head).get.getLong(2) == 0)
   }
 }
+
+class Scd2AsOfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("scd2 as-of: every event resolves to the history version whose interval contains it") {
+    val hist = run("q_scd2_history").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MaxValue else r.getLong(4))).toMap
+    val rows = run("q_scd2_asof").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uid, tus, ver, state) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4))
+      val (hState, from, to) = hist((uid, ver))
+      assert(state == hState, s"state mismatch: $r vs $hState")
+      assert(tus >= from && tus < to, s"interval violated: $r in [$from,$to)")
+    }
+    // completeness: one output row per event
+    assert(rows.length == Tables.events(spark, sf).count())
+  }
+}
