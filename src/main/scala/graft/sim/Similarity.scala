@@ -603,6 +603,34 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Retrieval-quality EVALUATION as an operator — recall@5 and
+    // reciprocal rank of the LSH ANN path against the exact
+    // brute-force answer, per query: the continuous-monitoring job a
+    // production vector store runs on a sampled query set to catch
+    // index drift (an ingest that skews the corpus silently degrades
+    // recall long before latency moves). Composes the two registered
+    // plans and joins their bounded (qid, nid) lists — the eval
+    // itself costs two |queries|·k thin joins regardless of corpus
+    // size; the measured quantity is the same one RecallProbe pins
+    // offline, here surfaced as a pipeline operator. Rows-only
+    // (LSH-approximate by construction); the spec floors mean recall.
+    "q_ann_recall_eval" -> ((s, d) => {
+      val exact = Similarity.queries("q_sim_topk")(s, d)
+        .select(col("qid"), col("rk").as("erk"), col("nid"))
+      val approx = Similarity.queries("q_sim_ann_lsh")(s, d)
+        .select(col("qid"), col("rk").as("ark"), col("nid"))
+      val hits = exact.join(approx, Seq("qid", "nid"), "left")
+      val perQ = hits.groupBy(col("qid"))
+        .agg(sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      val rr = hits.filter(col("erk") === 1)
+        .select(col("qid"),
+          coalesce(expr("1000 div ark"), lit(0L)).as("rr_pm"))
+      perQ.join(rr, "qid")
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits") * 200L).as("recall_pm"), col("rr_pm"))
+        .orderBy(col("qid"))
+    }),
+
     // Corpus-wide KNN similarity graph: every vector's approximate
     // top-5 neighbors — the structure diversity sampling and
     // graph-based dedup consume. Candidates from the 8-table sign-LSH

@@ -2060,3 +2060,20 @@ class Scd2AsOfSpec extends SparkSpec {
     assert(rows.length == Tables.events(spark, sf).count())
   }
 }
+
+class AnnEvalSpec extends SparkSpec {
+  test("ann recall eval: one row per query, recall floored, rr consistent") {
+    val rows = run("q_ann_recall_eval").collect()
+    assert(rows.length == graft.sim.Similarity.QueryBatch)
+    rows.foreach { r =>
+      val (hits, recall, rr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hits >= 0 && hits <= 5 && recall == hits * 200, r.toString)
+      assert(rr >= 0 && rr <= 1000, r.toString)
+      // if the top-1 neighbor was found at all, rr must be positive
+      if (hits == 5) assert(rr > 0, r.toString)
+    }
+    // the documented LSH quality bar: mean recall >= 0.8 on this corpus
+    assert(rows.map(_.getLong(2)).sum / rows.length >= 800,
+      rows.map(_.getLong(2)).mkString(","))
+  }
+}
