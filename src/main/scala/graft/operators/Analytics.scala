@@ -33,6 +33,12 @@ object Analytics {
     * makes cross-engine drift structurally impossible.
     */
   val EwmaK = 8
+
+  /** q_trend_ols x-origin (2024-01-01T00:00:00Z, seconds): re-zeroing
+    * the regressor keeps the x-moment magnitudes small without a
+    * data-dependent min pass; the slope is translation-invariant.
+    */
+  val TrendEpochSec = 1704067200L
   private val ewmaW: IndexedSeq[String] =
     (0 until EwmaK).map(j =>
       java.math.BigDecimal.valueOf(0.75).pow(j).toPlainString)
@@ -147,6 +153,50 @@ object Analytics {
           s"round(($ewmaNumSql) / ($ewmaDenSql), 9) AS ewma")
         .orderBy(col("user_id"), col("event_id"))),
 
+    // Per-group OLS TREND + Pearson correlation — the closed-form
+    // regression every metrics pipeline fits per segment (is this
+    // event type's value drifting, and how tightly does it track
+    // time?). Five moments (Σx, Σx², Σy, Σy², Σxy) aggregate as EXACT
+    // DECIMALS in one map-combined pass (the q_anomaly_zscore
+    // discipline: no FP accumulation order anywhere — x² and xy sums
+    // are DECIMAL(38,·) so 1e9-row groups cannot overflow), then
+    // slope/intercept/r derive through single IEEE ops mirrored
+    // operand-for-operand in DuckDB — bit-identical without any
+    // approximation. x is integer seconds from a fixed epoch (keeps
+    // the moment magnitudes small); slope publishes per-day. One thin
+    // |types|-row aggregate; the fact table never shuffles.
+    "q_trend_ols" -> ((s, d) => {
+      val m = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          expr(s"unix_micros(ts) div 1000000 - $TrendEpochSec").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum(col("value").cast("decimal(18,2)")).as("sy"),
+          sum((col("value") * col("value")).cast("decimal(30,4)")).as("syy"),
+          sum((col("value").cast("decimal(18,2)") * col("x"))
+            .cast("decimal(38,4)")).as("sxy"))
+      val md = m.select(col("event_type"), col("n"),
+        col("sx").cast("double").as("sxd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("sy").cast("double").as("syd"),
+        col("syy").cast("double").as("syyd"),
+        col("sxy").cast("double").as("sxyd"))
+      md.select(col("event_type"), col("n"),
+          ((col("n") * col("sxyd") - col("sxd") * col("syd")) /
+            (col("n") * col("sxxd") - col("sxd") * col("sxd")) * lit(86400.0))
+            .as("slope_day"),
+          ((col("n") * col("sxyd") - col("sxd") * col("syd")) /
+            sqrt((col("n") * col("sxxd") - col("sxd") * col("sxd")) *
+              (col("n") * col("syyd") - col("syd") * col("syd"))))
+            .as("corr"))
+        .select(col("event_type"), col("n"),
+          round(col("slope_day"), 9).as("slope_day"),
+          round(col("corr"), 9).as("corr"))
+        .orderBy(col("event_type"))
+    }),
+
     // First-order Markov TRANSITION matrix over per-user event
     // sequences — the behavioral model behind next-action prediction
     // and bot detection (a scripted client's transition rows are
@@ -246,6 +296,33 @@ object Analytics {
          |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
          |      FROM events) e
          |ORDER BY user_id, event_id""".stripMargin,
+    "q_trend_ols" ->
+      s"""WITH m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+         |    sum(CAST(CAST(value AS DECIMAL(18,2))
+         |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy,
+         |    sum(CAST(CAST(value AS DECIMAL(18,2)) * x AS DECIMAL(38,4)))
+         |      AS sxy
+         |  FROM (SELECT event_type, value,
+         |      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - $TrendEpochSec AS x
+         |    FROM events) t
+         |  GROUP BY 1),
+         |md AS (
+         |  SELECT event_type, n,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM m)
+         |SELECT event_type, n,
+         |  round((n * sxyd - sxd * syd)
+         |    / (n * sxxd - sxd * sxd) * 86400.0, 9) AS slope_day,
+         |  round((n * sxyd - sxd * syd)
+         |    / sqrt((n * sxxd - sxd * sxd) * (n * syyd - syd * syd)), 9)
+         |    AS corr
+         |FROM md ORDER BY event_type""".stripMargin,
     "q_event_transitions" ->
       """WITH t AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

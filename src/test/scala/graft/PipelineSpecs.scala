@@ -2077,3 +2077,32 @@ class AnnEvalSpec extends SparkSpec {
       rows.map(_.getLong(2)).mkString(","))
   }
 }
+
+class TrendOlsSpec extends SparkSpec {
+  test("ols trend: moments replay exactly; corr bounded") {
+    val e = Tables.events(spark, sf)
+      .selectExpr("event_type", "value",
+        s"unix_micros(ts) div 1000000 - ${graft.operators.Analytics.TrendEpochSec} AS x")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = run("q_trend_ols").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val es = e.filter(_._1 == t)
+      val n = es.length.toDouble
+      val sxd = es.map(x => BigDecimal(x._3)).sum.toDouble
+      val sxxd = es.map(x => BigDecimal(x._3) * BigDecimal(x._3)).sum.toDouble
+      def dec2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val syd = es.map(x => dec2(x._2)).sum.toDouble
+      val syyd = es.map(x => BigDecimal(x._2 * x._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val sxyd = es.map(x => (dec2(x._2) * BigDecimal(x._3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val slope = (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd) * 86400.0
+      val corr = (n * sxyd - sxd * syd) /
+        math.sqrt((n * sxxd - sxd * sxd) * (n * syyd - syd * syd))
+      assert(r.getLong(1) == es.length)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-8, s"$t slope $r vs $slope")
+      assert(math.abs(r.getDouble(3) - corr) < 1e-8, s"$t corr $r vs $corr")
+      assert(math.abs(r.getDouble(3)) <= 1.0)
+    }
+  }
+}

@@ -550,8 +550,11 @@ class Round9PlanSpec extends SparkSpec {
   }
 
   test("mad anomaly broadcasts both moment tables; the fact side never shuffles") {
+    // ≥2: the dev subtree (events ⋈ med) may or may not be reused
+    // across the mad branch, so the broadcast count is 2 or 3 — what
+    // must hold is that every join is broadcast, none sort-merge
     val p = plan("q_anomaly_mad")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 }
