@@ -605,9 +605,18 @@ object Streams {
           .start()
         q.awaitTermination()
       } finally rmTree(ckpt)
-      require(redelivered.get() == committed.size && committed.nonEmpty,
+      // ≥, not ==: besides the synthetic second commit() per batch,
+      // the ENGINE may redeliver batches (restart/retry under load) —
+      // extra no-ops are the txn log doing its job. What must hold:
+      // every distinct batch committed exactly once (marker count =
+      // state-version count) and at least one no-op per commit (the
+      // synthetic redelivery always runs).
+      require(committed.nonEmpty && redelivered.get() >= committed.size,
         s"exactly-once violated: ${redelivered.get()} no-ops for " +
           s"${committed.size} commits")
+      require(committed.distinct.size == committed.size &&
+        committed.forall(v => new java.io.File(stateDir(v)).exists()),
+        s"commit/state mismatch: $committed")
       s.read.parquet(stateDir(committed.max))
         .select(col("user_id"), col("n_events"),
           col("v_sum").cast("double").as("v_sum"))
