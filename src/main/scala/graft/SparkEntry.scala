@@ -41,10 +41,12 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Integrity.queries ++
       operators.Skew.queries ++
+      operators.Olap.queries ++
       operators.Graph.queries ++
       operators.AsOf.queries ++
       sources.Layouts.queries ++
       text.TextOps.queries ++
+      text.Quality.queries ++
       text.Corpus.queries ++
       text.Bpe.queries ++
       dedup.Dedup.queries ++
@@ -65,10 +67,12 @@ object SparkEntry {
       operators.Analytics.oracle ++
       operators.Integrity.oracle ++
       operators.Skew.oracle ++
+      operators.Olap.oracle ++
       operators.Graph.oracle ++
       operators.AsOf.oracle ++
       sources.Layouts.oracle ++
       text.TextOps.oracle ++
+      text.Quality.oracle ++
       text.Corpus.oracle ++
       text.Bpe.oracle ++
       dedup.Dedup.oracle ++

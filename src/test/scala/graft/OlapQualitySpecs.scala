@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Exact replays and invariants for the OLAP batch (skyline, interval
+  * join, navigation windows, rolling median, mergeable moments, bitmap
+  * distinct, gap interpolation) on sf0.001.
+  */
+class OlapSpec extends SparkSpec {
+
+  test("q_skyline keeps exactly the undominated points (brute-force replay)") {
+    val pts = Tables.part(spark, sf)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    def dominated(p: (Double, Int, Long)) = pts.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2))
+    val expect = pts.filterNot(dominated).map(p => (p._1, p._2)).toSet
+    val got = run("q_skyline").collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSet
+    assert(got == expect)
+    // frontier is strictly increasing in size as price rises
+    val sorted = run("q_skyline").collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 && a._2 < b._2
+      case _           => true
+    })
+  }
+
+  test("q_interval_join equals the quadratic overlap join (replay)") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("dt"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val a = orders.filter(_._1 % 199 == 0).map { case (k, s) => (k, s, s.plusDays(3)) }
+    val b = orders.filter(_._1 % 211 == 0).map { case (k, s) => (k, s, s.plusDays(5)) }
+    val expect = (for {
+      (ak, as_, ae) <- a; (bk, bs, be) <- b
+      if !as_.isAfter(be) && !bs.isAfter(ae)
+    } yield (ak, bk,
+      java.time.temporal.ChronoUnit.DAYS.between(
+        Seq(as_, bs).max[java.time.LocalDate](Ordering.by(_.toEpochDay)),
+        Seq(ae, be).min[java.time.LocalDate](Ordering.by(_.toEpochDay))) + 1)).toSet
+    val got = run("q_interval_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q_window_ntile quartiles are balanced and navigation is frame-correct") {
+    val rows = run("q_window_ntile").collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("quartile")).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1) // ntile balance
+      val ordered = rs.sortBy(r => (-r.getAs[Double]("o_totalprice"),
+        r.getAs[Long]("o_orderkey")))
+      // third_price is null for the first two rows, then the 3rd price
+      assert(ordered.take(2).forall(_.isNullAt(ordered.head.fieldIndex("third_price"))))
+      if (ordered.length >= 3) {
+        val third = ordered(2).getAs[Double]("o_totalprice")
+        assert(ordered.drop(2).forall(_.getAs[Double]("third_price") == third))
+      }
+      // top_price is the partition max on every row
+      val top = ordered.head.getAs[Double]("o_totalprice")
+      assert(ordered.forall(_.getAs[Double]("top_price") == top))
+      // last_npx carries the last non-null price forward
+      var seen: Option[Double] = None
+      ordered.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("npx"))) seen = Some(r.getAs[Double]("npx"))
+        val got = Option(r.getAs[Any]("last_npx")).map(_.asInstanceOf[Double])
+        assert(got == seen)
+      }
+    }
+  }
+
+  test("q_rolling_median matches a direct per-user replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val got = run("q_rolling_median").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    ev.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._3.getTime, r._2))
+      ordered.zipWithIndex.foreach { case ((u, e, _, _), i) =>
+        val frame = ordered.slice(math.max(0, i - 24), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2)
+          else frame(n / 2 - 1) + (frame(n / 2) - frame(n / 2 - 1)) * 0.5
+        val (gm, glo, ghi) = got((u, e))
+        assert(math.abs(gm - med) < 1e-6, s"user $u event $e")
+        assert(glo == frame.head && ghi == frame.last)
+      }
+    }
+  }
+
+  test("q_moments_merge equals a direct single-pass over lineitem") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Exact.money(col("l_extendedprice"))).cast("double").as("s1d"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(30,4)")).cast("double").as("s2d"))
+      .select(col("flag"), col("n_rows"),
+        (col("s1d") / col("n_rows")).as("mean"),
+        sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
+          / (col("n_rows") - 1)).as("std"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = run("q_moments_merge").collect()
+    assert(got.length == direct.size + 1) // + the (all) row
+    got.filter(_.getString(0) != "(all)").foreach { r =>
+      val (n, m, s) = direct(r.getString(0))
+      // bit-identical: decimal partial merge == direct decimal sum
+      assert(r.getLong(1) == n && r.getDouble(2) == m && r.getDouble(3) == s)
+    }
+    val all = got.find(_.getString(0) == "(all)").get
+    assert(all.getLong(1) == direct.values.map(_._1).sum)
+  }
+
+  test("q_bitmap_distinct equals count(DISTINCT) per year") {
+    val expect = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = run("q_bitmap_distinct").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q_gap_interp observed buckets pass through; gaps blend linearly") {
+    val rows = run("q_gap_interp").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 600000,
+        r.getString(2), r.getLong(3)))
+    assert(rows.exists(_._3 == "interp") && rows.exists(_._3 == "obs"))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // spine is contiguous 10-minute buckets
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => b._2 == a._2 + 1
+        case _           => true
+      })
+      // first and last buckets are observed (spine spans min..max)
+      assert(ordered.head._3 == "obs" && ordered.last._3 == "obs")
+      val obs = ordered.filter(_._3 == "obs").map(r => (r._2, r._4))
+      ordered.filter(_._3 == "interp").foreach { case (_, idx, _, v) =>
+        val (pi, pv) = obs.filter(_._1 < idx).last
+        val (ni, nv) = obs.find(_._1 > idx).get
+        assert(v == (pv * (ni - idx) + nv * (idx - pi)) / (ni - pi))
+      }
+    }
+  }
+}
+
+/** Triangle counting: golden sf0.001 values + an id-orientation replay
+  * proving the published counts are orientation-invariant.
+  */
+class TrianglesSpec extends SparkSpec {
+  test("q_graph_triangles matches an id-ordered brute replay") {
+    val edges = graft.operators.Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // id orientation: a < b already canonical; count a<b<c closures
+    val tri = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty[(Long, Long)].map(_._2))
+        .count(c => edges.contains((a, c)))
+    }.sum
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val got = run("q_graph_triangles").collect().head
+    assert(got.getLong(0) == nodes.size)
+    assert(got.getLong(1) == edges.size)
+    assert(got.getLong(2) == tri)
+    assert(got.getLong(3) == 3L * tri * 1000 / wedges)
+  }
+}
+
+/** Gopher rules + DSIR weights: rule replay on raw text and the
+  * domain-separation property the importance weight exists to create.
+  */
+class QualityOpsSpec extends SparkSpec {
+  test("q_quality_gopher replays the rule arithmetic on raw text") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stops = graft.functions.GraftText.Stopwords.toSet
+    val rows = run("q_quality_gopher").collect()
+    assert(rows.length == texts.size)
+    // non-degenerate split
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")))
+    rows.take(50).foreach { r =>
+      val t = texts(r.getLong(0))
+      val words = t.split(" ", -1)
+      val lines = t.split("\n", -1)
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[Long]("mean_wlen_cpm") ==
+        words.map(_.length).sum * 100L / words.length)
+      assert(r.getAs[Long]("n_stop") == words.count(stops))
+      val nSym = t.count(_ == '#') + words.count(_.contains("..."))
+      assert(r.getAs[Long]("sym_pm") == nSym * 1000L / words.length)
+      val keep = words.length >= 30 && words.length <= 90 &&
+        (words.map(_.length).sum * 100L / words.length) >= 300 &&
+        (words.map(_.length).sum * 100L / words.length) <= 1000 &&
+        words.count(stops) >= 1 &&
+        (nSym * 1000L / words.length) <= 100 &&
+        lines.count(l => l.startsWith("- ") || l.startsWith("* ")) * 1000L / lines.length <= 900 &&
+        lines.count(_.endsWith("...")) * 1000L / lines.length <= 300
+      assert(r.getAs[Boolean]("keep") == keep)
+    }
+  }
+
+  test("q_dsir_weights scores the target domain above the rest on average") {
+    val rows = run("q_dsir_weights").collect()
+      .map(r => (r.getString(1), r.getAs[Long]("score")))
+    val en = rows.filter(_._1 == "en").map(_._2)
+    val rest = rows.filter(_._1 != "en").map(_._2)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum.toDouble / en.size > rest.sum.toDouble / rest.size,
+      s"en mean ${en.sum / en.size} vs rest ${rest.sum / rest.size}")
+  }
+
+  test("q_dsir_weights replays one document's weighted sum exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val allTok = docs.flatMap(d => d._3.split(" ", -1).map(t => (d._2, t)))
+    val rTot = allTok.length.toLong
+    val tTot = allTok.count(_._1 == "en").toLong
+    val rCnt = allTok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tCnt = allTok.filter(_._1 == "en").groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val d0 = docs.minBy(_._1)
+    val expect = d0._3.split(" ", -1).groupBy(identity).map { case (tok, os) =>
+      val w = tCnt.getOrElse(tok, 0L) * 1000000L / tTot -
+        rCnt(tok) * 1000000L / rTot
+      os.length * w
+    }.sum
+    val got = run("q_dsir_weights").filter(col("doc_id") === d0._1)
+      .collect().head.getAs[Long]("score")
+    assert(got == expect)
+  }
+}
+
+/** Dedup candidate-stage evaluation: at sf0.001 the banding generator
+  * surfaces every verified near-dup pair (recall 1000‰) — the floor a
+  * retuned band/row config must keep.
+  */
+class DedupEvalSpec extends SparkSpec {
+  test("q_dedup_eval pins full candidate recall at test scale") {
+    val r = run("q_dedup_eval").collect().head
+    assert(r.getAs[Long]("n_true") > 0)
+    assert(r.getAs[Long]("recall_pm") >= 950, r.toString)
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+  }
+}

@@ -558,3 +558,69 @@ class Round9PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 }
+
+/** Plan pins for the round-10 OLAP/quality batch. */
+class Round10PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("bitmap distinct ORs words map-side and never plans an EXPAND") {
+    val p = plan("q_bitmap_distinct")
+    assert(p.contains("partial_bit_or"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("moments merge reads only the written partial layout, never lineitem") {
+    val p = plan("q_moments_merge")
+    assert(p.contains("moment_partials"), p)
+    assert(!p.contains("lineitem.parquet"), p)
+  }
+
+  test("skyline windows over the distinct-point aggregate, not raw parts") {
+    val p = plan("q_skyline")
+    // the single-partition sort sees only the (price, size) domain:
+    // the distinct aggregate must sit below the window exchange
+    val win = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate", win)
+    assert(win >= 0 && agg > win, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("gopher quality filter is one codegen map — only the sink sort exchanges") {
+    val p = plan("q_quality_gopher")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+  }
+
+  test("interval join pairs meet on the bin equi-join, never a cartesian") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin [bin"), p)
+  }
+
+  test("dsir weight table broadcasts back over the per-doc counts") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin [token"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-wide token aggregate runs ONCE: the vocab checkpoint
+    // feeds both the totals row and the weight table
+    assert("FileScan parquet \\[text".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("triangle wedge join is an equi-join; only the 1-row stat tables cross") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // wedges close via LeftSemi against the oriented edge set
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("gap interpolation shares one (type) exchange across all three window passes") {
+    val p = plan("q_gap_interp")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 3, p)
+    // the windows run over ONE hash exchange of the spine (plus the
+    // bucket/spine aggregates below the broadcast join)
+    val winSection = p.substring(p.indexOf("Window"))
+    assert("Exchange hashpartitioning\\(et".r.findAllIn(winSection).size <= 1, p)
+  }
+}
