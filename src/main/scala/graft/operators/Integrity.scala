@@ -174,8 +174,69 @@ object Integrity {
           sum(col("n_rows")).as("n_rows"))
         .select(lit("(all)").as("flag"), col("approx_parts"), col("n_rows"))
       per.unionAll(glob).orderBy(col("flag"))
+    }),
+
+    // Mergeable QUANTILE layout — the percentile member of the
+    // partial-layout family (HLL → distincts, moments → mean/std,
+    // bitmap → exact distincts, THIS → quantiles): per (flag, shard),
+    // a 16-bucket equi-depth histogram of l_extendedprice (17 exact
+    // within-shard cut points + the shard count) written once; any
+    // later quantile rollup merges histograms by WEIGHT — each shard
+    // bucket carries count/16 rows — and reads the cut point where
+    // cumulative weight crosses p. The t-digest/KLL shape with a
+    // deterministic construction: within-shard cuts are exact
+    // percentiles (per-file sorts at ingest), the merge is one
+    // explode + cumulative-sum window over groups×shards×17 rows —
+    // metadata-sized forever. Rows-only (estimate); QuantilePartialSpec
+    // pins every estimate within the inter-shard spread of the exact
+    // percentile and the weights summing to the table count.
+    "q_quantile_partial_union" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = quantilePartials(s, d)
+      val pts = h.select(col("l_returnflag").as("flag"), col("n_rows"),
+        posexplode(col("cuts")))
+        .select(col("flag"), col("pos"), col("col").as("cut"),
+          // bucket weight: cut i (i>0) closes a bucket of n/16 rows;
+          // cut 0 (the min) carries no mass
+          when(col("pos") === 0, lit(0.0))
+            .otherwise(col("n_rows") / lit(16.0)).as("w"))
+      def estAt(p: Double, tag: String): DataFrame = {
+        val wc = Window.partitionBy(col("flag"))
+          .orderBy(col("cut"), col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("flag"))
+        pts.withColumn("cum", sum(col("w")).over(wc))
+          .withColumn("need", sum(col("w")).over(tot) * p)
+          .filter(col("cum") >= col("need"))
+          .groupBy(col("flag"))
+          .agg(min(col("cut")).as("est"))
+          .select(col("flag"), lit(tag).as("p"),
+            round(col("est"), 2).as("est"))
+      }
+      estAt(0.25, "p25").unionAll(estAt(0.5, "p50"))
+        .unionAll(estAt(0.75, "p75")).unionAll(estAt(0.95, "p95"))
+        .orderBy(col("flag"), col("p"))
     })
   )
+
+  /** The quantile-partial layout: per (l_returnflag, shard), the 17
+    * exact equi-depth cut points (p = 0/16 … 16/16) of
+    * l_extendedprice within the shard plus the shard row count. At
+    * scale the shard is the file/partition: exact per-file quantiles
+    * are one local sort at ingest, and the layout is
+    * groups×shards×17 doubles regardless of table size.
+    */
+  private[graft] def quantilePartials(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "quantile_partials") {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(16)).as("shard"))
+        .agg(expr("percentile(l_extendedprice, " +
+          "array(0D, 0.0625D, 0.125D, 0.1875D, 0.25D, 0.3125D, 0.375D, " +
+          "0.4375D, 0.5D, 0.5625D, 0.625D, 0.6875D, 0.75D, 0.8125D, " +
+          "0.875D, 0.9375D, 1D))").as("cuts"),
+          count(lit(1)).as("n_rows"))
+    }
 
   /** The sketch-partial layout: one HllSketch per (l_returnflag,
     * shard) over l_partkey, 16 hash shards per group (at scale:

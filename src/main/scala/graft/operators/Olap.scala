@@ -210,6 +210,70 @@ object Olap {
         .agg(sum(expr("bit_count(w)")).cast("long").as("n_cust"))
         .orderBy(col("o_year"))),
 
+    // Classical seasonal decomposition (trend + day-of-week seasonal
+    // + residual) of the per-type daily value series — the moving-
+    // average STL precursor every metrics pipeline runs before
+    // anomaly thresholds. Determinism discipline: the series is exact
+    // CENTS on a zero-filled daily spine (missing day = zero traffic,
+    // the q_gap_fill stance, which also makes the 7-day window
+    // CONTIGUOUS by construction); dow = epoch-day mod 7 (no
+    // engine-specific week-start convention); trend and seasonal are
+    // floor(exact-integer-sum / exact-count) — integer sums are
+    // < 2^53, so the double division and floor are bit-identical
+    // cross-engine even where deviations go negative (floor, not
+    // truncate, is what DuckDB's // does — using floor() explicitly
+    // keeps Spark's div out of negative-operand territory). Shape:
+    // one map-combined daily aggregate, a broadcast spine join, one
+    // (type) window exchange, one bounded (type, dow) aggregate
+    // broadcast back. Residual = v − trend − seasonal, exact.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_seconds(date_trunc('DAY', ts)) div 86400").as("day_no"))
+        .agg(sum(graft.Exact.money(col("value"))).as("v"))
+        .select(col("event_type"), col("day_no"),
+          (col("v") * 100).cast("long").as("v_cents"))
+      val spine = daily.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
+        .select(col("event_type").as("et"),
+          explode(expr("sequence(d0, d1)")).as("day_no"))
+      val g = spine.join(daily,
+          col("et") === col("event_type") && spine("day_no") === daily("day_no"),
+          "left")
+        .select(col("et"), spine("day_no").as("day_no"),
+          coalesce(col("v_cents"), lit(0L)).as("v_cents"))
+      val w7 = Window.partitionBy(col("et")).orderBy(col("day_no"))
+        .rowsBetween(-3, 3)
+      // localCheckpoint: the trend table feeds BOTH the seasonal
+      // aggregate and the final join — without the barrier Catalyst
+      // recomputes the whole corpus-wide daily aggregate once per
+      // consumer; the table it snapshots is spine-sized (types ×
+      // days), metadata-scale at any corpus size
+      val t = g
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend_cents",
+          when(col("n7") === 7,
+            floor(sum(col("v_cents")).over(w7) / lit(7)).cast("long")))
+        .localCheckpoint()
+      val seas = t.filter(col("trend_cents").isNotNull)
+        .groupBy(col("et").as("set"), (col("day_no") % 7).as("dow"))
+        .agg(sum(col("v_cents") - col("trend_cents")).as("sdev"),
+          count(lit(1)).as("ndev"))
+        .select(col("set"), col("dow"),
+          floor(col("sdev") / col("ndev")).cast("long").as("seas_cents"))
+      t.join(broadcast(seas),
+          col("et") === col("set") && (col("day_no") % 7) === col("dow"),
+          "left")
+        .select(col("et").as("event_type"), col("day_no"), col("v_cents"),
+          col("trend_cents"),
+          when(col("trend_cents").isNotNull, col("seas_cents"))
+            .as("seas_cents"),
+          when(col("trend_cents").isNotNull,
+            col("v_cents") - col("trend_cents") - col("seas_cents"))
+            .as("resid_cents"))
+        .orderBy(col("event_type"), col("day_no"))
+    }),
+
     // Linear gap interpolation — q_gap_fill's value twin: missing
     // 10-minute buckets of the per-type value series get the linear
     // blend of their nearest observed neighbours instead of zeros
@@ -335,6 +399,44 @@ object Olap {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 86400 AS day_no,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS BIGINT) AS v_cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type AS et,
+        |    unnest(generate_series(min(day_no), max(day_no))) AS day_no
+        |  FROM daily GROUP BY event_type),
+        |g AS (
+        |  SELECT s.et, s.day_no, coalesce(d.v_cents, 0) AS v_cents
+        |  FROM s LEFT JOIN daily d
+        |    ON s.et = d.event_type AND s.day_no = d.day_no),
+        |t AS (
+        |  SELECT et, day_no, v_cents,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN CAST(floor(CAST(sum(v_cents) OVER w7 AS DOUBLE) / 7)
+        |        AS BIGINT) END AS trend_cents
+        |  FROM g
+        |  WINDOW w7 AS (PARTITION BY et ORDER BY day_no
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT et, day_no % 7 AS dow,
+        |    CAST(floor(CAST(sum(v_cents - trend_cents) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS seas_cents
+        |  FROM t WHERE trend_cents IS NOT NULL GROUP BY 1, 2)
+        |SELECT t.et AS event_type, t.day_no, t.v_cents, t.trend_cents,
+        |  CASE WHEN t.trend_cents IS NOT NULL THEN se.seas_cents END
+        |    AS seas_cents,
+        |  CASE WHEN t.trend_cents IS NOT NULL
+        |    THEN t.v_cents - t.trend_cents - se.seas_cents END
+        |    AS resid_cents
+        |FROM t LEFT JOIN seas se
+        |  ON t.et = se.et AND t.day_no % 7 = se.dow
+        |ORDER BY event_type, day_no""".stripMargin,
     "q_gap_interp" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -70,6 +70,13 @@ object Similarity {
     */
   val QueryBatch = 8L
 
+  /** q_sim_range_search radius: cosine ≥ 0.25 ≈ 2σ of the random-
+    * corpus background (64-dim ⇒ σ = 1/8), so each query returns a
+    * small but non-empty neighbor set at every SF. Compared on the
+    * 6-decimal-ROUNDED cosine in both engines.
+    */
+  val RangeTau = 0.25
+
   /** Quantizer-fit sample floor: KMeans.fit input is bounded at
     * max(IvfFitSample, IvfFitPerCell·k) rows — Θ(k), never the corpus
     * (128 fit points per centroid; faiss trains coarse quantizers on
@@ -391,6 +398,27 @@ object Similarity {
         .select(col("qid"), col("rk"), col("nid"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // RANGE (radius) search — the other retrieval mode every vector
+    // store serves besides top-k: ALL corpus vectors with cosine ≥ τ
+    // per query, unbounded result cardinality driven by the data, not
+    // k. Same bounded-batch broadcast shape as q_sim_topk (corpus
+    // never shuffles; the scan streams through one codegen'd cosine
+    // projection + filter). The threshold tests the ROUNDED cosine —
+    // the q_hybrid_rrf discipline: the engines' dot-product fold
+    // orders differ in the last ulp, and a raw-valued τ comparison
+    // would flip boundary rows. Fully oracled.
+    "q_sim_range_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(VectorFunctions.cosineSim(s, "qv", "embedding"), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= RangeTau)
+        .orderBy(col("qid"), col("nid"))
     }),
 
     // HYBRID retrieval with reciprocal-rank fusion (RRF, Cormack et
@@ -844,6 +872,19 @@ object Similarity {
          |    PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rk
          |  FROM fused) f
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "q_sim_range_search" ->
+      s"""SELECT qid, nid, cos_sim FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+         |      AS cos_sim
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  WHERE q.vec_id < $QueryBatch) pairs
+         |WHERE cos_sim >= $RangeTau
+         |ORDER BY qid, nid""".stripMargin,
     "q_sim_topk" ->
       s"""SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
          |  SELECT qid, nid, cos_sim,

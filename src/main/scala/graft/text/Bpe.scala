@@ -161,6 +161,68 @@ object Bpe {
           when(col("n_chars") > 0, col("n_bpe") * 1000L / col("n_chars"))
             .otherwise(lit(1000L)).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece-style GREEDY longest-match-first encoding (Wu et al.
+    // 2016, the BERT tokenizer's inference rule) over the SAME learned
+    // vocabulary: pieces = the merged symbols from BPE training, with
+    // single-character fallback (open vocabulary — every word
+    // tokenizes). Where BPE encoding replays the merge HISTORY in
+    // training order, WordPiece ignores history and takes the longest
+    // vocabulary prefix at each position — the two disagree on words
+    // like "abc" when (b,c) merged before (a,b): the operators exist
+    // as a pair precisely because pipelines must measure both.
+    //
+    // Scale shape: the greedy scan is a STATIC bounded fold (max word
+    // length steps, each a when-chain over the ≤4 distinct piece
+    // lengths) built once on the driver from the constant-size rule
+    // set and run per DISTINCT WORD — vocabulary-bounded like
+    // q_bpe_encode, never per token occurrence; the corpus pass is
+    // the same broadcast-dictionary join + map-combined per-doc sums.
+    // Rows-only; BpeSpec replays the greedy scan in plain Scala.
+    "q_wordpiece_encode" -> ((s, d) => {
+      val pieces = learnedMerges(s, d).map(m => m._2 + m._3).distinct
+      val byLen = pieces.groupBy(_.length)
+      val lensDesc = byLen.keys.toSeq.sorted.reverse
+      val vocabAll = wordFreq(s, d)
+      // one driver scalar (max word length) bounds the scan loop —
+      // the same 1-row-collect budget as the BPE argmax steps
+      val maxLen = vocabAll.agg(max(length(col("w"))))
+        .collect()(0).getInt(0)
+      // the greedy scan as a driver loop over the VOCABULARY table
+      // with per-step localCheckpoint: a single nested fold would
+      // re-embed the state expression several times per step and grow
+      // the Catalyst tree exponentially (measured: OOM at depth ~10);
+      // the checkpoint is a projection barrier, and the table it
+      // snapshots is vocabulary-bounded
+      var v = vocabAll
+        .select(col("w"), length(col("w")).cast("long").as("wc"),
+          lit(1).as("pos"), lit(0L).as("wp"))
+      for (_ <- 1 to maxLen) {
+        val adv = lensDesc.foldRight(lit(1)) { (l, els) =>
+          when(col("w").substr(col("pos"), lit(l))
+            .isInCollection(byLen(l)), lit(l)).otherwise(els)
+        }
+        v = v.select(col("w"), col("wc"),
+          when(col("pos") > col("wc"), col("pos"))
+            .otherwise(col("pos") + adv).as("pos"),
+          when(col("pos") > col("wc"), col("wp"))
+            .otherwise(col("wp") + 1).as("wp"))
+          .localCheckpoint()
+      }
+      val vocab = v.select(col("w"), col("wc"), col("wp"))
+      val vocabRows = vocab.count()
+      val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(dict, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("wc")).as("n_chars"),
+          sum(col("wp")).as("n_wp"))
+        .withColumn("fertility_cpm",
+          expr("n_wp * 100 div n_words"))
+        .orderBy(col("doc_id"))
     })
   )
 

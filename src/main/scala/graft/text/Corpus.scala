@@ -88,6 +88,52 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STRATIFIED sampling with NEYMAN allocation — the survey-
+    // statistics twin of the hash-Bernoulli samplers (q_mixture /
+    // q_temperature): a fixed eval-budget of 200 docs is allocated
+    // across language strata proportionally to n_h·σ_h (stratum size
+    // × stdev of n_chars), the allocation that minimizes estimator
+    // variance at fixed budget. σ_h derives from EXACT decimal
+    // moments (the q_anomaly_zscore discipline; a_h = floor of
+    // identical single IEEE ops in both engines); selection WITHIN a
+    // stratum is a deterministic content-hash ranking (md5 asc,
+    // doc_id tiebreak) cut at a_h — reproducible and unbiased w.r.t.
+    // any corpus ordering. Shape: one bounded |langs| moment
+    // aggregate broadcast back, one window rank per stratum
+    // (per-lang partitions; at 100 TB rank-by-hash swaps for the
+    // hash-threshold form with the same allocation law). Fully
+    // oracled.
+    "q_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val st = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("n_chars").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+            .cast("double").as("s2"))
+        .select(col("lang").as("slang"), col("n_h"),
+          // integer micro-units BEFORE the cross-stratum sum: a
+          // 5-double FP sum is accumulation-order-sensitive in the
+          // last ulp, and a flipped ulp at a floor boundary would
+          // flip an allocation — integers sum order-free
+          floor((col("n_h") * sqrt((col("s2") - col("s1") * col("s1")
+            / col("n_h")) / (col("n_h") - 1))) * 1000000)
+            .cast("long").as("nsig_u"))
+      val tot = st.agg(sum(col("nsig_u")).as("nsig_tot"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .select(col("slang"),
+          floor(lit(200.0) * col("nsig_u") / col("nsig_tot"))
+            .cast("long").as("a_h"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), col("lang") === col("slang"))
+        .filter(col("rk") <= col("a_h"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("a_h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
     // 97 == 0). The index is built over the BENCHMARK side only — at
@@ -453,6 +499,31 @@ object Corpus {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) toks""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """WITH st AS (
+        |  SELECT lang, count(*) AS n_h,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s2
+        |  FROM documents GROUP BY 1),
+        |ns AS (
+        |  SELECT lang, n_h,
+        |    CAST(floor(n_h * sqrt((s2 - s1 * s1 / n_h) / (n_h - 1))
+        |      * 1000000) AS BIGINT) AS nsig_u
+        |  FROM st),
+        |tot AS (SELECT CAST(sum(nsig_u) AS BIGINT) AS nsig_tot FROM ns),
+        |alloc AS (
+        |  SELECT lang, CAST(floor(200.0 * nsig_u / nsig_tot) AS BIGINT)
+        |    AS a_h
+        |  FROM ns, tot),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, a.a_h
+        |FROM rk r JOIN alloc a USING (lang)
+        |WHERE r.rk <= a.a_h ORDER BY r.doc_id""".stripMargin,
     "q_token_budget" ->
       s"""WITH w AS (
          |  SELECT source,

@@ -86,6 +86,76 @@ object Quality {
             col("ellipsis_pm") <= GopherMaxEllipsisPm)
         .orderBy(col("doc_id"))),
 
+    // Language-ID EVALUATION — the confusion matrix of the stopword-
+    // ratio detector (q_lang_guess) against the labeled lang column:
+    // per (true lang, guess) counts and within-lang shares. The
+    // monitoring readout a corpus pipeline keeps on its cheapest
+    // classifier (is the 'en-like' detector still separating en from
+    // the rest as the corpus mix drifts?). One zero-shuffle kernel
+    // projection + a |langs|×2 bounded aggregate; integer per-mille;
+    // fully oracled.
+    "q_langid_eval" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val ratio = col("st.n_stop").cast("double") / col("st.n_tokens")
+      val cells = Tables.documents(s, d)
+        .select(col("lang"), expr("text_stats(split(text, ' '))").as("st"))
+        .select(col("lang"),
+          when(ratio >= 0.05, "en-like").otherwise("unknown").as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("lang_total"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("guess"), col("n"), col("lang_total"),
+          expr("n * 1000 div lang_total").as("share_pm"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+
+    // Kneser-Ney smoothed bigram LM scoring — the capstone of the LM
+    // quality family (unigram mean-prob, bigram coherence ratio, and
+    // now the properly SMOOTHED conditional model): absolute
+    // discounting with continuation probabilities,
+    //   p_KN(w|v) = max(c(vw)−d, 0)/c(v) + λ(v)·N1+(·w)/N1+(··),
+    // d = 3/4. Every factor is INTEGER ppm arithmetic (the library
+    // no-libm rule — no logs; the mean ppm orders documents exactly
+    // like mean log-prob orders them under a monotone map per factor
+    // mix), so both engines share the arithmetic bit-for-bit. Shape:
+    // one map-combined bigram aggregate builds the model (bounded by
+    // observed bigram types — the broadcast-vocabulary stance of
+    // q_lm_bigram_score); the v-marginals derive from it; per-doc
+    // scoring joins doc bigram counts against the model and reduces
+    // to a thin doc aggregate. Fully oracled.
+    "q_lm_kneser_ney" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) AS v, element_at(w, i + 1) AS nx))"""
+            .stripMargin.replace("\n", " "))).as("b"))
+        .select(col("doc_id"), col("b.v").as("v"), col("b.nx").as("nx"))
+      val dbg = bg.groupBy(col("doc_id"), col("v"), col("nx"))
+        .agg(count(lit(1)).as("cnt"))
+      // model: c(vw) per bigram type — checkpointed, every marginal
+      // derives from it without re-scanning the corpus
+      val m = dbg.groupBy(col("v"), col("nx")).agg(sum(col("cnt")).as("c"))
+        .localCheckpoint()
+      val vMarg = m.groupBy(col("v"))
+        .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1v"))
+      val wMarg = m.groupBy(col("nx")).agg(count(lit(1)).as("n1w"))
+      val n1all = m.agg(count(lit(1)).as("n1all"))
+      val p = m.join(vMarg, "v").join(wMarg, "nx")
+        .crossJoin(broadcast(n1all))
+        .selectExpr("v", "nx",
+          "greatest(c * 1000000 - 750000, 0L) div cv AS t1_ppm",
+          "750000 * n1v div cv AS lam_ppm",
+          "n1w * 1000000 div n1all AS pc_ppm")
+        .selectExpr("v", "nx",
+          "t1_ppm + lam_ppm * pc_ppm div 1000000 AS p_ppm")
+      dbg.join(p, Seq("v", "nx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          expr("sum(cnt * p_ppm) div sum(cnt)").as("mean_pkn_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-shaped domain-importance weights (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score
     // each document by how much more its unigrams look like the
@@ -169,6 +239,49 @@ object Quality {
          |    AND bullet_pm <= $GopherMaxBulletPm
          |    AND ellipsis_pm <= $GopherMaxEllipsisPm) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_langid_eval" ->
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         |        w -> w IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) >= 0.05
+         |      THEN 'en-like' ELSE 'unknown' END AS guess
+         |  FROM documents),
+         |cells AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+         |  FROM cells GROUP BY 1)
+         |SELECT c.lang, c.guess, c.n, t.lang_total,
+         |  c.n * 1000 // t.lang_total AS share_pm
+         |FROM cells c JOIN tot t USING (lang)
+         |ORDER BY c.lang, c.guess""".stripMargin,
+    "q_lm_kneser_ney" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS v, w[i + 1] AS nx
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 1)) AS i FROM w) t),
+        |dbg AS (
+        |  SELECT doc_id, v, nx, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT v, nx, CAST(sum(cnt) AS BIGINT) AS c FROM dbg GROUP BY 1, 2),
+        |vm AS (
+        |  SELECT v, CAST(sum(c) AS BIGINT) AS cv, count(*) AS n1v
+        |  FROM m GROUP BY 1),
+        |wm AS (SELECT nx, count(*) AS n1w FROM m GROUP BY 1),
+        |na AS (SELECT count(*) AS n1all FROM m),
+        |p AS (
+        |  SELECT m.v, m.nx,
+        |    greatest(m.c * 1000000 - 750000, 0) // vm.cv
+        |      + (750000 * vm.n1v // vm.cv) * (wm.n1w * 1000000 // na.n1all)
+        |        // 1000000 AS p_ppm
+        |  FROM m JOIN vm USING (v) JOIN wm USING (nx) CROSS JOIN na)
+        |SELECT dbg.doc_id,
+        |  CAST(sum(dbg.cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(dbg.cnt * p.p_ppm) // sum(dbg.cnt) AS BIGINT)
+        |    AS mean_pkn_ppm
+        |FROM dbg JOIN p ON dbg.v = p.v AND dbg.nx = p.nx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

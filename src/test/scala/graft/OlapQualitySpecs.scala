@@ -259,3 +259,208 @@ class DedupEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
   }
 }
+
+/** Batch-2 replays: seasonal decomposition, stratified sampling,
+  * Kneser-Ney, range search, nearest as-of, langid eval, WordPiece,
+  * quantile partial union.
+  */
+class SeasonalSpec extends SparkSpec {
+  test("q_seasonal_decompose: identity holds and edges are null") {
+    val rows = run("q_seasonal_decompose").collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5))
+      } else assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+    // per type: exactly the 3 first and 3 last days lack a trend
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.count(_.isNullAt(3)) == 6)
+      assert(ordered.take(3).forall(_.isNullAt(3)) &&
+        ordered.takeRight(3).forall(_.isNullAt(3)))
+      // same dow → same seasonal
+      ordered.filter(!_.isNullAt(4)).groupBy(r => r.getLong(1) % 7)
+        .foreach { case (_, g) => assert(g.map(_.getLong(4)).distinct.size == 1) }
+    }
+  }
+}
+
+class StratifiedSpec extends SparkSpec {
+  test("q_stratified_sample meets each stratum's Neyman allocation exactly") {
+    val rows = run("q_stratified_sample").collect()
+    assert(rows.length <= 200 && rows.length > 100)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val aH = rs.head.getLong(3)
+      assert(rs.length == aH.toInt)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to aH))
+    }
+    // allocation replay from exact moments
+    val st = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).map { case (l, xs) =>
+        val n = xs.length.toLong
+        val s1 = xs.map(_._2).sum.toDouble
+        val s2 = xs.map(x => x._2 * x._2).sum.toDouble
+        l -> math.floor(n * math.sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1e6).toLong
+      }
+    val tot = st.values.sum
+    rows.groupBy(_.getString(1)).foreach { case (l, rs) =>
+      assert(rs.head.getLong(3) == math.floor(200.0 * st(l) / tot).toLong)
+    }
+  }
+}
+
+class KneserNeySpec extends SparkSpec {
+  test("q_lm_kneser_ney replays one document's smoothed score exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String) = t.split(" ", -1).sliding(2)
+      .collect { case Array(a, b) => (a, b) }.toSeq
+    val all = docs.flatMap(d => bigrams(d._2))
+    val m = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cv = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1v = m.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w = m.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n1all = m.size.toLong
+    def pPpm(v: String, w: String): Long = {
+      val t1 = math.max(m((v, w)) * 1000000L - 750000L, 0L) / cv(v)
+      val lam = 750000L * n1v(v) / cv(v)
+      val pc = n1w(w) * 1000000L / n1all
+      t1 + lam * pc / 1000000L
+    }
+    val d0 = docs.minBy(_._1)
+    val bg = bigrams(d0._2)
+    val expect = bg.map { case (v, w) => pPpm(v, w) }.sum / bg.length
+    val got = run("q_lm_kneser_ney").filter(col("doc_id") === d0._1)
+      .collect().head
+    assert(got.getLong(1) == bg.length)
+    assert(got.getLong(2) == expect)
+  }
+}
+
+class RangeSearchSpec extends SparkSpec {
+  test("q_sim_range_search returns exactly the pairs at or above tau") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val qs = vecs.filter(_._1 < 8)
+    val expect = (for {
+      (qid, qv) <- qs; (nid, nv) <- vecs if nid != qid
+      c = BigDecimal(cos(qv, nv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal("0.25")
+    } yield (qid, nid)).toSet
+    val got = run("q_sim_range_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+}
+
+class AsofNearestSpec extends SparkSpec {
+  test("q_asof_nearest equals the brute-force per-purchase argmin") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map { r =>
+        val i = r.getTimestamp(3).toInstant
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          i.getEpochSecond * 1000000L + i.getNano / 1000)
+      }
+    val clicks = ev.filter(_._3 == "click")
+      .groupBy(e => (e._2, e._4)).map { case ((u, t), es) =>
+        (u, t, es.map(_._1).max)
+      }.toSeq.groupBy(_._1)
+    val got = run("q_asof_nearest").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(5))))).toMap
+    val buys = ev.filter(_._3 == "purchase")
+    assert(got.size == buys.length)
+    buys.foreach { case (eid, u, _, t) =>
+      clicks.get(u) match {
+        case None => assert(got(eid).isEmpty)
+        case Some(cs) =>
+          val best = cs.minBy(c => (math.abs(t - c._2), c._2))
+          assert(got(eid).contains((best._3, math.abs(t - best._2))),
+            s"purchase $eid")
+      }
+    }
+  }
+}
+
+class LangidEvalSpec extends SparkSpec {
+  test("q_langid_eval counts cover the corpus and shares are per-lang") {
+    val rows = run("q_langid_eval").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val total = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == total)
+      rs.foreach(r => assert(r.getLong(4) == r.getLong(2) * 1000 / total))
+    }
+  }
+}
+
+class WordpieceSpec extends SparkSpec {
+  test("q_wordpiece_encode replays the greedy longest-match scan") {
+    val merges = graft.text.Bpe.learnedMerges(spark, sf)
+    val pieces = merges.map(m => m._2 + m._3).distinct
+    val byLen = pieces.groupBy(_.length)
+    val lensDesc = byLen.keys.toSeq.sorted.reverse
+    def wpLen(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val adv = lensDesc.find(l =>
+          pos + l <= w.length && byLen(l).contains(w.substring(pos, pos + l)))
+          .getOrElse(1)
+        pos += adv; n += 1
+      }
+      n
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("q_wordpiece_encode").collect()
+    got.take(40).foreach { r =>
+      val words = texts(r.getLong(0)).split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[Long]("n_wp") == words.map(wpLen).sum, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("fertility_cpm") ==
+        r.getAs[Long]("n_wp") * 100 / words.length)
+    }
+    // greedy can only refine: wp pieces never fewer than chars/maxPiece
+    got.foreach(r => assert(r.getAs[Long]("n_wp") <= r.getAs[Long]("n_chars")))
+  }
+}
+
+class QuantilePartialSpec extends SparkSpec {
+  test("q_quantile_partial_union estimates sit inside the exact quantile bracket") {
+    val prices = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactQ(xs: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = xs(pos.toInt)
+      val hi = xs(math.min(pos.toInt + 1, xs.length - 1))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val ps = Map("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val rows = run("q_quantile_partial_union").collect()
+    assert(rows.length == prices.size * 4)
+    rows.foreach { r =>
+      val xs = prices(r.getString(0)).toIndexedSeq
+      val p = ps(r.getString(1))
+      // 16-bucket equi-depth merge: estimate within the ±1/16 bracket
+      val lo = exactQ(xs, math.max(0, p - 0.0625))
+      val hi = exactQ(xs, math.min(1, p + 0.0625))
+      val est = r.getDouble(2)
+      assert(est >= lo - 0.01 && est <= hi + 0.01,
+        s"${r.getString(0)} $p est=$est bracket=[$lo,$hi]")
+    }
+  }
+}

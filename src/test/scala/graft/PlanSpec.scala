@@ -624,3 +624,56 @@ class Round10PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(et".r.findAllIn(winSection).size <= 1, p)
   }
 }
+
+/** Plan pins for the round-10 second batch. */
+class Round10bPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("nearest as-of carries both directions over ONE user exchange") {
+    val p = plan("q_asof_nearest")
+    // ONE bare-user_id exchange feeds the single window holding all
+    // four carries (the second user_id exchange is the click-dedup
+    // aggregate, keyed (user_id, instant))
+    assert("hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(p).size == 1, p)
+    assert("\\+\\- Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("kneser-ney scans the corpus once; marginals derive from the checkpointed model") {
+    val p = plan("q_lm_kneser_ney")
+    assert("FileScan parquet \\[doc_id".r.findAllIn(p).size == 1, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3, p) // model reused
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stratified sample broadcasts the allocation over one per-stratum window") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("BroadcastHashJoin [lang"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("quantile partial union reads only the written histogram layout") {
+    val p = plan("q_quantile_partial_union")
+    assert(p.contains("quantile_partials"), p)
+    assert(!p.contains("lineitem.parquet"), p)
+  }
+
+  test("wordpiece encode joins the broadcast piece dictionary; corpus never sort-merges") {
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin [w"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("seasonal decomposition computes the corpus-wide subtree once (checkpoint barrier)") {
+    val p = plan("q_seasonal_decompose")
+    // the trend table is checkpointed: the published plan joins the
+    // snapshot against its own seasonal aggregate — the raw events
+    // scan must NOT appear twice (it must not appear at all)
+    assert(!p.contains("events.parquet"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}

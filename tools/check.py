@@ -44,7 +44,8 @@ ROWS_ONLY = {
     "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
     "q_media_scene_cut",
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
-    "q_ann_recall_eval", "q_dedup_eval",
+    "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
+    "q_quantile_partial_union",
 }
 
 
