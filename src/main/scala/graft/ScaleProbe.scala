@@ -80,6 +80,10 @@ object ScaleProbe {
       // (candidates ≈ batch · nprobe · FineNProbe · occupancy, so the
       // exponent should read ~0 once kf leaves its floor)
       val ivf2Cands = sim.Ivf2.ivf2Candidates(spark, d).count()
+      // triangle counting: oriented-wedge candidates vs edge count —
+      // degree orientation promises wedges = O(|E|^1.5) worst case;
+      // the wedge-vs-edge exponent below should sit at or under 1.5
+      val (triEdges, triWedges) = operators.Graph.wedgeStats(spark, d)
       val ivf2Parts = sim.Ivf2.ivf2Index(spark, d)
         .select("cell", "fine").distinct().count()
       val secs = probed.map { q =>
@@ -98,12 +102,15 @@ object ScaleProbe {
         s""""decontam_fuzzy_candidates":$decontamCands""",
         s""""ivf2_candidates":$ivf2Cands""",
         s""""ivf2_partitions":$ivf2Parts""",
-        s""""ivf2_mean_occupancy":${vecs / math.max(1L, ivf2Parts)}""")
+        s""""ivf2_mean_occupancy":${vecs / math.max(1L, ivf2Parts)}""",
+        s""""triangle_edges":$triEdges""",
+        s""""triangle_wedges":$triWedges""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
         "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands,
-        "ivf2_cands" -> ivf2Cands), secs)
+        "ivf2_cands" -> ivf2Cands, "tri_edges" -> triEdges,
+        "tri_wedges" -> triWedges), secs)
     }
 
     if (rows.size >= 2) {
@@ -124,7 +131,8 @@ object ScaleProbe {
         s""""semdedup_floor16_exp":${f"${exp(d1vecs, d2vecs, c1("sem_floor").toDouble, c2("sem_floor").toDouble)}%.2f"}""",
         s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
         s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""",
-        s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""")
+        s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""",
+        s""""triangle_wedge_vs_edge_exp":${f"${exp(c1("tri_edges"), c2("tri_edges"), c1("tri_wedges").toDouble, c2("tri_wedges").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

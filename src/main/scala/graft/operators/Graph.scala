@@ -85,6 +85,35 @@ object Graph {
       .distinct()
   }
 
+  /** Degree-ordered orientation: src = the (deg, id)-smaller endpoint.
+    * Checkpointed — the triangle query reads it three times (two path
+    * sides + the closure semi-join).
+    */
+  private[graft] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+
+  /** (edges, oriented wedges) — the ScaleProbe readout for the
+    * O(|E|^1.5) wedge bound the orientation provides.
+    */
+  private[graft] def wedgeStats(s: SparkSession, d: String): (Long, Long) = {
+    val e = coEdges(s, d).localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ed = orientByDegree(e, deg)
+    val wedges = ed.as("e1")
+      .join(ed.as("e2"), col("e1.dst") === col("e2.src")).count()
+    (e.count(), wedges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Triangle count + global clustering coefficient over the
     // co-purchase graph — the density/community signal corpus-graph
@@ -104,17 +133,7 @@ object Graph {
       val e = coEdges(s, d).localCheckpoint()
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // orient by (deg, id): src = smaller endpoint under that order
-      val ed = e.join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("src"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("dst"))
-        .localCheckpoint()
+      val ed = orientByDegree(e, deg)
       val tri = ed.as("e1")
         .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
         .join(ed.as("e3"),

@@ -65,6 +65,13 @@ object Olap {
             .cast("decimal(30,4)")).as("s2"))
     }
 
+  /** Published moments are ROUNDED to 6 decimals: the merged Σx²
+    * decimal exceeds 2^53 at sf0.1 (…16 significant digits), and the
+    * engines' DECIMAL→DOUBLE casts round that overflow differently by
+    * one ulp (measured: std differed at the 12th significant digit at
+    * sf0.1 only). The decimals themselves are still exact — the round
+    * happens after the single IEEE derivation, same as q_anomaly_mad.
+    */
   private def momentsOf(df: DataFrame, flag: Column): DataFrame =
     df.select(flag.as("flag"), col("n"), col("s1"), col("s2"))
       .groupBy(col("flag"))
@@ -72,9 +79,9 @@ object Olap {
         sum(col("s1")).cast("double").as("s1d"),
         sum(col("s2")).cast("double").as("s2d"))
       .select(col("flag"), col("n_rows"),
-        (col("s1d") / col("n_rows")).as("mean"),
-        sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
-          / (col("n_rows") - 1)).as("std"))
+        round(col("s1d") / col("n_rows"), 6).as("mean"),
+        round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
+          / (col("n_rows") - 1)), 6).as("std"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skyline (Pareto frontier): the undominated (price, size) points
@@ -392,8 +399,8 @@ object Olap {
         |    CAST(sum(CAST(l_extendedprice * l_extendedprice
         |      AS DECIMAL(30,4))) AS DOUBLE)
         |  FROM lineitem)
-        |SELECT flag, n_rows, s1d / n_rows AS mean,
-        |  sqrt((s2d - s1d * s1d / n_rows) / (n_rows - 1)) AS std
+        |SELECT flag, n_rows, round(s1d / n_rows, 6) AS mean,
+        |  round(sqrt((s2d - s1d * s1d / n_rows) / (n_rows - 1)), 6) AS std
         |FROM m ORDER BY flag""".stripMargin,
     "q_bitmap_distinct" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

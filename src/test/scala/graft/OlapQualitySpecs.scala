@@ -106,9 +106,9 @@ class OlapSpec extends SparkSpec {
         sum((col("l_extendedprice") * col("l_extendedprice"))
           .cast("decimal(30,4)")).cast("double").as("s2d"))
       .select(col("flag"), col("n_rows"),
-        (col("s1d") / col("n_rows")).as("mean"),
-        sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
-          / (col("n_rows") - 1)).as("std"))
+        round(col("s1d") / col("n_rows"), 6).as("mean"),
+        round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
+          / (col("n_rows") - 1)), 6).as("std"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val got = run("q_moments_merge").collect()
