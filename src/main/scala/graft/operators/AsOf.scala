@@ -94,17 +94,21 @@ object AsOf {
         col("event_id"),
         lit(null).cast("long").as("click_id"),
         lit(null).cast("long").as("click_us"))
+      // forward carry as a DESCENDING running frame: Spark's
+      // (currentRow, unboundedFollowing) frame rescans the tail per
+      // row — O(n²) in a user's history; the reversed running last()
+      // is the same navigation in O(n) over the reused exchange
       val wb = Window.partitionBy(col("user_id"))
         .orderBy(col("t_us"), col("is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy(col("user_id"))
-        .orderBy(col("t_us"), col("is_left"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("t_us").desc, col("is_left").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clickSide.unionByName(buySide)
         .withColumn("bk", last(col("click_id"), ignoreNulls = true).over(wb))
         .withColumn("bd", last(col("click_us"), ignoreNulls = true).over(wb))
-        .withColumn("fk", first(col("click_id"), ignoreNulls = true).over(wf))
-        .withColumn("fd", first(col("click_us"), ignoreNulls = true).over(wf))
+        .withColumn("fk", last(col("click_id"), ignoreNulls = true).over(wf))
+        .withColumn("fd", last(col("click_us"), ignoreNulls = true).over(wf))
         .filter(col("is_left") === 1)
         .withColumn("pick_back",
           col("fd").isNull ||

@@ -176,6 +176,38 @@ object Integrity {
       per.unionAll(glob).orderBy(col("flag"))
     }),
 
+    // Sketch-based set-OVERLAP estimation via inclusion-exclusion —
+    // the audience/retention overlap question (how many of 1996's
+    // customers already ordered in 1995?) answered from per-year HLL
+    // sketches: |A∩B| ≈ |A| + |B| − |A∪B|, where all three terms are
+    // sketch estimates and the union is the native HLL merge. At
+    // 100 TB the per-period sketches are the written artifact (the
+    // q_hll_partial_union layout family) and every pairwise overlap
+    // across ANY two periods is a kilobyte-sized merge — no fact
+    // rescan, no distinct join. Inclusion-exclusion inflates relative
+    // error when the overlap is small (the documented sketch-algebra
+    // caveat); rows-only, spec pins ±10% of the exact intersection at
+    // this overlap ratio plus exact consistency bounds.
+    "q_hll_intersection" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+        .filter(col("y").isin(1995, 1996))
+      val sk = o.groupBy(col("y"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+          count(lit(1)).as("n_rows"))
+        .localCheckpoint()
+      val per = sk.select(col("y"), hll_sketch_estimate(col("sk")).as("est"))
+      val a = per.filter(col("y") === 1995).select(col("est").as("est_a"))
+      val b = per.filter(col("y") === 1996).select(col("est").as("est_b"))
+      val u = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_union"))
+      a.crossJoin(b).crossJoin(u)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union"))
+            .cast("long").as("est_overlap"))
+    }),
+
     // Mergeable QUANTILE layout — the percentile member of the
     // partial-layout family (HLL → distincts, moments → mean/std,
     // bitmap → exact distincts, THIS → quantiles): per (flag, shard),

@@ -464,3 +464,114 @@ class QuantilePartialSpec extends SparkSpec {
     }
   }
 }
+
+/** Batch-3: sketch-overlap, HITS, incremental moments, banding sweep. */
+class HllIntersectionSpec extends SparkSpec {
+  test("q_hll_intersection sits within 10% of the exact overlap and is consistent") {
+    val o = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+    val a = o.filter(col("y") === 1995).select("o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val b = o.filter(col("y") === 1996).select("o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val exact = (a & b).size
+    val r = run("q_hll_intersection").collect().head
+    val est = r.getAs[Long]("est_overlap")
+    assert(math.abs(est - exact) <= math.max(3, exact / 10),
+      s"est=$est exact=$exact")
+    // sketch algebra consistency: union ≤ a + b, overlap ≤ min side
+    assert(r.getLong(2) <= r.getLong(0) + r.getLong(1))
+    assert(est <= math.min(r.getLong(0), r.getLong(1)) + 1)
+  }
+}
+
+class HitsSpec extends SparkSpec {
+  test("q_graph_hits matches a plain-Scala replay of the L1-normalized iterate") {
+    val e = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("ok") === col("o_orderkey"))
+      .select(col("sk"), col("o_custkey").bitwiseOR(1L << 40).as("ck"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // mirror the implementation: normalization deferred to the end
+    // (per-step scaling cancels by linearity)
+    val hubs = e.map(_._1).distinct
+    var h = hubs.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    val byHub = e.groupBy(_._1)
+    val byAuth = e.groupBy(_._2)
+    for (_ <- 1 to graft.operators.Graph.PrIters) {
+      a = byAuth.map { case (c, es) => c -> es.map(x => h(x._1)).sum }
+      h = byHub.map { case (s_, es) => s_ -> es.map(x => a(x._2)).sum }
+    }
+    val aTot = a.values.sum
+    val hTot = h.values.sum
+    a = a.view.mapValues(_ / aTot).toMap
+    h = h.view.mapValues(_ / hTot).toMap
+    val rows = run("q_graph_hits").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val score = r.getDouble(3)
+      val expect = if (r.getString(1) == "hub") h(r.getLong(2))
+      else a(r.getLong(2))
+      assert(math.abs(score - expect) < 1e-6,
+        s"${r.getString(1)} ${r.getLong(2)}")
+    }
+    // ranks strictly ordered by (score desc, node)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+  }
+}
+
+class MomentsIncrementalSpec extends SparkSpec {
+  test("q_moments_incremental: layout + delta merge equals a full recompute") {
+    val u = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+      .unionAll(Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 101 === 0)
+        .select(col("l_returnflag"), (col("l_extendedprice") + 10.0).as("p")))
+    val direct = u.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Exact.money(col("p"))).cast("double").as("s1d"),
+        sum((col("p") * col("p")).cast("decimal(30,4)")).cast("double")
+          .as("s2d"))
+      .select(col("flag"), col("n_rows"),
+        round(col("s1d") / col("n_rows"), 6).as("mean"),
+        round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
+          / (col("n_rows") - 1)), 6).as("std"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = run("q_moments_incremental").collect()
+    got.filter(_.getString(0) != "(all)").foreach { r =>
+      val (n, m, s) = direct(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == m && r.getDouble(3) == s,
+        r.toString)
+    }
+    // the batch actually changed the statistics vs the base layout
+    val base = run("q_moments_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(1) > base(r.getString(0))))
+  }
+}
+
+class LshTuneSpec extends SparkSpec {
+  test("q_dedup_lsh_tune: recall decreases with rows-per-band, noise increases with bands") {
+    val rows = run("q_dedup_lsh_tune").collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((8L, 2L), (4L, 4L), (2L, 8L)))
+    // theory: shorter bands (fewer rows per band) can only ADD
+    // candidates — recall is monotone non-increasing in rows_per_band
+    val recalls = rows.map(_.getAs[Long]("recall_pm"))
+    assert(recalls.sliding(2).forall { case Array(x, y) => x >= y
+      case _ => true })
+    // candidate volume is monotone non-increasing too (superset chain
+    // does not strictly hold per-pair, but volume does on this corpus)
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    assert(cands.sliding(2).forall { case Array(x, y) => x >= y
+      case _ => true })
+    // the production 4×4 config keeps full recall at test scale
+    assert(rows(1).getAs[Long]("recall_pm") == 1000)
+  }
+}

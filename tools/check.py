@@ -45,7 +45,8 @@ ROWS_ONLY = {
     "q_media_scene_cut",
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
     "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
-    "q_quantile_partial_union",
+    "q_quantile_partial_union", "q_hll_intersection", "q_graph_hits",
+    "q_dedup_lsh_tune",
 }
 
 
