@@ -248,6 +248,61 @@ object Analytics {
         .orderBy(col("stage"))
     }),
 
+    // LINEAR click ATTRIBUTION with a 60-minute lookback — each
+    // purchase's value splits evenly across the user's clicks in
+    // (t−60min, t] — the marketing-attribution aggregate between
+    // last-touch (q_asof_nearest's backward pick) and full-funnel
+    // credit. The range COUNT is two cumulative lookups, not an
+    // interval join: union clicks, purchases, AND a probe row per
+    // purchase at t−60min; one (user, time) sort carries the running
+    // click count; n = cum(purchase) − cum(probe). Probes sort before
+    // clicks at the same instant (exclusive lower bound), purchases
+    // after (inclusive upper). One user exchange + a thin per-
+    // purchase regroup — no state grows with the window length, the
+    // property an interval join lacks. Credit is integer cents with
+    // an explicit remainder column (credit·n + resid = value, exact).
+    // Fully oracled vs the brute-force interval join.
+    "q_attribution_linear" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(0).as("kind"), // clicks (0) < probes (1) < purchases (2):
+        // a click AT the probe instant lands inside cum(probe), so
+        // the (t-60min, t] lower bound stays exclusive
+        lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("v_cents"), lit(1L).as("is_click"))
+      val buys = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(2).as("kind"), col("event_id").as("p_id"),
+        (graft.Exact.money(col("value")) * 100).cast("long").as("v_cents"),
+        lit(0L).as("is_click"))
+      val probes = buys.select(col("user_id"),
+        (col("t_us") - lit(3600L * 1000000)).as("t_us"),
+        lit(1).as("kind"), col("p_id"),
+        lit(null).cast("long").as("v_cents"), lit(0L).as("is_click"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(buys).unionByName(probes)
+        .withColumn("cum", sum(col("is_click")).over(w))
+        .filter(col("p_id").isNotNull)
+        .groupBy(col("p_id"))
+        .agg(first(col("user_id")).as("user_id"),
+          max(when(col("kind") === 2, col("t_us"))).as("ts_us"),
+          max(col("v_cents")).as("v_cents"),
+          (max(when(col("kind") === 2, col("cum"))) -
+            max(when(col("kind") === 1, col("cum")))).as("n_clicks"))
+        .select(col("p_id"), col("user_id"), col("ts_us"), col("v_cents"),
+          col("n_clicks"),
+          when(col("n_clicks") > 0, expr("v_cents div n_clicks"))
+            .as("credit_cents"),
+          when(col("n_clicks") > 0,
+            expr("v_cents - n_clicks * (v_cents div n_clicks)"))
+            .as("resid_cents"))
+        .orderBy(col("p_id"))
+    }),
+
     // Null-safe equality join (`<=>` / NullSafeEqual): NULL keys match
     // each other instead of vanishing — the semantics MERGE/dedup
     // pipelines need when the join key is itself nullable. Derived
@@ -275,6 +330,30 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // brute-force interval-count form of the cumulative-probe carry
+    "q_attribution_linear" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT event_id AS p_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |n AS (
+        |  SELECT b.p_id, b.user_id, b.ts_us, b.v_cents,
+        |    CAST(count(c.c_us) AS BIGINT) AS n_clicks
+        |  FROM b LEFT JOIN c ON b.user_id = c.user_id
+        |    AND c.c_us > b.ts_us - 3600000000
+        |    AND c.c_us <= b.ts_us
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p_id, user_id, ts_us, v_cents, n_clicks,
+        |  CASE WHEN n_clicks > 0 THEN v_cents // n_clicks END
+        |    AS credit_cents,
+        |  CASE WHEN n_clicks > 0
+        |    THEN v_cents - n_clicks * (v_cents // n_clicks) END
+        |    AS resid_cents
+        |FROM n ORDER BY p_id""".stripMargin,
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -148,6 +148,32 @@ object Graph {
           expr("3 * n_triangles * 1000 div n_wedges").as("cc_pm"))
     }),
 
+    // Degree DISTRIBUTION of the co-purchase graph in log2 bins —
+    // the observability readout behind every scale decision this
+    // file's operators make (is the graph power-law? where do hubs
+    // start? what does the orientation bound buy?). The log2 bin is
+    // INTEGER arithmetic — length(bin(deg)) − 1, no libm — so both
+    // engines bin identically. One thin degree aggregate + one
+    // bounded (≤64 bins) aggregate; per-mille shares off a broadcast
+    // total. Fully oracled.
+    "q_graph_degree_dist" -> ((s, d) => {
+      val e = coEdges(s, d)
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val bins = deg
+        .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("deg_bin"),
+          col("deg"))
+        .groupBy(col("deg_bin"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"))
+      val tot = bins.agg(sum(col("n_nodes")).as("n_total"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("deg_bin"),
+          expr("shiftleft(1L, CAST(deg_bin AS INT))").as("deg_lo"),
+          col("n_nodes"), col("sum_deg"),
+          expr("n_nodes * 1000 div n_total").as("share_pm"))
+        .orderBy(col("deg_bin"))
+    }),
+
     // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     // supplier→customer order graph — PageRank's bipartite sibling:
     // a good hub (supplier) ships to many good authorities
@@ -244,6 +270,26 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree_dist" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) u
+        |  GROUP BY 1),
+        |bins AS (
+        |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bin,
+        |    count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS sum_deg
+        |  FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM bins)
+        |SELECT deg_bin, CAST(2 ** deg_bin AS BIGINT) AS deg_lo,
+        |  n_nodes, sum_deg, n_nodes * 1000 // n_total AS share_pm
+        |FROM bins, tot ORDER BY deg_bin""".stripMargin,
     // Orientation-invariant outputs let the oracle use the simpler
     // id-ordered (a < b < c) triangle form — same counts, no degree
     // table needed for the count itself.

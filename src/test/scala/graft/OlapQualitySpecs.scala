@@ -575,3 +575,83 @@ class LshTuneSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("recall_pm") == 1000)
   }
 }
+
+/** Batch-4: containment, degree distribution, linear attribution. */
+class ContainmentSpec extends SparkSpec {
+  test("q_dedup_containment replays asymmetric overlap on the raw shingle sets") {
+    val sets = graft.dedup.Dedup.shingleSets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val got = run("q_dedup_containment").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val inter = (sets(da) & sets(db)).size.toLong
+      assert(r.getLong(2) == inter)
+      assert(r.getLong(3) == sets(da).size && r.getLong(4) == sets(db).size)
+      assert(r.getAs[Long]("cont_a_pm") == inter * 1000 / sets(da).size)
+      assert(r.getAs[Long]("cont_b_pm") == inter * 1000 / sets(db).size)
+      assert(math.max(r.getAs[Long]("cont_a_pm"),
+        r.getAs[Long]("cont_b_pm")) >= 800)
+    }
+    // completeness: every qualifying candidate pair is published
+    val cands = graft.dedup.Dedup.jaccardCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = cands.filter { case (a, b) =>
+      val i = (sets(a) & sets(b)).size.toLong
+      math.max(i * 1000 / sets(a).size, i * 1000 / sets(b).size) >= 800
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+  }
+}
+
+class DegreeDistSpec extends SparkSpec {
+  test("q_graph_degree_dist bins every node once with integer log2 bins") {
+    val edges = graft.operators.Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = deg.values.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (b, ds) => b.toLong -> (ds.size.toLong, ds.sum) }
+    val rows = run("q_graph_degree_dist").collect()
+    assert(rows.map(_.getLong(2)).sum == deg.size)
+    rows.foreach { r =>
+      val (n, sd) = expect(r.getLong(0))
+      assert(r.getLong(2) == n && r.getLong(3) == sd)
+      assert(r.getLong(1) == (1L << r.getLong(0).toInt))
+      assert(r.getLong(4) == n * 1000 / deg.size)
+    }
+  }
+}
+
+class AttributionSpec extends SparkSpec {
+  test("q_attribution_linear equals the brute interval count; credit is exact") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(3).toInstant
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          i.getEpochSecond * 1000000L + i.getNano / 1000, r.getDouble(4))
+      }
+    val clicks = ev.filter(_._3 == "click").groupBy(_._2)
+      .view.mapValues(_.map(_._4)).toMap
+    val got = run("q_attribution_linear").collect()
+    val buys = ev.filter(_._3 == "purchase")
+    assert(got.length == buys.length)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    buys.foreach { case (eid, u, _, t, v) =>
+      val n = clicks.getOrElse(u, Array.empty[Long])
+        .count(c => c > t - 3600000000L && c <= t)
+      val r = byId(eid)
+      assert(r.getLong(4) == n, s"purchase $eid")
+      val cents = BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+      assert(r.getLong(3) == cents)
+      if (n > 0) {
+        assert(r.getLong(5) == cents / n)
+        assert(r.getLong(5) * n + r.getLong(6) == cents) // exact split
+      } else assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+    // both attributed and unattributed purchases exist in the fixture
+    assert(got.exists(_.getLong(4) > 0) && got.exists(_.getLong(4) == 0))
+  }
+}

@@ -684,3 +684,30 @@ class Round10bPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 }
+
+/** Plan pins for the round-10 fourth batch. */
+class Round10cPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("attribution range-count is a cumulative carry, not an interval join") {
+    val p = plan("q_attribution_linear")
+    // the union sorts once per user; no join anywhere in the plan
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("unboundedfollowing"), p)
+  }
+
+  test("containment verifies candidates from the capped index, never all-pairs") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("degree distribution aggregates map-side into bounded bins") {
+    val p = plan("q_graph_degree_dist")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
