@@ -148,6 +148,35 @@ object Graph {
           expr("3 * n_triangles * 1000 div n_wedges").as("cc_pm"))
     }),
 
+    // LINK PREDICTION by common-neighbor Jaccard (Liben-Nowell &
+    // Kleinberg 2003) over the co-purchase graph: for non-adjacent
+    // part pairs sharing ≥ 3 neighbors, score = |Γa∩Γb| / |Γa∪Γb| —
+    // the classic recommender baseline ("parts bought alongside the
+    // same partners will co-occur next"). Shape: common-neighbor
+    // candidates are the SAME wedge join the triangle counter runs
+    // (measured linear in |E| on this graph — BASELINE's probe);
+    // existing edges drop via a thin LEFT ANTI on 8-byte pairs;
+    // per-mille integer scores, distributed top-50 via
+    // TakeOrderedAndProject. Fully oracled.
+    "q_graph_linkpred" -> ((s, d) => {
+      val e = coEdges(s, d).localCheckpoint()
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val cn = adj.as("x").join(adj.as("y"),
+          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+        .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 3)
+        .join(e, Seq("a", "b"), "leftanti")
+      cn.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+          expr("cn * 1000 div (da + db - cn)").as("jac_pm"))
+        .orderBy(col("jac_pm").desc, col("cn").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // Degree DISTRIBUTION of the co-purchase graph in log2 bins —
     // the observability readout behind every scale decision this
     // file's operators make (is the graph power-law? where do hubs
@@ -270,6 +299,32 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_linkpred" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (
+        |  SELECT a AS u, b AS v FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+        |cn AS (
+        |  SELECT x.u AS a, y.u AS b, count(*) AS cn
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nonedge AS (
+        |  SELECT cn.a, cn.b, cn.cn FROM cn
+        |  LEFT JOIN e ON cn.a = e.a AND cn.b = e.b
+        |  WHERE e.a IS NULL)
+        |SELECT n.a, n.b, CAST(n.cn AS BIGINT) AS cn,
+        |  CAST(n.cn * 1000 // (da.deg + db.deg - n.cn) AS BIGINT)
+        |    AS jac_pm
+        |FROM nonedge n
+        |JOIN deg da ON n.a = da.u JOIN deg db ON n.b = db.u
+        |ORDER BY jac_pm DESC, cn DESC, a, b LIMIT 50""".stripMargin,
     "q_graph_degree_dist" ->
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk

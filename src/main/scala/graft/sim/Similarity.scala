@@ -400,6 +400,54 @@ object Similarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // QUANTIZATION-impact evaluation — the third member of the eval
+    // family (ANN recall, dedup candidate recall, now int8
+    // quantization): per query, how much of the exact float top-5
+    // survives when retrieval runs on the int8-quantized vectors the
+    // serving tier would actually hold (q_embed_norm's exact
+    // round(x·127/‖x‖) construction). The int8 score is an all-
+    // INTEGER dot product, so ranks are deterministic and the whole
+    // comparison — both top-5s and the overlap — is SQL-expressible:
+    // fully oracled, unlike the sketch evals. Shape: two bounded-
+    // batch broadcast scans (one float, one int8), thin rank joins.
+    "q_sim_quant_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+        .withColumn("norm",
+          sqrt(expr("aggregate(ed, cast(0.0 as double), (a, y) -> a + y * y)")))
+        .select(col("vec_id"), col("ed"),
+          expr("transform(ed, x -> cast(round(x * 127.0 / norm) as long))")
+            .as("q8"))
+      val q = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("ed").as("qv"),
+          col("q8").as("qq"))
+      val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("""aggregate(zip_with(qv, ed, (x, y) -> x * y),
+            cast(0.0 as double), (a, v) -> a + v)
+            / sqrt(aggregate(qv, cast(0.0 as double), (a, x) -> a + x * x)
+                 * aggregate(ed, cast(0.0 as double), (a, x) -> a + x * x))"""
+            .replace("\n", " ")), 6).as("cos_sim"),
+          expr("""aggregate(zip_with(qq, q8, (x, y) -> x * y),
+            0L, (a, v) -> a + v)""".replace("\n", " ")).as("dot8"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))
+      val w8 = Window.partitionBy(col("qid"))
+        .orderBy(col("dot8").desc, col("nid"))
+      val topF = pairs.withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+      val top8 = pairs.withColumn("rk", row_number().over(w8))
+        .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+      val hits = topF.join(top8, Seq("qid", "nid"), "leftsemi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      q.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("n_overlap"))
+        .withColumn("recall_pm", expr("n_overlap * 1000 div 5"))
+        .orderBy(col("qid"))
+    }),
+
     // RANGE (radius) search — the other retrieval mode every vector
     // store serves besides top-k: ALL corpus vectors with cosine ≥ τ
     // per query, unbounded result cardinality driven by the data, not
@@ -872,6 +920,51 @@ object Similarity {
          |    PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rk
          |  FROM fused) f
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "q_sim_quant_eval" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, ed,
+         |    sqrt(list_sum(list_transform(ed, x -> x * x))) AS norm
+         |  FROM e),
+         |q8 AS (
+         |  SELECT vec_id, ed,
+         |    list_transform(ed, x -> CAST(round(x * 127.0 / norm)
+         |      AS BIGINT)) AS q8
+         |  FROM nrm),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(q.ed)),
+         |        i -> q.ed[i] * n.ed[i]))
+         |      / sqrt(list_sum(list_transform(q.ed, x -> x * x))
+         |           * list_sum(list_transform(n.ed, x -> x * x))), 6)
+         |      AS cos_sim,
+         |    CAST(list_sum(list_transform(generate_series(1, len(q.q8)),
+         |      i -> q.q8[i] * n.q8[i])) AS BIGINT) AS dot8
+         |  FROM q8 q JOIN q8 n ON n.vec_id != q.vec_id
+         |  WHERE q.vec_id < $QueryBatch),
+         |topf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nid) AS rk FROM pairs) t
+         |  WHERE rk <= 5),
+         |top8 AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dot8 DESC, nid) AS rk FROM pairs) t
+         |  WHERE rk <= 5),
+         |hits AS (
+         |  SELECT f.qid, count(*) AS hits
+         |  FROM topf f JOIN top8 e8 ON f.qid = e8.qid AND f.nid = e8.nid
+         |  GROUP BY 1)
+         |SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(h.hits, 0) * 1000 // 5 AS BIGINT) AS recall_pm
+         |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+         |      WHERE vec_id < $QueryBatch) q
+         |LEFT JOIN hits h USING (qid)
+         |ORDER BY q.qid""".stripMargin,
     "q_sim_range_search" ->
       s"""SELECT qid, nid, cos_sim FROM (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,

@@ -87,6 +87,25 @@ object Corpus {
       .select(col("doc_id"), col("bdoc")).distinct()
   }
 
+  /** Per-doc benchmark-overlap table (only docs with ≥1 shared
+    * shingle appear) — shared by q_decontaminate and the composed
+    * pipeline.
+    */
+  private[graft] def decontamTable(s: SparkSession, d: String): DataFrame = {
+    val sets = graft.dedup.Dedup.shingleSets(s, d)
+    val bench = sets.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bdoc"), explode(col("sh")).as("s"))
+    val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bdoc"))
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shared")).as("max_shared"),
+        countDistinct(col("bdoc")).as("n_bench_hits"))
+      .withColumn("contaminated", col("max_shared") >= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STRATIFIED sampling with NEYMAN allocation — the survey-
     // statistics twin of the hash-Bernoulli samplers (q_mixture /
@@ -134,6 +153,54 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // The COMPOSED corpus pipeline — the end-to-end assembly a user of
+    // this library actually runs, expressed as ONE query so its
+    // per-stage attrition is itself an auditable, oracled artifact:
+    //   s0 raw pool → s1 Gopher rules → s2 exact-dedup keepers →
+    //   s3 benchmark decontamination (bench docs excluded, overlap
+    //   ≥ 5 dropped) → s4 temperature-½ source rebalance.
+    // Every stage reuses the SAME operator internals its standalone
+    // query publishes (gopherTable, the md5 keeper registry,
+    // decontamTable, the hash-Bernoulli temperature rule with rates
+    // recomputed on the s3 survivor pool), so this is composition,
+    // not re-implementation — and the DuckDB oracle composes the
+    // same standalone SQL fragments. Shape: each stage is a thin
+    // doc_id semi/anti join over the previous survivor set; the s3
+    // survivor pool is checkpointed once (it feeds the rate
+    // aggregate, the sampler, and its own count). Fully oracled.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val s1 = Quality.gopherTable(s, d).filter(col("keep")).select("doc_id")
+      val keepers = docs
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s2 = s1.join(keepers, Seq("doc_id"), "leftsemi")
+      val contaminated = decontamTable(s, d)
+        .filter(col("contaminated")).select("doc_id")
+      val s3 = s2.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "leftanti")
+      val s3d = docs.join(s3, Seq("doc_id"), "leftsemi").localCheckpoint()
+      val cnts = s3d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val nMin = cnts.agg(min(col("n_src")).as("n_min"))
+      val rates = cnts.crossJoin(broadcast(nMin))
+        .select(col("source"),
+          floor(lit(1000.0) *
+            sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+            .cast("long").as("rate"))
+      val s4 = s3d.withColumn("bucket", hashBucket(col("text"), 13, 1000))
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("rate"))
+      Seq("s0_all" -> docs.select("doc_id"), "s1_rules" -> s1,
+          "s2_dedup" -> s2, "s3_decontam" -> s3,
+          "s4_sampled" -> s4.select("doc_id"))
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(n).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
     // Benchmark decontamination: find corpus documents that share
     // 3-gram shingles with a held-out benchmark set (here: doc_id %
     // 97 == 0). The index is built over the BENCHMARK side only — at
@@ -142,21 +209,8 @@ object Corpus {
     // zero shuffle of document payloads; only the thin (doc_id,
     // shingle) hit pairs aggregate. This is the standard n-gram
     // overlap decontamination pass (cf. GPT-3/C4 dataset reports).
-    "q_decontaminate" -> ((s, d) => {
-      val sets = graft.dedup.Dedup.shingleSets(s, d)
-      val bench = sets.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("bdoc"), explode(col("sh")).as("s"))
-      val corpus = sets.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-      corpus.join(broadcast(bench), "s")
-        .groupBy(col("doc_id"), col("bdoc"))
-        .agg(countDistinct(col("s")).as("n_shared"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("n_shared")).as("max_shared"),
-          countDistinct(col("bdoc")).as("n_bench_hits"))
-        .withColumn("contaminated", col("max_shared") >= 5)
-        .orderBy(col("doc_id"))
-    }),
+    "q_decontaminate" -> ((s, d) =>
+      decontamTable(s, d).orderBy(col("doc_id"))),
 
     // NEAR-DUP benchmark decontamination — the fuzzy counterpart of
     // q_decontaminate: exact n-gram overlap misses light paraphrase
@@ -498,7 +552,50 @@ object Corpus {
       |    ELSE [array_to_string(l, ' ')] END AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) toks""".stripMargin
 
+  /** The q_decontaminate SQL (no ORDER BY) — shared with the composed
+    * pipeline oracle.
+    */
+  private[graft] val decontamSql: String =
+    s"""WITH sets AS ($shingleSetsSql),
+       |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |bench AS (SELECT doc_id AS bdoc, s FROM sh WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0),
+       |hits AS (
+       |  SELECT c.doc_id, b.bdoc, count(DISTINCT c.s) AS n_shared
+       |  FROM corpus c JOIN bench b USING (s)
+       |  GROUP BY c.doc_id, b.bdoc)
+       |SELECT doc_id, max(n_shared) AS max_shared,
+       |  CAST(count(DISTINCT bdoc) AS BIGINT) AS n_bench_hits,
+       |  max(n_shared) >= 5 AS contaminated
+       |FROM hits GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_corpus_pipeline" ->
+      s"""WITH s1 AS (SELECT doc_id FROM (${Quality.gopherSql}) g WHERE keep),
+         |fp AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+         |  FROM documents GROUP BY 1),
+         |s2 AS (SELECT s1.doc_id FROM s1 JOIN fp USING (doc_id)),
+         |cont AS (SELECT doc_id FROM ($decontamSql) dc WHERE contaminated),
+         |s3 AS (SELECT doc_id FROM s2 WHERE doc_id % 97 != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |s3d AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN s3 USING (doc_id)),
+         |cnts AS (SELECT source, count(*) AS n_src FROM s3d GROUP BY 1),
+         |mn AS (SELECT min(n_src) AS n_min FROM cnts),
+         |rates AS (
+         |  SELECT source, CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE)
+         |    / n_src)) AS BIGINT) AS rate
+         |  FROM cnts, mn),
+         |s4 AS (
+         |  SELECT s3d.doc_id FROM s3d JOIN rates USING (source)
+         |  WHERE ('0x' || substr(md5(text), 13, 4))::BIGINT % 1000 < rate)
+         |SELECT stage, n_docs FROM (
+         |  SELECT 's0_all' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 's1_rules', count(*) FROM s1
+         |  UNION ALL SELECT 's2_dedup', count(*) FROM s2
+         |  UNION ALL SELECT 's3_decontam', count(*) FROM s3
+         |  UNION ALL SELECT 's4_sampled', count(*) FROM s4) u
+         |ORDER BY stage""".stripMargin,
     "q_stratified_sample" ->
       """WITH st AS (
         |  SELECT lang, count(*) AS n_h,
@@ -575,19 +672,7 @@ object Corpus {
          |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input,
          |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
          |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH sets AS ($shingleSetsSql),
-         |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-         |bench AS (SELECT doc_id AS bdoc, s FROM sh WHERE doc_id % 97 = 0),
-         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0),
-         |hits AS (
-         |  SELECT c.doc_id, b.bdoc, count(DISTINCT c.s) AS n_shared
-         |  FROM corpus c JOIN bench b USING (s)
-         |  GROUP BY c.doc_id, b.bdoc)
-         |SELECT doc_id, max(n_shared) AS max_shared,
-         |  CAST(count(DISTINCT bdoc) AS BIGINT) AS n_bench_hits,
-         |  max(n_shared) >= 5 AS contaminated
-         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> s"$decontamSql ORDER BY doc_id",
     "q_seq_pack" ->
       """SELECT doc_id, source, n_tok, running, (running - n_tok) // 2048 AS bin
         |FROM (

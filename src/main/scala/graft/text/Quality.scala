@@ -42,19 +42,12 @@ object Quality {
   private val stopList: String =
     graft.functions.GraftText.Stopwords.map(w => s"'$w'").mkString(", ")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Gopher/MassiveText rule-based quality filter: word-count gate,
-    // mean-word-length gate, symbol-to-word ratio, bullet-led and
-    // ellipsis-ended line ratios, stopword floor — the standard
-    // pre-model cleaning pass (Rae et al. 2021, §A1.1). Every feature
-    // derives in ONE codegen'd projection per row (split + higher-
-    // order filter/aggregate over the token array — no explode, no
-    // shuffle, the q_text_quality discipline), and every ratio is
-    // integer centi/per-mille, so both engines compute identical
-    // values with no FP anywhere. The only post-scan work is the
-    // publish sort.
-    "q_quality_gopher" -> ((s, d) =>
-      Tables.documents(s, d)
+  /** The per-doc Gopher feature/decision table — shared by
+    * q_quality_gopher and the composed corpus pipeline
+    * (`Corpus.q_corpus_pipeline`).
+    */
+  private[graft] def gopherTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("lines", split(col("text"), "\n"))
         .withColumn("n_words", size(col("words")).cast("long"))
@@ -84,7 +77,19 @@ object Quality {
             col("sym_pm") <= GopherMaxSymPm &&
             col("bullet_pm") <= GopherMaxBulletPm &&
             col("ellipsis_pm") <= GopherMaxEllipsisPm)
-        .orderBy(col("doc_id"))),
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher/MassiveText rule-based quality filter: word-count gate,
+    // mean-word-length gate, symbol-to-word ratio, bullet-led and
+    // ellipsis-ended line ratios, stopword floor — the standard
+    // pre-model cleaning pass (Rae et al. 2021, §A1.1). Every feature
+    // derives in ONE codegen'd projection per row (split + higher-
+    // order filter/aggregate over the token array — no explode, no
+    // shuffle, the q_text_quality discipline), and every ratio is
+    // integer centi/per-mille, so both engines compute identical
+    // values with no FP anywhere. The only post-scan work is the
+    // publish sort.
+    "q_quality_gopher" -> ((s, d) => gopherTable(s, d).orderBy(col("doc_id"))),
 
     // Language-ID EVALUATION — the confusion matrix of the stopword-
     // ratio detector (q_lang_guess) against the labeled lang column:
@@ -200,8 +205,10 @@ object Quality {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "q_quality_gopher" ->
+  /** The Gopher per-doc decision SQL (no ORDER BY) — shared by the
+    * q_quality_gopher oracle and the composed pipeline oracle.
+    */
+  private[graft] val gopherSql: String =
       s"""WITH f AS (
          |  SELECT doc_id, lang,
          |    string_split(text, ' ') AS words,
@@ -238,7 +245,10 @@ object Quality {
          |    AND sym_pm <= $GopherMaxSymPm
          |    AND bullet_pm <= $GopherMaxBulletPm
          |    AND ellipsis_pm <= $GopherMaxEllipsisPm) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM r""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_gopher" -> s"$gopherSql ORDER BY doc_id",
     "q_langid_eval" ->
       s"""WITH g AS (
          |  SELECT lang,

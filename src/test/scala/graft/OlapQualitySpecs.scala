@@ -655,3 +655,80 @@ class AttributionSpec extends SparkSpec {
     assert(got.exists(_.getLong(4) > 0) && got.exists(_.getLong(4) == 0))
   }
 }
+
+/** Batch-5: composed pipeline, link prediction, quantization eval. */
+class PipelineCompositionSpec extends SparkSpec {
+  test("q_corpus_pipeline stages shrink monotonically and recompose the standalone operators") {
+    val rows = run("q_corpus_pipeline").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("s0_all", "s1_rules", "s2_dedup",
+      "s3_decontam", "s4_sampled"))
+    val seq = Seq("s0_all", "s1_rules", "s2_dedup", "s3_decontam",
+      "s4_sampled").map(rows)
+    assert(seq.sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(rows("s0_all") == Tables.documents(spark, sf).count())
+    // s1 equals the standalone Gopher keep count
+    val gopherKeep = run("q_quality_gopher")
+      .filter(col("keep")).count()
+    assert(rows("s1_rules") == gopherKeep)
+    // the pipeline does real work at every boundary it can
+    assert(rows("s4_sampled") < rows("s3_decontam"))
+    assert(rows("s1_rules") < rows("s0_all"))
+  }
+}
+
+class LinkpredSpec extends SparkSpec {
+  test("q_graph_linkpred matches the brute common-neighbor Jaccard top-50") {
+    val edges = graft.operators.Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val cand = for {
+      a <- nodes; b <- nodes if a < b && !eset.contains((a, b))
+      cn = (adj(a) & adj(b)).size if cn >= 3
+    } yield (a, b, cn.toLong,
+      cn * 1000L / (adj(a).size + adj(b).size - cn))
+    val expect = cand.sortBy(t => (-t._4, -t._3, t._1, t._2)).take(50)
+    val got = run("q_graph_linkpred").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq)
+  }
+}
+
+class QuantEvalSpec extends SparkSpec {
+  test("q_sim_quant_eval replays one query's int8 top-5 and floors mean recall") {
+    val rows = run("q_sim_quant_eval").collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 5 &&
+      r.getLong(2) == r.getLong(1) * 1000 / 5))
+    val mean = rows.map(_.getLong(2)).sum / rows.length
+    assert(mean >= 600, s"mean int8 recall $mean")
+    // replay query 0's int8 ranking exactly
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def q8(v: Array[Float]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => math.round(x * 127.0 / n))
+    }
+    val quant = vecs.map { case (id, v) => id -> q8(v) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dp = a.indices.map(i => a(i).toDouble * b(i)).sum
+      dp / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val q0 = vecs.find(_._1 == 0L).get._2
+    val topF = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id,
+        BigDecimal(cos(q0, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val qq0 = quant(0L)
+    val top8 = vecs.filter(_._1 != 0L)
+      .map { case (id, _) => (id,
+        qq0.indices.map(i => qq0(i) * quant(id)(i)).sum) }
+      .sortBy { case (id, dp) => (-dp, id) }.take(5).map(_._1).toSet
+    val expect0 = (topF & top8).size.toLong
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(1) == expect0)
+  }
+}

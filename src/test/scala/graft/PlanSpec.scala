@@ -711,3 +711,32 @@ class Round10cPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 }
+
+/** Plan pins for the round-10 fifth batch. */
+class Round10dPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("composed pipeline stays on thin semi/anti joins — no cartesian, no payload joins") {
+    val p = plan("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("link prediction top-50 is a distributed TakeOrdered over the wedge join") {
+    val p = plan("q_graph_linkpred")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantization eval broadcasts the query batch and bounds the rank map-side") {
+    val p = plan("q_sim_quant_eval")
+    // the corpus pair stage is a broadcast of the bounded batch (the
+    // joins above it operate on ≤ 5·|batch|-row top-k tables)
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+    // partial WindowGroupLimit: each partition forwards at most 5
+    // rows per query into the rank exchange
+    assert(p.contains("row_number(), 5, Partial"), p)
+  }
+}
