@@ -248,6 +248,41 @@ object Analytics {
         .orderBy(col("stage"))
     }),
 
+    // RFM customer SEGMENTATION (recency / frequency / monetary) —
+    // the canonical CRM scoring: per customer, days since last order
+    // (vs the corpus horizon — a data-derived broadcast scalar, no
+    // wall clock, so the query is reproducible), order count, and
+    // exact-cents spend, each quartiled by ntile over a total order
+    // (deterministic ties via custkey), combined into the familiar
+    // 3-digit segment code. One thin per-customer aggregate + three
+    // ntile windows over single-column sorts; at 100 TB the ntile
+    // swaps for the quantile-bucket two-phase form
+    // (q_quantile_bucket) — same codes, bounded partitions. Fully
+    // oracled.
+    "q_rfm_segment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("n_orders"),
+          (sum(graft.Exact.money(col("o_totalprice"))) * 100)
+            .cast("long").as("m_cents"))
+      val horizon = per.agg(max(col("last_d")).as("h"))
+      val wr = Window.orderBy(col("r_days"), col("o_custkey"))
+      val wf = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+      val wm = Window.orderBy(col("m_cents").desc, col("o_custkey"))
+      per.crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          datediff(col("h"), col("last_d")).cast("long").as("r_days"),
+          col("n_orders"), col("m_cents"))
+        .withColumn("r_q", ntile(4).over(wr).cast("long"))
+        .withColumn("f_q", ntile(4).over(wf).cast("long"))
+        .withColumn("m_q", ntile(4).over(wm).cast("long"))
+        .withColumn("segment",
+          expr("r_q * 100 + f_q * 10 + m_q"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // LINEAR click ATTRIBUTION with a 60-minute lookback — each
     // purchase's value splits evenly across the user's clicks in
     // (t−60min, t] — the marketing-attribution aggregate between
@@ -330,6 +365,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segment" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS n_orders,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT max(last_d) AS h FROM per),
+        |r AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_d, h.h) AS BIGINT) AS r_days,
+        |    n_orders, m_cents
+        |  FROM per, h)
+        |SELECT o_custkey, r_days, n_orders, m_cents,
+        |  CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+        |    AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+        |    AS BIGINT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY m_cents DESC, o_custkey)
+        |    AS BIGINT) AS m_q,
+        |  CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) * 100
+        |    + ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) * 10
+        |    + ntile(4) OVER (ORDER BY m_cents DESC, o_custkey)
+        |    AS BIGINT) AS segment
+        |FROM r ORDER BY o_custkey""".stripMargin,
     // brute-force interval-count form of the cumulative-probe carry
     "q_attribution_linear" ->
       """WITH c AS (

@@ -83,6 +83,56 @@ object Olap {
         round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_rows"))
           / (col("n_rows") - 1)), 6).as("std"))
 
+  /** The full trend/seasonal/residual table behind
+    * q_seasonal_decompose — shared with the residual anomaly detector.
+    */
+  private[graft] def seasonalTable(s: SparkSession, d: String): DataFrame = {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_seconds(date_trunc('DAY', ts)) div 86400").as("day_no"))
+        .agg(sum(graft.Exact.money(col("value"))).as("v"))
+        .select(col("event_type"), col("day_no"),
+          (col("v") * 100).cast("long").as("v_cents"))
+      val spine = daily.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
+        .select(col("event_type").as("et"),
+          explode(expr("sequence(d0, d1)")).as("day_no"))
+      val g = spine.join(daily,
+          col("et") === col("event_type") && spine("day_no") === daily("day_no"),
+          "left")
+        .select(col("et"), spine("day_no").as("day_no"),
+          coalesce(col("v_cents"), lit(0L)).as("v_cents"))
+      val w7 = Window.partitionBy(col("et")).orderBy(col("day_no"))
+        .rowsBetween(-3, 3)
+      // localCheckpoint: the trend table feeds BOTH the seasonal
+      // aggregate and the final join — without the barrier Catalyst
+      // recomputes the whole corpus-wide daily aggregate once per
+      // consumer; the table it snapshots is spine-sized (types ×
+      // days), metadata-scale at any corpus size
+      val t = g
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend_cents",
+          when(col("n7") === 7,
+            floor(sum(col("v_cents")).over(w7) / lit(7)).cast("long")))
+        .localCheckpoint()
+      val seas = t.filter(col("trend_cents").isNotNull)
+        .groupBy(col("et").as("set"), (col("day_no") % 7).as("dow"))
+        .agg(sum(col("v_cents") - col("trend_cents")).as("sdev"),
+          count(lit(1)).as("ndev"))
+        .select(col("set"), col("dow"),
+          floor(col("sdev") / col("ndev")).cast("long").as("seas_cents"))
+      t.join(broadcast(seas),
+          col("et") === col("set") && (col("day_no") % 7) === col("dow"),
+          "left")
+        .select(col("et").as("event_type"), col("day_no"), col("v_cents"),
+          col("trend_cents"),
+          when(col("trend_cents").isNotNull, col("seas_cents"))
+            .as("seas_cents"),
+          when(col("trend_cents").isNotNull,
+            col("v_cents") - col("trend_cents") - col("seas_cents"))
+            .as("resid_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skyline (Pareto frontier): the undominated (price, size) points
     // of the part catalog — minimize retail price, maximize size. A
@@ -261,52 +311,69 @@ object Olap {
     // one map-combined daily aggregate, a broadcast spine join, one
     // (type) window exchange, one bounded (type, dow) aggregate
     // broadcast back. Residual = v − trend − seasonal, exact.
-    "q_seasonal_decompose" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_seconds(date_trunc('DAY', ts)) div 86400").as("day_no"))
-        .agg(sum(graft.Exact.money(col("value"))).as("v"))
-        .select(col("event_type"), col("day_no"),
-          (col("v") * 100).cast("long").as("v_cents"))
-      val spine = daily.groupBy(col("event_type"))
-        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
-        .select(col("event_type").as("et"),
-          explode(expr("sequence(d0, d1)")).as("day_no"))
-      val g = spine.join(daily,
-          col("et") === col("event_type") && spine("day_no") === daily("day_no"),
-          "left")
-        .select(col("et"), spine("day_no").as("day_no"),
-          coalesce(col("v_cents"), lit(0L)).as("v_cents"))
-      val w7 = Window.partitionBy(col("et")).orderBy(col("day_no"))
-        .rowsBetween(-3, 3)
-      // localCheckpoint: the trend table feeds BOTH the seasonal
-      // aggregate and the final join — without the barrier Catalyst
-      // recomputes the whole corpus-wide daily aggregate once per
-      // consumer; the table it snapshots is spine-sized (types ×
-      // days), metadata-scale at any corpus size
-      val t = g
-        .withColumn("n7", count(lit(1)).over(w7))
-        .withColumn("trend_cents",
-          when(col("n7") === 7,
-            floor(sum(col("v_cents")).over(w7) / lit(7)).cast("long")))
+    "q_seasonal_decompose" -> ((s, d) =>
+      seasonalTable(s, d).orderBy(col("event_type"), col("day_no"))),
+
+
+    // Residual anomaly detection over the DECOMPOSED series — the
+    // "decompose, then threshold what's left" discipline: raw-value
+    // thresholds fire on every weekend (seasonality) and every growth
+    // quarter (trend); thresholding the RESIDUAL finds days that are
+    // anomalous relative to their own expected shape. Composes
+    // `seasonalTable` with the q_anomaly_mad robust score: per-type
+    // median/MAD of the residuals (bounded aggregates over the
+    // spine-sized table), flag |resid − med| > 3.5·MAD. Every residual
+    // is an exact integer and the medians are exact halves (multiples
+    // of 0.5 are exact doubles), so the comparison is deterministic
+    // cross-engine with no rounding crutch; published deviations ride
+    // as exact ×2 integers. Fully oracled.
+    "q_anomaly_stl" -> ((s, d) => {
+      val t = seasonalTable(s, d).filter(col("resid_cents").isNotNull)
         .localCheckpoint()
-      val seas = t.filter(col("trend_cents").isNotNull)
-        .groupBy(col("et").as("set"), (col("day_no") % 7).as("dow"))
-        .agg(sum(col("v_cents") - col("trend_cents")).as("sdev"),
-          count(lit(1)).as("ndev"))
-        .select(col("set"), col("dow"),
-          floor(col("sdev") / col("ndev")).cast("long").as("seas_cents"))
-      t.join(broadcast(seas),
-          col("et") === col("set") && (col("day_no") % 7) === col("dow"),
-          "left")
-        .select(col("et").as("event_type"), col("day_no"), col("v_cents"),
-          col("trend_cents"),
-          when(col("trend_cents").isNotNull, col("seas_cents"))
-            .as("seas_cents"),
-          when(col("trend_cents").isNotNull,
-            col("v_cents") - col("trend_cents") - col("seas_cents"))
-            .as("resid_cents"))
+      val med = t.groupBy(col("event_type").as("met"))
+        .agg(expr("percentile(resid_cents, 0.5D)").as("med"))
+      val dev = t.join(broadcast(med), col("event_type") === col("met"))
+        .withColumn("dev", abs(col("resid_cents") - col("med")))
+      val mad = dev.groupBy(col("met").as("mmet"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), col("met") === col("mmet"))
+        .filter(col("dev") > lit(3.5) * col("mad"))
+        .select(col("event_type"), col("day_no"), col("v_cents"),
+          col("resid_cents"),
+          (col("dev") * 2).cast("long").as("dev_x2"),
+          (col("mad") * 2).cast("long").as("mad_x2"))
         .orderBy(col("event_type"), col("day_no"))
+    }),
+
+    // Market-basket ASSOCIATION rules (support / confidence / lift)
+    // over co-purchased part pairs — the classic affinity analysis:
+    // lift = P(a,b) / (P(a)·P(b)) > 1 flags genuinely associated
+    // items against the popularity baseline. All-integer per-mille /
+    // cpm arithmetic (lift_cpm = 100·n_ab·N div (n_a·n_b)); pair
+    // counts come from the bounded per-order fan-out (C(items,2),
+    // order width ≤ 7) with map-side combine, item counts from one
+    // thin aggregate broadcast back, top-50 via TakeOrderedAndProject.
+    // Fully oracled.
+    "q_market_basket" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = li.select(col("ok")).distinct().count()
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pair = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pair
+        .join(broadcast(item.select(col("pk").as("a"), col("n_item").as("n_a"))), "a")
+        .join(broadcast(item.select(col("pk").as("b"), col("n_item").as("n_b"))), "b")
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr(s"n_ab * 1000000 div $nOrders").as("support_ppm"),
+          expr("n_ab * 1000 div n_a").as("conf_ab_pm"),
+          expr(s"100 * n_ab * $nOrders div (n_a * n_b)").as("lift_cpm"))
+        .orderBy(col("lift_cpm").desc, col("n_ab").desc, col("a"), col("b"))
+        .limit(50)
     }),
 
     // Linear gap interpolation — q_gap_fill's value twin: missing
@@ -362,6 +429,49 @@ object Olap {
         .orderBy(col("event_type"), col("w_start"))
     })
   )
+
+  /** The seasonal-decomposition oracle CTE chain, ending in `dec` —
+    * shared by the q_seasonal_decompose oracle and the residual
+    * anomaly oracle.
+    */
+  private val seasonalOracleBody: String =
+    """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 86400 AS day_no,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS BIGINT) AS v_cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type AS et,
+        |    unnest(generate_series(min(day_no), max(day_no))) AS day_no
+        |  FROM daily GROUP BY event_type),
+        |g AS (
+        |  SELECT s.et, s.day_no, coalesce(d.v_cents, 0) AS v_cents
+        |  FROM s LEFT JOIN daily d
+        |    ON s.et = d.event_type AND s.day_no = d.day_no),
+        |t AS (
+        |  SELECT et, day_no, v_cents,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN CAST(floor(CAST(sum(v_cents) OVER w7 AS DOUBLE) / 7)
+        |        AS BIGINT) END AS trend_cents
+        |  FROM g
+        |  WINDOW w7 AS (PARTITION BY et ORDER BY day_no
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT et, day_no % 7 AS dow,
+        |    CAST(floor(CAST(sum(v_cents - trend_cents) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS seas_cents
+        |  FROM t WHERE trend_cents IS NOT NULL GROUP BY 1, 2),
+        |dec AS (
+        |  SELECT t.et AS event_type, t.day_no, t.v_cents, t.trend_cents,
+        |    CASE WHEN t.trend_cents IS NOT NULL THEN se.seas_cents END
+        |      AS seas_cents,
+        |    CASE WHEN t.trend_cents IS NOT NULL
+        |      THEN t.v_cents - t.trend_cents - se.seas_cents END
+        |      AS resid_cents
+        |  FROM t LEFT JOIN seas se
+        |    ON t.et = se.et AND t.day_no % 7 = se.dow)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_skyline" ->
@@ -458,44 +568,44 @@ object Olap {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
-        |      AS BIGINT) // 86400 AS day_no,
-        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-        |      AS BIGINT) AS v_cents
-        |  FROM events GROUP BY 1, 2),
-        |s AS (
-        |  SELECT event_type AS et,
-        |    unnest(generate_series(min(day_no), max(day_no))) AS day_no
-        |  FROM daily GROUP BY event_type),
-        |g AS (
-        |  SELECT s.et, s.day_no, coalesce(d.v_cents, 0) AS v_cents
-        |  FROM s LEFT JOIN daily d
-        |    ON s.et = d.event_type AND s.day_no = d.day_no),
-        |t AS (
-        |  SELECT et, day_no, v_cents,
-        |    CASE WHEN count(*) OVER w7 = 7
-        |      THEN CAST(floor(CAST(sum(v_cents) OVER w7 AS DOUBLE) / 7)
-        |        AS BIGINT) END AS trend_cents
-        |  FROM g
-        |  WINDOW w7 AS (PARTITION BY et ORDER BY day_no
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |seas AS (
-        |  SELECT et, day_no % 7 AS dow,
-        |    CAST(floor(CAST(sum(v_cents - trend_cents) AS DOUBLE)
-        |      / count(*)) AS BIGINT) AS seas_cents
-        |  FROM t WHERE trend_cents IS NOT NULL GROUP BY 1, 2)
-        |SELECT t.et AS event_type, t.day_no, t.v_cents, t.trend_cents,
-        |  CASE WHEN t.trend_cents IS NOT NULL THEN se.seas_cents END
-        |    AS seas_cents,
-        |  CASE WHEN t.trend_cents IS NOT NULL
-        |    THEN t.v_cents - t.trend_cents - se.seas_cents END
-        |    AS resid_cents
-        |FROM t LEFT JOIN seas se
-        |  ON t.et = se.et AND t.day_no % 7 = se.dow
-        |ORDER BY event_type, day_no""".stripMargin,
+    "q_anomaly_stl" -> (seasonalOracleBody +
+      """,
+        |r AS (SELECT * FROM dec WHERE resid_cents IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(resid_cents, 0.5) AS med
+        |  FROM r GROUP BY 1),
+        |dev AS (
+        |  SELECT r.event_type, r.day_no, r.v_cents, r.resid_cents,
+        |    abs(r.resid_cents - m.med) AS dev
+        |  FROM r JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.day_no, d.v_cents, d.resid_cents,
+        |  CAST(d.dev * 2 AS BIGINT) AS dev_x2,
+        |  CAST(m.mad * 2 AS BIGINT) AS mad_x2
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.dev > 3.5 * m.mad
+        |ORDER BY d.event_type, d.day_no""".stripMargin),
+    "q_market_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |item AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+        |pair AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  p.n_ab * 1000000 // n.n_orders AS support_ppm,
+        |  p.n_ab * 1000 // ia.n_item AS conf_ab_pm,
+        |  100 * p.n_ab * n.n_orders // (ia.n_item * ib.n_item) AS lift_cpm
+        |FROM pair p
+        |JOIN item ia ON p.a = ia.pk JOIN item ib ON p.b = ib.pk
+        |CROSS JOIN n
+        |ORDER BY lift_cpm DESC, n_ab DESC, a, b LIMIT 50""".stripMargin,
+    "q_seasonal_decompose" -> (seasonalOracleBody +
+      """
+        |SELECT * FROM dec ORDER BY event_type, day_no""".stripMargin),
+
     "q_gap_interp" ->
       """WITH b AS (
         |  SELECT event_type,

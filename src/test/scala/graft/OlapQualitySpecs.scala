@@ -732,3 +732,74 @@ class QuantEvalSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 0L).get.getLong(1) == expect0)
   }
 }
+
+/** Batch-6: STL residual anomalies, market basket, RFM segmentation. */
+class StlAnomalySpec extends SparkSpec {
+  test("q_anomaly_stl flags exactly the residuals past 3.5 robust deviations") {
+    val dec = run("q_seasonal_decompose").collect()
+      .filter(!_.isNullAt(5))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val got = run("q_anomaly_stl").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def medD(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val expect = dec.groupBy(_._1).toSeq.flatMap { case (et, rs) =>
+      val med = medD(rs.toSeq.map(_._4.toDouble))
+      val mad = medD(rs.toSeq.map(r => math.abs(r._4 - med)))
+      rs.toSeq.filter(r => math.abs(r._4 - med) > 3.5 * mad)
+        .map(r => (et, r._2))
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+}
+
+class MarketBasketSpec extends SparkSpec {
+  test("q_market_basket lift/support/confidence replay exactly") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val item = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3).toMap
+    val expect = pairs.map { case ((a, b), nab) =>
+      (a, b, nab, item(a), item(b), nab * 1000000 / nOrders,
+        nab * 1000 / item(a), 100 * nab * nOrders / (item(a) * item(b)))
+    }.toSeq.sortBy(t => (-t._8, -t._3, t._1, t._2)).take(50)
+    val got = run("q_market_basket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty)
+  }
+}
+
+class RfmSpec extends SparkSpec {
+  test("q_rfm_segment quartiles are balanced and the code composes them") {
+    val rows = run("q_rfm_segment").collect()
+    assert(rows.length ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(7) ==
+        r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+      Seq(4, 5, 6).foreach(i =>
+        assert(r.getLong(i) >= 1 && r.getLong(i) <= 4))
+    }
+    // ntile balance on each axis
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, c)
+    }
+    // recency quartile 1 holds the most recent customers
+    val q1max = rows.filter(_.getLong(4) == 1).map(_.getLong(1)).max
+    val q4min = rows.filter(_.getLong(4) == 4).map(_.getLong(1)).min
+    assert(q1max <= q4min)
+  }
+}

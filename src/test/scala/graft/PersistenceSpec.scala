@@ -177,3 +177,34 @@ class PersistenceSpec extends SparkSpec {
     assert(all.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
 }
+
+/** Round-11 layouts: moments, quantile histograms, containment pairs —
+  * written once, re-read without rebuild (the same ensureLayout
+  * contract the earlier layouts pin).
+  */
+class Round11PersistenceSpec extends SparkSpec {
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  test("moment/quantile/containment layouts re-read without a rebuild") {
+    // materialize all three
+    Seq("q_moments_merge", "q_quantile_partial_union", "q_dedup_containment")
+      .foreach(q => run(q).collect())
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val sfx = sources.Layouts.sfSuffix(sf)
+    Seq("moment_partials", "quantile_partials", "dedup_containment_pairs")
+      .foreach { name =>
+        val dir = wh.resolve(s"${name}_$sfx")
+        assert(Files.exists(dir.resolve("_SUCCESS")), name)
+        val files = Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        assert(files.nonEmpty, name)
+        val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+        Seq("q_moments_merge", "q_quantile_partial_union",
+          "q_dedup_containment").foreach(q => run(q).collect())
+        assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+          s"$name rebuilt")
+      }
+  }
+}

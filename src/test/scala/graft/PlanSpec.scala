@@ -740,3 +740,30 @@ class Round10dPlanSpec extends SparkSpec {
     assert(p.contains("row_number(), 5, Partial"), p)
   }
 }
+
+/** Plan pins for the round-11 sixth batch. */
+class Round11PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("market basket top-50 is a distributed TakeOrdered; item counts broadcast") {
+    val p = plan("q_market_basket")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stl anomaly reads the checkpointed decomposition; moment tables broadcast") {
+    val p = plan("q_anomaly_stl")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("events.parquet"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rfm aggregates once per customer before the quartile windows") {
+    val p = plan("q_rfm_segment")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
