@@ -162,6 +162,118 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Metadata gate for the composed pipeline: payloads below this
+    * floor are malformed ingests (truncated files). 64 B is also the
+    * dHash stripe width, so every gated payload gives each hash
+    * stripe its own byte.
+    */
+  val MetaGateBytes = 64L
+
+  /** Image rows plus their re-encoded variants — the %11
+    * first-byte-edit fixture (a length-preserving edit, the re-encode
+    * analog), variants re-keyed past max(doc_id). Shared by the
+    * standalone pHash dedup and the composed pipeline's ingest pool.
+    * Columns: (doc_id, media_type, n_bytes, payload).
+    */
+  private[graft] def imageVariantPool(s: SparkSession, d: String): DataFrame = {
+    val imgs = mediaRecords(s, d).toDF()
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("payload"))
+    val off = imgs.agg((max(col("doc_id")) + 1L).as("off"))
+    val variants = imgs.filter(col("doc_id") % 11 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        col("media_type"), col("n_bytes"),
+        concat(lit(Array[Byte]('Z'.toByte)),
+          expr("substring(payload, 2, 2147483647)")).as("payload"))
+    imgs.unionAll(variants)
+  }
+
+  /** One mapPartitions kernel pass: (doc_id, payload) → (img_id,
+    * phash). The decodeBatch contract — payloads consumed in place,
+    * only 16 bytes per image come out.
+    */
+  private[graft] def phashOf(s: SparkSession, pool: DataFrame): DataFrame = {
+    import s.implicits._
+    pool.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, dHash64(b)) })
+      .toDF("img_id", "phash")
+  }
+
+  /** Banded near-dup pairs over a (img_id, phash) table: SimHash-style
+    * 4×16-bit chunk equi-join (pigeonhole: at Hamming ≤ 3 one band is
+    * clean, so banding recall is exactly 1), then one codegen'd
+    * bit_count(xor) verify. The exchange carries (img_id, band,
+    * chunk) + the 8-byte hash — never a payload.
+    */
+  private[graft] def phashNearDupPairs(hashed: DataFrame): DataFrame = {
+    val bands = hashed.select(col("img_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("img_id"), col("phash"),
+        col("pos").as("band"), col("col").as("chunk"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a_id"), col("x.phash").as("ha"),
+        col("y.img_id").as("b_id"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Per-video (doc_id, frame_idx, ts_ms, scene_id) rows — the
+    * scene-cut kernel pass shared by the standalone query and the
+    * composed pipeline. Video = every non-image, non-audio source,
+    * filtered on the raw source COLUMN (not the derived media_type or
+    * a typed lambda) so the predicate pushes into the parquet scan.
+    */
+  private[graft] def sceneCutRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("source") =!= "src0" && col("source") =!= "src1")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => sceneFrames(id, p) })
+      .toDF("doc_id", "frame_idx", "ts_ms", "scene_id")
+  }
+
+  /** Per-audio (doc_id, seg, start_ms, end_ms, n_windows) VAD
+    * segments — the shared aggregation behind q_media_audio_vad and
+    * the composed pipeline (which counts the same segments for its
+    * attrition row).
+    */
+  private[graft] def vadSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = VadWindowBytes
+    val energySum = (0 until W).map(i =>
+      ascii(substring(col("text"), col("w") * W + i + 1, lit(1)))).reduce(_ + _)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .filter(col("source") === "src1" && octet_length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          (octet_length(col("text")) / W - 1).cast("int"))).as("w"))
+      .withColumn("energy", energySum.cast("double") / W)
+      .select(col("doc_id"), col("w"), col("energy"))
+      .withColumn("doc_mean", avg(col("energy")).over(wDoc))
+      .filter(col("energy") > col("doc_mean"))
+      .withColumn("brk",
+        when(col("w") - lag(col("w"), 1).over(wOrd) > 1, 1).otherwise(0))
+      .withColumn("seg", sum(col("brk")).over(wRun).cast("long"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("w")).cast("long").as("start_ms"),
+        (max(col("w")) + 1L).as("end_ms"),
+        count(lit(1)).as("n_windows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata + integrity hash over the binary payload column.
     "q_media_meta" -> ((s, d) =>
@@ -212,41 +324,9 @@ object Multimodal {
     // edit, the re-encode analog. Rows-only (per-byte kernel);
     // MediaPhashSpec replays the hash + brute-force threshold pairs
     // and pins set equality.
-    "q_media_phash_dedup" -> ((s, d) => {
-      import s.implicits._
-      val imgs = mediaRecords(s, d).toDF()
-        .filter(col("media_type") === "image")
-        .select(col("doc_id"), col("payload"))
-      val off = imgs.agg((max(col("doc_id")) + 1L).as("off"))
-      val variants = imgs.filter(col("doc_id") % 11 === 0)
-        .crossJoin(broadcast(off))
-        .select((col("doc_id") + col("off")).as("doc_id"),
-          concat(lit(Array[Byte]('Z'.toByte)),
-            expr("substring(payload, 2, 2147483647)")).as("payload"))
-      val hashed = imgs.unionAll(variants)
-        .select(col("doc_id").as("img_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, b) => (id, dHash64(b)) })
-        .toDF("img_id", "phash")
-      val bands = hashed.select(col("img_id"), col("phash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-        .select(col("img_id"), col("phash"),
-          col("pos").as("band"), col("col").as("chunk"))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.chunk") === col("y.chunk") &&
-            col("x.img_id") < col("y.img_id"))
-        .select(col("x.img_id").as("a_id"), col("x.phash").as("ha"),
-          col("y.img_id").as("b_id"), col("y.phash").as("hb"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    "q_media_phash_dedup" -> ((s, d) =>
+      phashNearDupPairs(phashOf(s, imageVariantPool(s, d)))
+        .orderBy(col("a_id"), col("b_id"))),
 
     // Frame sampling for video rows: stub frame count, then every
     // k-th frame capped at 8 — `sequence`+`slice`+`explode` fans rows
@@ -281,20 +361,8 @@ object Multimodal {
     // identical frames with content jumps at boundaries — the replay
     // spec recomputes cuts from the payload bytes independently.
     // Rows-only (per-byte kernel).
-    "q_media_scene_cut" -> ((s, d) => {
-      import s.implicits._
-      // video = every non-image, non-audio source: filtered on the
-      // raw source COLUMN (not the derived media_type or a typed
-      // lambda) so the predicate pushes into the parquet scan and
-      // image/audio rows are never read, let alone deserialized
-      Tables.documents(s, d)
-        .filter(col("source") =!= "src0" && col("source") =!= "src1")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.flatMap { case (id, p) => sceneFrames(id, p) })
-        .toDF("doc_id", "frame_idx", "ts_ms", "scene_id")
-        .orderBy(col("doc_id"), col("frame_idx"))
-    }),
+    "q_media_scene_cut" -> ((s, d) =>
+      sceneCutRows(s, d).orderBy(col("doc_id"), col("frame_idx"))),
 
     // VOICE-ACTIVITY segmentation for audio rows — the VAD pass a
     // speech pipeline runs before transcription/training (silence
@@ -311,31 +379,64 @@ object Multimodal {
     // published (start_ms, end_ms) segments. Per-doc windows are
     // KB-bounded; the only exchange carries thin (doc_id, w, energy)
     // rows.
-    "q_media_audio_vad" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val W = VadWindowBytes
-      val energySum = (0 until W).map(i =>
-        ascii(substring(col("text"), col("w") * W + i + 1, lit(1)))).reduce(_ + _)
-      val wDoc = Window.partitionBy(col("doc_id"))
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("w"))
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .filter(col("source") === "src1" && octet_length(col("text")) >= W)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0),
-            (octet_length(col("text")) / W - 1).cast("int"))).as("w"))
-        .withColumn("energy", energySum.cast("double") / W)
-        .select(col("doc_id"), col("w"), col("energy"))
-        .withColumn("doc_mean", avg(col("energy")).over(wDoc))
-        .filter(col("energy") > col("doc_mean"))
-        .withColumn("brk",
-          when(col("w") - lag(col("w"), 1).over(wOrd) > 1, 1).otherwise(0))
-        .withColumn("seg", sum(col("brk")).over(wRun).cast("long"))
-        .groupBy(col("doc_id"), col("seg"))
-        .agg(min(col("w")).cast("long").as("start_ms"),
-          (max(col("w")) + 1L).as("end_ms"),
-          count(lit(1)).as("n_windows"))
-        .orderBy(col("doc_id"), col("seg"))
+    "q_media_audio_vad" -> ((s, d) =>
+      vadSegments(s, d).orderBy(col("doc_id"), col("seg"))),
+
+    // The COMPOSED multimodal pipeline — the q_corpus_pipeline twin
+    // for binary media, expressed as ONE query whose per-stage
+    // attrition is the auditable artifact:
+    //   s0 binary ingest (all media + the re-encoded image variants —
+    //   the ingest-side dup burden) → s1 metadata gate (payloads
+    //   below MetaGateBytes are truncated ingests) → s2 pHash
+    //   near-dup drop (keep the smaller id of each Hamming ≤ 3 pair)
+    //   → s3 segmentation (videos → one row per scene, audio → one
+    //   row per VAD segment, images → one row each).
+    // Every stage reuses the standalone operators' internals
+    // (imageVariantPool / phashOf / phashNearDupPairs / sceneCutRows
+    // / vadSegments) — composition, not re-implementation.
+    //
+    // Scale shape — PAYLOADS NEVER SHUFFLE, by construction: payload
+    // bytes are consumed in place by two scan→kernel passes (the
+    // pHash mapPartitions over gated images, the scene-cut
+    // mapPartitions over videos), each emitting only thin rows; the
+    // survivor accounting then works entirely on those thin tables
+    // (an anti join against the near-dup drop ids, a semi join of
+    // segment rows against survivor ids). Re-scanning the columnar
+    // source once per kernel pass is the deliberate trade — at 100 TB
+    // a second pruned parquet scan is cheap, caching or shuffling
+    // payloads is not, which is also why the gated pool is NOT
+    // checkpointed (only the thin survivor id table is). Rows-only
+    // (the pHash kernel is not SQL-expressible); MediaPipelineSpec
+    // replays every stage count from the raw bytes independently.
+    "q_media_pipeline" -> ((s, d) => {
+      val media = mediaRecords(s, d).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("payload"))
+      val pool0 = media.filter(col("media_type") =!= "image")
+        .unionAll(imageVariantPool(s, d))
+      val s1 = pool0.filter(col("n_bytes") >= MetaGateBytes)
+      val hashed = phashOf(s, s1.filter(col("media_type") === "image"))
+      val drops = phashNearDupPairs(hashed)
+        .select(col("b_id").as("doc_id")).distinct()
+      val s2 = s1.select(col("doc_id"), col("media_type"))
+        .join(drops, Seq("doc_id"), "leftanti")
+        .localCheckpoint()
+      val scenes = sceneCutRows(s, d)
+        .select(col("doc_id"), col("scene_id").as("seg")).distinct()
+      val vad = vadSegments(s, d).select(col("doc_id"), col("seg"))
+      val s3 = scenes.unionAll(vad)
+        .join(s2.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+        .unionAll(s2.filter(col("media_type") === "image")
+          .select(col("doc_id"), lit(0L).as("seg")))
+      Seq("s0_ingest" -> pool0.select(col("doc_id")),
+          "s1_meta" -> s1.select(col("doc_id")),
+          "s2_phash" -> s2.select(col("doc_id")),
+          "s3_segments" -> s3.select(col("doc_id")))
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("stage"), col("n_rows"))
+        }
+        .reduce(_ unionAll _).orderBy(col("stage"))
     })
   )
 

@@ -43,6 +43,16 @@ object Graph {
   val PrIters = 6
   val Damping = 0.85
 
+  /** Link-prediction witness-list cap: each shared neighbor
+    * contributes at most this many (smallest-id) members to the wedge
+    * join, bounding per-witness candidate fan-out at C(k,2) ≈ 2k²
+    * regardless of hub degree. 64 covers this corpus's full degree
+    * range (max 62 at sf0.01 — cap is a no-op at test scale, so the
+    * oracle and the brute replay certify the capped plan exactly)
+    * while turning a degree-d hub's C(d,2) into a constant at 100 TB.
+    */
+  val LinkpredWitnessCap = 64
+
   /** Customer node-id tag: high bit 40. An ADDITIVE offset is only
     * disjoint while suppkey stays below the constant (a fixed 1e6
     * broke past TPC-H sf100); the high-bit tag stays disjoint for any
@@ -153,17 +163,38 @@ object Graph {
     // part pairs sharing ≥ 3 neighbors, score = |Γa∩Γb| / |Γa∪Γb| —
     // the classic recommender baseline ("parts bought alongside the
     // same partners will co-occur next"). Shape: common-neighbor
-    // candidates are the SAME wedge join the triangle counter runs
-    // (measured linear in |E| on this graph — BASELINE's probe);
-    // existing edges drop via a thin LEFT ANTI on 8-byte pairs;
-    // per-mille integer scores, distributed top-50 via
-    // TakeOrderedAndProject. Fully oracled.
+    // candidates come from the adj⋈adj wedge join on the shared
+    // neighbor, with the shared-neighbor (witness) list CAPPED at
+    // k = 64 members: unbounded, one power-law hub of degree d emits
+    // C(d,2) candidate pairs — quadratic in the hub degree, the exact
+    // trap the triangle counter's orientation avoids. Common-neighbor
+    // scoring can't orient (both wedge endpoints are outputs), so the
+    // production bound is the inverted-list cap (the
+    // q_dedup_ngram_jaccard DF-cap precedent): each witness
+    // contributes only its k smallest-id members, bounding per-witness
+    // fan-out at C(k,2) — a DOCUMENTED RECALL TRADE (pairs whose only
+    // common neighbors are capped-out hub tails are missed; hubs are
+    // the least informative witnesses, the same reason tf-idf
+    // down-weights them). The cap is deterministic (smallest ids) and
+    // mirrored exactly in the oracle, so both engines agree at every
+    // scale; at this corpus's max degree (62 < k) it is a no-op and
+    // the uncapped brute-force replay still certifies. Degrees for
+    // the Jaccard denominator stay UNCAPPED (true |Γ|). Existing
+    // edges drop via a thin LEFT ANTI on 8-byte pairs; per-mille
+    // integer scores, distributed top-50 via TakeOrderedAndProject.
+    // ScaleProbe's skewed-hub fixture measures the bound. Fully
+    // oracled.
     "q_graph_linkpred" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val e = coEdges(s, d).localCheckpoint()
       val adj = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val cn = adj.as("x").join(adj.as("y"),
+      val wcap = Window.partitionBy(col("v")).orderBy(col("u"))
+      val adjc = adj
+        .withColumn("nr", row_number().over(wcap))
+        .filter(col("nr") <= LinkpredWitnessCap).drop("nr")
+      val cn = adjc.as("x").join(adjc.as("y"),
           col("x.v") === col("y.v") && col("x.u") < col("y.u"))
         .groupBy(col("x.u").as("a"), col("y.u").as("b"))
         .agg(count(lit(1)).as("cn"))
@@ -311,9 +342,14 @@ object Graph {
         |  SELECT a AS u, b AS v FROM e
         |  UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+        |adjc AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (PARTITION BY v ORDER BY u)
+        |      AS nr FROM adj) c
+        |  WHERE nr <= 64),
         |cn AS (
         |  SELECT x.u AS a, y.u AS b, count(*) AS cn
-        |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+        |  FROM adjc x JOIN adjc y ON x.v = y.v AND x.u < y.u
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |nonedge AS (
         |  SELECT cn.a, cn.b, cn.cn FROM cn

@@ -353,12 +353,22 @@ object Olap {
     // counts come from the bounded per-order fan-out (C(items,2),
     // order width ≤ 7) with map-side combine, item counts from one
     // thin aggregate broadcast back, top-50 via TakeOrderedAndProject.
-    // Fully oracled.
+    //
+    // Shape: the distinct (order, part) projection is consumed by
+    // FOUR readers (the order-count scalar, the item counts, both
+    // self-join sides), so it is localCheckpoint'd ONCE — without the
+    // barrier lineitem's scan + distinct shuffle would replay per
+    // consumer (exchange reuse only covers the self-join's identical
+    // twins). N_orders stays INSIDE the plan as a broadcast 1-row
+    // aggregate (the q_token_budget scalar-fold rule) rather than a
+    // driver-side count(): no eager job at construction time, no
+    // frozen literal. Fully oracled.
     "q_market_basket" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val nOrders = li.select(col("ok")).distinct().count()
+        .localCheckpoint()
+      val nOrd = li.agg(countDistinct(col("ok")).as("n_orders"))
       val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pair = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
@@ -368,10 +378,11 @@ object Olap {
       pair
         .join(broadcast(item.select(col("pk").as("a"), col("n_item").as("n_a"))), "a")
         .join(broadcast(item.select(col("pk").as("b"), col("n_item").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrd))
         .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-          expr(s"n_ab * 1000000 div $nOrders").as("support_ppm"),
+          expr("n_ab * 1000000 div n_orders").as("support_ppm"),
           expr("n_ab * 1000 div n_a").as("conf_ab_pm"),
-          expr(s"100 * n_ab * $nOrders div (n_a * n_b)").as("lift_cpm"))
+          expr("100 * n_ab * n_orders div (n_a * n_b)").as("lift_cpm"))
         .orderBy(col("lift_cpm").desc, col("n_ab").desc, col("a"), col("b"))
         .limit(50)
     }),

@@ -48,6 +48,16 @@ object Bpe {
     */
   val Merges = 8
 
+  /** WordPiece greedy-scan round cap: each round is one blocking
+    * vocabulary-table checkpoint pass, so the round count must be
+    * bounded by a constant, not by the corpus's longest "word" (one
+    * kilobyte-long unbroken string would otherwise mean a thousand
+    * sequential rounds). Tails past the cap fall back to single-char
+    * pieces; this corpus's max word length is 8, so the cap never
+    * binds at test scale.
+    */
+  val WpScanCap = 32
+
   /** The one corpus-wide pass: whitespace word frequencies. */
   private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -186,9 +196,18 @@ object Bpe {
       val lensDesc = byLen.keys.toSeq.sorted.reverse
       val vocabAll = wordFreq(s, d)
       // one driver scalar (max word length) bounds the scan loop —
-      // the same 1-row-collect budget as the BPE argmax steps
-      val maxLen = vocabAll.agg(max(length(col("w"))))
-        .collect()(0).getInt(0)
+      // the same 1-row-collect budget as the BPE argmax steps. The
+      // aggregate is NULL on an empty corpus (0 scan rounds, empty
+      // result — no NPE), and the round count is CAPPED at WpScanCap:
+      // one pathological kilobyte-long "word" must not turn the query
+      // into a thousand blocking checkpoint rounds. Words longer than
+      // the cap finish via the residual per-char fallback below
+      // (single-char pieces — the open-vocabulary floor, and exactly
+      // what greedy matching degenerates to on adversarial strings);
+      // at this corpus's max word length (8 ≤ cap) the fallback is
+      // provably never taken.
+      val maxLenRow = vocabAll.agg(max(length(col("w")))).collect()(0)
+      val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
       // the greedy scan as a driver loop over the VOCABULARY table
       // with per-step localCheckpoint: a single nested fold would
       // re-embed the state expression several times per step and grow
@@ -198,7 +217,7 @@ object Bpe {
       var v = vocabAll
         .select(col("w"), length(col("w")).cast("long").as("wc"),
           lit(1).as("pos"), lit(0L).as("wp"))
-      for (_ <- 1 to maxLen) {
+      for (_ <- 1 to math.min(maxLen, WpScanCap)) {
         val adv = lensDesc.foldRight(lit(1)) { (l, els) =>
           when(col("w").substr(col("pos"), lit(l))
             .isInCollection(byLen(l)), lit(l)).otherwise(els)
@@ -210,7 +229,11 @@ object Bpe {
             .otherwise(col("wp") + 1).as("wp"))
           .localCheckpoint()
       }
-      val vocab = v.select(col("w"), col("wc"), col("wp"))
+      // residual fallback: any word still unfinished after WpScanCap
+      // rounds tokenizes its tail as single-char pieces
+      val vocab = v.select(col("w"), col("wc"),
+        when(col("pos") > col("wc"), col("wp"))
+          .otherwise(col("wp") + (col("wc") - col("pos") + 1)).as("wp"))
       val vocabRows = vocab.count()
       val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
       Tables.documents(s, d)

@@ -135,9 +135,15 @@ object Corpus {
           // 5-double FP sum is accumulation-order-sensitive in the
           // last ulp, and a flipped ulp at a floor boundary would
           // flip an allocation — integers sum order-free
-          floor((col("n_h") * sqrt((col("s2") - col("s1") * col("s1")
-            / col("n_h")) / (col("n_h") - 1))) * 1000000)
-            .cast("long").as("nsig_u"))
+          // n_h = 1 guard: a single-doc stratum has undefined sample
+          // stdev ((n_h−1) = 0 → 0/0 = NaN here, a CAST error in the
+          // oracle's engine) — emit NULL in BOTH engines (oracle:
+          // NULLIF(n_h−1, 0)) so such strata drop from the Σ and the
+          // allocation identically rather than engine-divergently
+          when(col("n_h") > 1,
+            floor((col("n_h") * sqrt((col("s2") - col("s1") * col("s1")
+              / col("n_h")) / (col("n_h") - 1))) * 1000000)
+              .cast("long")).as("nsig_u"))
       val tot = st.agg(sum(col("nsig_u")).as("nsig_tot"))
       val alloc = st.crossJoin(broadcast(tot))
         .select(col("slang"),
@@ -605,8 +611,8 @@ object Corpus {
         |  FROM documents GROUP BY 1),
         |ns AS (
         |  SELECT lang, n_h,
-        |    CAST(floor(n_h * sqrt((s2 - s1 * s1 / n_h) / (n_h - 1))
-        |      * 1000000) AS BIGINT) AS nsig_u
+        |    CAST(floor(n_h * sqrt((s2 - s1 * s1 / n_h)
+        |      / NULLIF(n_h - 1, 0)) * 1000000) AS BIGINT) AS nsig_u
         |  FROM st),
         |tot AS (SELECT CAST(sum(nsig_u) AS BIGINT) AS nsig_tot FROM ns),
         |alloc AS (

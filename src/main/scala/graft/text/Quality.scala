@@ -172,8 +172,9 @@ object Quality {
     //
     // Shape: ONE exploded-token aggregate builds the vocabulary with
     // per-domain counts (map-combined, token-keyed — the corpus's one
-    // thin shuffle); the ppm-weight table is vocabulary-bounded and
-    // BROADCASTS back into the per-doc token counts, whose weighted
+    // thin shuffle); the ppm-weight table is vocabulary-bounded and —
+    // when a measured size gate allows — broadcasts back into the
+    // per-doc token counts, whose weighted
     // sum is a thin doc_id aggregate. Nothing after the token agg
     // scales with corpus size; at 100 TB the vocab table is the same
     // written artifact the coverage/topk operators share.
@@ -197,7 +198,16 @@ object Quality {
             expr("r_cnt * 1000000 div r_tot")).as("w_ppm"))
       val docTok = tok.groupBy(col("doc_id"), col("lang"), col("token"))
         .agg(count(lit(1)).as("cnt"))
-      docTok.join(broadcast(w), "token")
+      // Broadcast GATED on measured vocabulary size (the Bpe.scala
+      // dictionary-join rule): a web corpus's space-split vocabulary
+      // is 1e8–1e9 distinct tokens, and an unconditional hint there
+      // forces an over-threshold broadcast and an executor OOM. The
+      // count is one map-combined aggregate over the already-
+      // checkpointed vocabulary; above the bound the hint disappears
+      // and AQE picks the join strategy from runtime sizes.
+      val vocabRows = vocab.count()
+      val wDict = if (vocabRows <= 4L * 1000 * 1000) broadcast(w) else w
+      docTok.join(wDict, "token")
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("cnt")).as("n_tokens"),
           sum(col("cnt") * col("w_ppm")).as("score"))

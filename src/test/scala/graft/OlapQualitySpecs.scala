@@ -685,9 +685,18 @@ class LinkpredSpec extends SparkSpec {
     val adj = (edges ++ edges.map(e => (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val nodes = adj.keys.toSeq.sorted
+    // witness-cap semantics (Graph.LinkpredWitnessCap): a common
+    // neighbor v only witnesses (a, b) if both are among v's k
+    // smallest-id members; degrees stay uncapped. At this fixture's
+    // max degree the cap is a no-op, so this replay is simultaneously
+    // the uncapped brute-force certificate.
+    val k = graft.operators.Graph.LinkpredWitnessCap
+    val capped = adj.view
+      .mapValues(_.toSeq.sorted.take(k).toSet).toMap
     val cand = for {
       a <- nodes; b <- nodes if a < b && !eset.contains((a, b))
-      cn = (adj(a) & adj(b)).size if cn >= 3
+      cn = (adj(a) & adj(b)).count(v => capped(v)(a) && capped(v)(b))
+      if cn >= 3
     } yield (a, b, cn.toLong,
       cn * 1000L / (adj(a).size + adj(b).size - cn))
     val expect = cand.sortBy(t => (-t._4, -t._3, t._1, t._2)).take(50)

@@ -832,6 +832,59 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("composed media pipeline attrition replays from the raw bytes") {
+    import media.Multimodal
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def mtype(src: String) =
+      if (src == "src0") "image" else if (src == "src1") "audio" else "video"
+    // s0: all media + re-keyed first-byte-edited image variants
+    val base = docs.map { case (id, src, t) =>
+      (id, mtype(src), t.getBytes("UTF-8")) }
+    val off = docs.filter(_._2 == "src0").map(_._1).max + 1
+    val variants = base.filter { case (id, mt, _) => mt == "image" && id % 11 == 0 }
+      .map { case (id, mt, b) =>
+        val v = b.clone(); v(0) = 'Z'.toByte; (id + off, mt, v) }
+    val pool0 = base ++ variants
+    // s1: metadata gate
+    val s1 = pool0.filter(_._3.length >= Multimodal.MetaGateBytes)
+    // s2: pHash near-dup drop — brute-force Hamming ≤ 3 over gated
+    // images (pigeonhole: banding recall is exactly 1, so brute-force
+    // IS the banded answer), drop the larger id of each pair
+    val hashed = s1.filter(_._2 == "image")
+      .map { case (id, _, b) => (id, Multimodal.dHash64(b)) }
+    val drops = (for {
+      (a, ha) <- hashed; (b, hb) <- hashed
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield b).toSet
+    val s2 = s1.filter { case (id, _, _) => !drops.contains(id) }
+    // s3: images → 1 row, videos → distinct scenes, audio → VAD runs
+    val W = Multimodal.VadWindowBytes
+    val s3 = s2.map { case (id, mt, b) =>
+      mt match {
+        case "image" => 1L
+        case "video" =>
+          Multimodal.sceneFrames(id, b).map(_._4).distinct.size.toLong
+        case "audio" =>
+          val nw = b.length / W
+          val energy = (0 until nw).map(w =>
+            (w * W until (w + 1) * W).map(i => b(i) & 0xFF).sum.toDouble / W)
+          val mean = energy.sum / nw
+          val active = (0 until nw).filter(w => energy(w) > mean)
+          active.count(w => !active.contains(w - 1)).toLong
+      }
+    }.sum
+    val got = run("q_media_pipeline").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0_ingest" -> pool0.length.toLong,
+      "s1_meta" -> s1.length.toLong, "s2_phash" -> s2.length.toLong,
+      "s3_segments" -> s3), got)
+    assert(got("s2_phash") < got("s1_meta"), "phash stage dropped nothing")
+    assert(got("s1_meta") < got("s0_ingest"), "meta gate dropped nothing")
+  }
+
   test("frame sampling emits at most 8 frames at the right stride") {
     val rows = run("q_media_framesample").collect()
     assert(rows.nonEmpty)

@@ -601,6 +601,12 @@ class Round10PlanSpec extends SparkSpec {
 
   test("dsir weight table broadcasts back over the per-doc counts") {
     val p = plan("q_dsir_weights")
+    // the broadcast hint is CONDITIONAL on measured vocabulary size
+    // (Quality.scala's vocabRows gate, the Bpe.scala rule): at test
+    // scale the gate admits it, so the weight join must plan as a
+    // broadcast — while a web-scale vocabulary would drop the hint
+    // and leave the strategy to AQE. This pin certifies the
+    // below-threshold branch; the gate itself is source-audited.
     assert(p.contains("BroadcastHashJoin [token"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the corpus-wide token aggregate runs ONCE: the vocab checkpoint
@@ -728,6 +734,11 @@ class Round10dPlanSpec extends SparkSpec {
     val p = plan("q_graph_linkpred")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // witness-list cap: the row_number ≤ k filter on the wedge join's
+    // inputs compiles to a partial+final WindowGroupLimit, so each
+    // shared neighbor forwards at most k rows into the join — the
+    // hub-quadratic bound is enforced in the PLAN, not just the prose
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("quantization eval broadcasts the query batch and bounds the rank map-side") {
@@ -752,6 +763,15 @@ class Round11PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+    // the distinct (ok, pk) projection is checkpointed once and every
+    // consumer (item counts, both self-join sides, the n_orders
+    // scalar) reads the materialized RDD — lineitem is scanned
+    // exactly once, at checkpoint time, never in this plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("lineitem"), p)
+    // n_orders is a broadcast 1-row aggregate folded in-plan (no
+    // driver-side count() job, no frozen literal)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("stl anomaly reads the checkpointed decomposition; moment tables broadcast") {
@@ -765,5 +785,31 @@ class Round11PlanSpec extends SparkSpec {
     val p = plan("q_rfm_segment")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+}
+
+/** Plan pins for the round-12 additions. */
+class Round12PlanSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SimpleMode
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("media pipeline: payload bytes never cross a shuffle boundary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Join, Sort, Window => LWindow}
+    val p = run("q_media_pipeline").queryExecution.optimizedPlan
+    // every shuffle-inducing logical node (join, aggregate, window,
+    // sort) consumes only thin inputs — payloads are consumed in
+    // place by the scan→kernel passes and never enter an exchange
+    val shufflers = p.collect {
+      case n @ (_: Join | _: Aggregate | _: LWindow | _: Sort) => n
+    }
+    assert(shufflers.nonEmpty)
+    shufflers.foreach { n =>
+      n.children.foreach { c =>
+        assert(!c.output.exists(_.name.contains("payload")),
+          n.nodeName + " consumes: " + c.output.map(_.name).mkString(","))
+      }
+    }
   }
 }
