@@ -84,6 +84,17 @@ object ScaleProbe {
       // degree orientation promises wedges = O(|E|^1.5) worst case;
       // the wedge-vs-edge exponent below should sit at or under 1.5
       val (triEdges, triWedges) = operators.Graph.wedgeStats(spark, d)
+      // link-prediction witness cap on a deliberately SKEWED graph
+      // (one hub on ~10% of edges — absent from the TPC-H-derived
+      // co-purchase graph, whose max degree is 62): capped candidates
+      // run through the real wedge join (linear); the uncapped count
+      // comes from the exact closed form Σ C(deg, 2) — materializing
+      // a quadratic set just to count it would itself be the bug
+      val skewN = docs * 4
+      val skew = operators.Graph.skewedAdj(spark, skewN).localCheckpoint()
+      val lpCap = operators.Graph.LinkpredWitnessCap
+      val lpCapped = operators.Graph.wedgeCandidates(skew, lpCap).count()
+      val lpUncapped = operators.Graph.wedgeCandidateCount(skew, 0)
       val ivf2Parts = sim.Ivf2.ivf2Index(spark, d)
         .select("cell", "fine").distinct().count()
       val secs = probed.map { q =>
@@ -104,13 +115,18 @@ object ScaleProbe {
         s""""ivf2_partitions":$ivf2Parts""",
         s""""ivf2_mean_occupancy":${vecs / math.max(1L, ivf2Parts)}""",
         s""""triangle_edges":$triEdges""",
-        s""""triangle_wedges":$triWedges""")
+        s""""triangle_wedges":$triWedges""",
+        s""""linkpred_skew_nodes":$skewN""",
+        s""""linkpred_skew_capped_candidates":$lpCapped""",
+        s""""linkpred_skew_uncapped_candidates":$lpUncapped""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
         "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands,
         "ivf2_cands" -> ivf2Cands, "tri_edges" -> triEdges,
-        "tri_wedges" -> triWedges), secs)
+        "tri_wedges" -> triWedges, "lp_skew_nodes" -> skewN,
+        "lp_skew_capped" -> lpCapped, "lp_skew_uncapped" -> lpUncapped),
+        secs)
     }
 
     if (rows.size >= 2) {
@@ -132,7 +148,9 @@ object ScaleProbe {
         s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
         s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""",
         s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""",
-        s""""triangle_wedge_vs_edge_exp":${f"${exp(c1("tri_edges"), c2("tri_edges"), c1("tri_wedges").toDouble, c2("tri_wedges").toDouble)}%.2f"}""")
+        s""""triangle_wedge_vs_edge_exp":${f"${exp(c1("tri_edges"), c2("tri_edges"), c1("tri_wedges").toDouble, c2("tri_wedges").toDouble)}%.2f"}""",
+        s""""linkpred_skew_capped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_capped").toDouble, c2("lp_skew_capped").toDouble)}%.2f"}""",
+        s""""linkpred_skew_uncapped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_uncapped").toDouble, c2("lp_skew_uncapped").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

@@ -408,6 +408,44 @@ object Multimodal {
     // checkpointed (only the thin survivor id table is). Rows-only
     // (the pHash kernel is not SQL-expressible); MediaPipelineSpec
     // replays every stage count from the raw bytes independently.
+    // CROSS-MODAL (image ↔ caption) keyed join — the LAION-style
+    // pairing step that assembles a text-image training set: the
+    // downloaded image files (the write-once binaryFile corpus,
+    // q_binary_source's layout) join the caption table (the documents
+    // side) on the pair key, and every pair carries a CONSISTENCY
+    // AUDIT column — does the image's content fingerprint still match
+    // the fingerprint recorded when the caption was paired? (Stale
+    // recrawls and corrupted downloads are the standard LAION-audit
+    // failure; fixture: every %13 caption records the fingerprint of
+    // the REVERSED text — a deterministic "image changed since
+    // pairing" stand-in.) md5 is the fingerprint (not pHash) exactly
+    // so both engines compute it and the query stays FULLY ORACLED —
+    // the oracle leans on the binary round-trip identity
+    // (content = text + newline) that q_binary_source certifies.
+    //
+    // Scale shape: each side reduces to a thin (pair_id, 16-byte
+    // fingerprint, length) row BEFORE the join — payload bytes and
+    // caption text are consumed by the md5 projections below the
+    // exchange, so the join carries no blob in either direction
+    // (plan-pinned). One equi-join, one sink sort.
+    "q_crossmodal_join" -> ((s, d) => {
+      val img = graft.operators.Extras.binaryFixture(s, d)
+        .select(col("doc_id").cast("long").as("pair_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("img_md5"))
+      val cap = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("pair_id"),
+          length(col("text")).cast("long").as("cap_len"),
+          when(col("doc_id") % 13 === 0,
+            md5(concat(reverse(col("text")), lit("\n")).cast("binary")))
+            .otherwise(md5(concat(col("text"), lit("\n")).cast("binary")))
+            .as("recorded_md5"))
+      img.join(cap, "pair_id")
+        .select(col("pair_id"), col("n_bytes"), col("cap_len"),
+          (col("img_md5") === col("recorded_md5")).as("consistent"))
+        .orderBy(col("pair_id"))
+    }),
+
     "q_media_pipeline" -> ((s, d) => {
       val media = mediaRecords(s, d).toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
@@ -445,6 +483,22 @@ object Multimodal {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_crossmodal_join" ->
+      """WITH img AS (
+        |  SELECT doc_id AS pair_id,
+        |    CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+        |    md5(text || chr(10)) AS img_md5
+        |  FROM documents WHERE doc_id < 200),
+        |cap AS (
+        |  SELECT doc_id AS pair_id,
+        |    CAST(strlen(text) AS BIGINT) AS cap_len,
+        |    CASE WHEN doc_id % 13 = 0 THEN md5(reverse(text) || chr(10))
+        |         ELSE md5(text || chr(10)) END AS recorded_md5
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT i.pair_id, i.n_bytes, c.cap_len,
+        |  i.img_md5 = c.recorded_md5 AS consistent
+        |FROM img i JOIN cap c USING (pair_id)
+        |ORDER BY pair_id""".stripMargin,
     "q_media_audio_vad" ->
       s"""WITH aud AS (
          |  SELECT doc_id, text FROM documents

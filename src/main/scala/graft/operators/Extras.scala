@@ -35,6 +35,29 @@ object Extras {
   private def sinkDir(fmt: String, d: String): String =
     s"/tmp/graft_${fmt}_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
 
+  /** The write-once binary file corpus (stable dir + _BUILT marker,
+    * deterministic content: one file per doc_id < 200, content =
+    * text + newline via the text writer), read back through the
+    * binaryFile source with the key recovered from the partition
+    * directory. Shared by q_binary_source and the cross-modal join
+    * (media.Multimodal) — in production these files are the
+    * downloaded image set. Single-process guard, same contract as
+    * the streaming replay fixture (Streams.scala).
+    */
+  private[graft] def binaryFixture(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_binfix_${Tables.cacheKey(d)}"
+    val marker = new java.io.File(out, "_BUILT")
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .write.partitionBy("doc_id").mode("overwrite").text(out)
+        marker.createNewFile()
+      }
+    }
+    s.read.format("binaryFile").load(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Non-equi range join: each event lands in its value band.
     "q_range_join" -> ((s, d) => {
@@ -393,22 +416,11 @@ object Extras {
     // already exist — re-materializing 200 partition directories per
     // run benched as the entire query cost. Single-process guard,
     // same contract as the streaming replay fixture (Streams.scala).
-    "q_binary_source" -> ((s, d) => {
-      val out = s"/tmp/graft_binfix_${Tables.cacheKey(d)}"
-      val marker = new java.io.File(out, "_BUILT")
-      if (!marker.exists()) synchronized {
-        if (!marker.exists()) {
-          Tables.documents(s, d).filter(col("doc_id") < 200)
-            .select(col("doc_id"), col("text"))
-            .write.partitionBy("doc_id").mode("overwrite").text(out)
-          marker.createNewFile()
-        }
-      }
-      s.read.format("binaryFile").load(out)
+    "q_binary_source" -> ((s, d) =>
+      binaryFixture(s, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("length"),
           md5(col("content")).as("content_md5"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Line-oriented TEXT source — the raw LLM-corpus ingest format
     // (one document per line, the WebText/Pile shape): sink the

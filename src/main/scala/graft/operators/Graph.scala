@@ -124,6 +124,67 @@ object Graph {
     (e.count(), wedges)
   }
 
+  /** Link-prediction candidate rows (a, b) from the wedge join over a
+    * symmetric (u, v) adjacency, each shared-neighbor witness list
+    * capped at `cap` smallest-id members (cap ≤ 0 → uncapped). The
+    * ONE construction behind q_graph_linkpred and the ScaleProbe
+    * skew fixture — the probe measures exactly the plan that ships.
+    */
+  private[graft] def wedgeCandidates(adj: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adjc =
+      if (cap <= 0) adj
+      else adj
+        .withColumn("nr",
+          row_number().over(Window.partitionBy(col("v")).orderBy(col("u"))))
+        .filter(col("nr") <= cap).drop("nr")
+    adjc.as("x").join(adjc.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("a"), col("y.u").as("b"))
+  }
+
+  /** Exact candidate-row count the wedge join would emit, by the
+    * closed form Σ_v C(min(deg v, cap), 2) over witness degrees —
+    * computable from one thin degree aggregate without materializing
+    * the (possibly quadratic) candidate set, which is the only sane
+    * way to COUNT the uncapped set a hub graph would produce.
+    * LinkpredSpec pins closed form == materialized join count.
+    */
+  private[graft] def wedgeCandidateCount(adj: DataFrame, cap: Int): Long = {
+    val m =
+      if (cap <= 0) col("m")
+      else least(col("m"), lit(cap.toLong))
+    adj.groupBy(col("v")).agg(count(lit(1)).as("m"))
+      .select(m.as("mc"))
+      .agg(coalesce(sum(expr("mc * (mc - 1) div 2")), lit(0L)).as("n"))
+      .head.getLong(0)
+  }
+
+  /** Deliberately skewed synthetic adjacency for the ScaleProbe: n
+    * nodes in a ring plus a modular chord (≈2n base edges, max base
+    * degree ≤ 6) and ONE hub (node 0) touching 2n/9 spokes — i.e. a
+    * single node on ~10 % of all edges, the power-law worst case the
+    * witness cap exists for. Uncapped wedge candidates grow with
+    * C(hub deg, 2) ≈ n²/41 (quadratic); capped, every witness emits
+    * ≤ C(64, 2) so growth is linear in n. All-arithmetic construction
+    * (range + mod), so both scale points are exactly reproducible.
+    */
+  private[graft] def skewedAdj(s: SparkSession, n: Long): DataFrame = {
+    val ring = s.range(n)
+      .select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+    val chord = s.range(n)
+      .select(col("id").as("a"), ((col("id") + 2 + col("id") % 11) % n).as("b"))
+    val hub = s.range(2 * n / 9)
+      .select(lit(0L).as("a"), (col("id") * 9 % n).as("b"))
+    val e = ring.unionAll(chord).unionAll(hub)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Triangle count + global clustering coefficient over the
     // co-purchase graph — the density/community signal corpus-graph
@@ -185,18 +246,12 @@ object Graph {
     // ScaleProbe's skewed-hub fixture measures the bound. Fully
     // oracled.
     "q_graph_linkpred" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = coEdges(s, d).localCheckpoint()
       val adj = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val wcap = Window.partitionBy(col("v")).orderBy(col("u"))
-      val adjc = adj
-        .withColumn("nr", row_number().over(wcap))
-        .filter(col("nr") <= LinkpredWitnessCap).drop("nr")
-      val cn = adjc.as("x").join(adjc.as("y"),
-          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-        .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+      val cn = wedgeCandidates(adj, LinkpredWitnessCap)
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("cn"))
         .filter(col("cn") >= 3)
         .join(e, Seq("a", "b"), "leftanti")

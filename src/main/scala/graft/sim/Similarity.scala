@@ -349,6 +349,86 @@ object Similarity {
       .dropDuplicates("vid", "nid")
   }
 
+  /** LSH candidates of a DELTA batch against the base corpus's banded
+    * index: the probe (flip) side is the delta, the banded side the
+    * corpus — (pid, nid) pairs, pid ∈ delta, nid ∈ corpus. XOR
+    * symmetry (sig_a = sig_b ⊕ m ⟺ sig_b = sig_a ⊕ m, same flip set
+    * both directions) makes this EXACTLY the candidate set the full
+    * self-join surfaces for those pids — the identity the append
+    * audit column certifies per run.
+    */
+  private[graft] def knnDeltaCandidates(s: SparkSession, d: String,
+      delta: DataFrame, tables: Int = AnnTables, bits: Int = 0): DataFrame = {
+    VectorFunctions.register(s)
+    val b = if (bits > 0) bits else adaptiveBits(s, d)
+    val nPlanes = tables * b
+    def sigRows(df: DataFrame) = df
+      .select(col("vec_id"),
+        expr(s"plane_sigs(embedding, $nPlanes, $b)").as("sigs"))
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+    val banded = sigRows(Tables.embeddings(s, d))
+    val flips1 = 0 +: (0 until b).map(1 << _)
+    val flips2 = for {
+      i <- 0 until b; j <- i + 1 until b
+    } yield (1 << i) | (1 << j)
+    val probes1 = array(flips1.map(lit(_)): _*)
+    val probes2 = array((flips1 ++ flips2).map(lit(_)): _*)
+    val probed = sigRows(delta)
+      .select(col("vec_id").as("pid"), col("band").as("pband"),
+        explode(transform(
+          when(col("band") === 0, probes2).otherwise(probes1),
+          m => col("sig").bitwiseXOR(m))).as("psig"))
+    banded
+      .join(probed,
+        col("band") === col("pband") && col("sig") === col("psig") &&
+          col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"))
+      .dropDuplicates("pid", "nid")
+  }
+
+  /** Top-5 cosine reduction over a candidate pair set: fetch-join
+    * the embeddings, score with the codegen'd kernel, reduce per
+    * center with the bounded-heap TopKAggregator — at graph scale the
+    * window form would sort every node's full candidate list; the
+    * heap ships at most k pairs per node per partition. Shared by the
+    * graph build and the incremental append.
+    */
+  private def knnTop5(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val ea = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vid"), col("embedding").as("va"))
+    val eb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("nid"), col("embedding").as("vb"))
+    val scored = cand.join(ea, "vid").join(eb, "nid")
+      .select(col("vid"),
+        VectorFunctions.cosineSim(s, "va", "vb").as("cos_sim"), col("nid"))
+    val agg = new graft.functions.TopKAggregator(5).toColumn
+    scored.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("top")
+        .asInstanceOf[org.apache.spark.sql.TypedColumn[(Double, Long), Seq[(Double, Long)]]])
+      .toDF("vid", "top")
+      .select(col("vid"), posexplode(col("top")))
+      .select(col("vid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("nid"), round(col("col._1"), 6).as("cos_sim"))
+  }
+
+  /** The KNN similarity graph as a WRITE-ONCE layout under the
+    * warehouse (ensureLayout: built on first use, re-attached by any
+    * later session — PersistenceSpec pins no-rebuild): recomputing
+    * LSH candidates + cosine verification per read was the one index
+    * artifact in the similarity family still paying its build cost on
+    * every consumer; diversity sampling and graph dedup read the
+    * graph many times per write, exactly the bucketed-table economics.
+    */
+  private[graft] def knnGraphLayout(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "knn_graph") {
+      knnTop5(s, d, knnCandidates(s, d))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
     "q_sim_topk" -> ((s, d) => {
@@ -712,30 +792,42 @@ object Similarity {
     // graph-based dedup consume. Candidates from the 8-table sign-LSH
     // self-join (equi-join on (band, sig), bucket sizes bounded by
     // the bit count), verified with the codegen'd cosine kernel, then
-    // reduced per node with the bounded-heap TopKAggregator — at
-    // graph scale the window form would sort every node's full
-    // candidate list; the heap ships at most k pairs per node per
-    // partition. Rows-only (LSH-approximate); KnnGraphSpec pins
-    // recall vs the brute-force graph.
-    "q_sim_knn_graph" -> ((s, d) => {
-      import s.implicits._
-      VectorFunctions.register(s)
-      val cand = knnCandidates(s, d)
-      val ea = Tables.embeddings(s, d).select(col("vec_id").as("vid"), col("embedding").as("va"))
-      val eb = Tables.embeddings(s, d).select(col("vec_id").as("nid"), col("embedding").as("vb"))
-      val scored = cand.join(ea, "vid").join(eb, "nid")
-        .select(col("vid"),
-          VectorFunctions.cosineSim(s, "va", "vb").as("cos_sim"), col("nid"))
-      val agg = new graft.functions.TopKAggregator(5).toColumn
-      scored.as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3))
-        .agg(agg.name("top")
-          .asInstanceOf[org.apache.spark.sql.TypedColumn[(Double, Long), Seq[(Double, Long)]]])
-        .toDF("vid", "top")
-        .select(col("vid"), posexplode(col("top")))
-        .select(col("vid"), (col("pos") + 1).cast("long").as("rk"),
-          col("col._2").as("nid"), round(col("col._1"), 6).as("cos_sim"))
+    // reduced per node with the bounded-heap TopKAggregator. The
+    // graph is a WRITE-ONCE LAYOUT (knnGraphLayout): reads re-attach
+    // to the written parquet — the LSH build cost is paid once per
+    // corpus, not per consumer. Rows-only (LSH-approximate);
+    // KnnGraphSpec pins recall vs the brute-force graph,
+    // PersistenceSpec pins re-attach-not-rebuild.
+    "q_sim_knn_graph" -> ((s, d) =>
+      knnGraphLayout(s, d).orderBy(col("vid"), col("rk"))),
+
+    // INCREMENTAL KNN-graph maintenance — the q_sim_ivf_append twin
+    // for the graph layout: a delta batch of arriving vectors probes
+    // the base corpus's banded LSH index (knnDeltaCandidates: the
+    // delta is the flip side, the corpus never self-joins again) and
+    // reduces to per-vector top-5 with the same heap — the rows the
+    // written graph gains on ingest. The AUDIT column certifies the
+    // incremental path against the batch path: the delta fixture's
+    // ids already sit in the written graph, and XOR flip symmetry
+    // makes the delta candidate set provably equal to the self-join's
+    // for those ids, so every appended row must match the graph's row
+    // at the same (vid, rk) — `agrees` is the per-run witness of that
+    // identity (a real deployment appends NEW ids; the audit form is
+    // what makes the equality testable). Only thin (id, band, sig)
+    // and (id, rk, nid, score) rows move. Rows-only; KnnAppendSpec
+    // pins agrees ≡ true and row-count parity with the graph.
+    "q_sim_knn_append" -> ((s, d) => {
+      val g = knnGraphLayout(s, d)
+      val delta = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id"), col("embedding"))
+      val inc = knnTop5(s, d,
+        knnDeltaCandidates(s, d, delta).select(col("pid").as("vid"), col("nid")))
+      inc.join(g.select(col("vid"), col("rk"), col("nid").as("g_nid"),
+          col("cos_sim").as("g_cos")), Seq("vid", "rk"), "left")
+        .select(col("vid"), col("rk"), col("nid"), col("cos_sim"),
+          (col("nid") === col("g_nid") &&
+            col("cos_sim") === col("g_cos")).as("agrees"))
         .orderBy(col("vid"), col("rk"))
     }),
 

@@ -25,7 +25,8 @@ class EntrySpec extends AnyFunSuite {
       "q_stream_stream_left", "q_sim_knn_graph",
       "q_heavy_hitters", "q_stream_gap_timers",
       "q_profile_table_approx", "q_dedup_semantic",
-      "q_sim_ivf_append", "q_compact_files", "q_layout_vacuum",
+      "q_sim_ivf_append", "q_sim_knn_append", "q_compact_files",
+      "q_layout_vacuum",
       "q_sim_ann_ivf_pq", "q_sim_ann_ivf2", "q_hll_partial_union",
       "q_decontaminate_fuzzy", "q_bpe_merges", "q_bpe_encode",
       "q_graph_pagerank", "q_media_phash_dedup", "q_media_scene_cut",

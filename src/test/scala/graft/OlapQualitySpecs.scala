@@ -704,6 +704,26 @@ class LinkpredSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("witness cap bounds the skewed-hub wedge join; closed form matches the join") {
+    import graft.operators.Graph
+    // 4000 nodes → hub degree 2n/9 ≈ 888, far past the 64 cap
+    val skew = Graph.skewedAdj(spark, 4000L).localCheckpoint()
+    val cap = Graph.LinkpredWitnessCap
+    val capped = Graph.wedgeCandidates(skew, cap).count()
+    val uncapped = Graph.wedgeCandidateCount(skew, 0)
+    // the closed form Σ C(min(deg, cap), 2) counts exactly what the
+    // capped join materializes — certifying the uncapped closed form
+    // the ScaleProbe reports without materializing a quadratic set
+    assert(capped == Graph.wedgeCandidateCount(skew, cap),
+      s"closed form ${Graph.wedgeCandidateCount(skew, cap)} != join $capped")
+    // and the cap actually bites: the hub's C(888,2) ≈ 394k collapses
+    // to C(64,2) = 2016, an order-of-magnitude cut on this graph
+    assert(capped * 10 < uncapped, s"capped=$capped uncapped=$uncapped")
+    // every witness emits at most C(cap, 2) candidate rows
+    val nWitnesses = skew.select(col("v")).distinct().count()
+    assert(capped <= nWitnesses * (cap.toLong * (cap - 1) / 2))
+  }
 }
 
 class QuantEvalSpec extends SparkSpec {

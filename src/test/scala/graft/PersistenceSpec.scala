@@ -208,3 +208,27 @@ class Round11PersistenceSpec extends SparkSpec {
       }
   }
 }
+
+/** Round-12 layout: the KNN similarity graph. */
+class Round12PersistenceSpec extends SparkSpec {
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  test("knn graph layout re-attaches; graph reads and appends never rebuild") {
+    run("q_sim_knn_graph").collect()
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"knn_graph_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    // a graph re-read AND the incremental append both consult only the
+    // written files — neither triggers a rebuild
+    run("q_sim_knn_graph").collect()
+    run("q_sim_knn_append").collect()
+    assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+      "knn_graph rebuilt")
+  }
+}

@@ -832,6 +832,24 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cross-modal audit flags exactly the re-fingerprinted pairs") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // a %13 pair stays consistent only if its text is a palindrome
+    // (reverse == identity) — replay that rule exactly
+    val expectBad = docs.collect {
+      case (id, t) if id % 13 == 0 && t.reverse != t => id
+    }.toSet
+    val rows = run("q_crossmodal_join").collect()
+    assert(rows.length == docs.length)
+    val gotBad = rows.collect {
+      case r if !r.getBoolean(3) => r.getLong(0)
+    }.toSet
+    assert(gotBad == expectBad, s"got $gotBad expect $expectBad")
+    assert(gotBad.nonEmpty)
+  }
+
   test("composed media pipeline attrition replays from the raw bytes") {
     import media.Multimodal
     val docs = Tables.documents(spark, sf)
@@ -2157,5 +2175,30 @@ class TrendOlsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - corr) < 1e-8, s"$t corr $r vs $corr")
       assert(math.abs(r.getDouble(3)) <= 1.0)
     }
+  }
+}
+
+/** Incremental KNN-graph append: the delta path must reproduce the
+  * batch path row-for-row (XOR flip symmetry makes the candidate sets
+  * provably equal; this pins the whole pipeline end-to-end).
+  */
+class KnnAppendSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("appended rows agree with the written graph at every (vid, rk)") {
+    val rows = run("q_sim_knn_append").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)),
+      rows.filterNot(_.getBoolean(4)).take(3).mkString(";"))
+    // row-count parity: the append emits exactly the graph's rows for
+    // the delta ids — nothing missing, nothing extra
+    val deltaIds = rows.map(_.getLong(0)).toSet
+    val graphRows = run("q_sim_knn_graph").collect()
+      .count(r => deltaIds.contains(r.getLong(0)))
+    assert(rows.length == graphRows, s"${rows.length} vs $graphRows")
+    // and the delta fixture is the % 17 batch, all of it surfaced
+    val expected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 3).collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(expected))
   }
 }

@@ -794,6 +794,24 @@ class Round12PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     run(name).queryExecution.explainString(SimpleMode)
 
+  test("cross-modal join carries fingerprints, never blobs, through the exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val p = run("q_crossmodal_join").queryExecution.optimizedPlan
+    val joins = p.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // both join inputs are (pair_id, 16-byte md5, length) — the image
+    // content and the caption text are consumed by md5 projections
+    // BELOW the join, so no blob enters the exchange in either
+    // direction
+    joins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(a =>
+          a.name.contains("content") || a.name == "text"),
+          j.nodeName + " consumes: " + c.output.map(_.name).mkString(","))
+      }
+    }
+  }
+
   test("media pipeline: payload bytes never cross a shuffle boundary") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Join, Sort, Window => LWindow}

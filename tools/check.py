@@ -37,7 +37,8 @@ ROWS_ONLY = {
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_rollhash",
     "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
     "q_stream_stream_full",
-    "q_sim_knn_graph", "q_heavy_hitters", "q_stream_gap_timers",
+    "q_sim_knn_graph", "q_sim_knn_append", "q_heavy_hitters",
+    "q_stream_gap_timers",
     "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
     "q_compact_files", "q_sim_ann_ivf_pq", "q_layout_vacuum",
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
