@@ -22,6 +22,10 @@ import org.apache.spark.sql.SparkSession
   *    two agree, inter-run differences are machine drift.
   *  - SPARK_GRAFT_BENCH_FILTER comma-separated name prefixes; only
   *    matching queries run (local iteration on one family).
+  *  - SPARK_GRAFT_BENCH_SET    path to a file of exact query names
+  *    (one per line); only those run. Used for the era-subset drift
+  *    studies (e.g. re-running a previous round's exact query set on
+  *    current code to separate new-head cost from ambient drift).
   */
 object Bench {
 
@@ -55,8 +59,16 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Seq(""))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
 
+    val nameSet: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_SET").map { p =>
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally src.close()
+      }
+
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.exists(n.startsWith) }
+      .filter { case (n, _) =>
+        filter.exists(n.startsWith) && nameSet.forall(_.contains(n)) }
 
     // Warmup set: one representative per query family, materializing
     // JIT/whole-stage-codegen compilation, file-listing caches, scan

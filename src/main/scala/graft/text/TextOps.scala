@@ -375,6 +375,86 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet PERPLEXITY BUCKETS (head/middle/tail) — the language-model
+    // quality terciles CCNet/LLaMA-style pipelines split each language
+    // into before sampling (head = most LM-fluent third). The fluency
+    // stand-in is the bigram common-ratio in integer per-mille (the
+    // q_lm_bigram_score signal — a KenLM would slot in at the same
+    // column). Bucketing is THRESHOLD-based, not ntile: per-language
+    // tercile cutoffs derive from the bounded (lang, score_pm) count
+    // table (≤ 1001 distinct scores per language — the cumulative
+    // window runs over THAT, never over documents, so no per-language
+    // document sort exists at any scale; the q_quantile_bucket
+    // lesson), cutoffs broadcast back, and tied scores land in the
+    // same bucket in both engines by construction. Cutoffs cumulate
+    // from the TOP (most fluent first) so tie mass at a boundary
+    // lands in the BETTER bucket — the corpus's mode sits at the top
+    // score, and bottom-up cumulation would label the entire fluent
+    // mode "tail". Fully oracled.
+    "q_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+            .stripMargin)).as("bg"))
+      val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      val score = bigrams.join(freq, "bg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000" +
+          " div count(1)").as("score_pm"))
+      val hist = score.groupBy(col("lang"), col("score_pm"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("score_pm").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(max(when(col("cum") * 3 >= col("tot"), col("score_pm")))
+            .as("h1"),
+          max(when(col("cum") * 3 >= col("tot") * 2, col("score_pm")))
+            .as("h2"))
+      score.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("score_pm"),
+          when(col("score_pm") >= col("h1"), "head")
+            .when(col("score_pm") >= col("h2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-GRAM NOVELTY — the memorization-risk / informativeness signal
+    // (Lee et al. 2022 tie duplicated spans to verbatim memorization;
+    // novelty is that measure's per-document complement): the share
+    // of a document's 8-token windows that appear in NO other
+    // document. Windows travel as 16-byte md5 digests (never the
+    // window text — the span-dedup exchange discipline, and the
+    // reason the oracle mirrors exactly); per-gram distinct-doc
+    // counts are one map-combined aggregate, novelty is a thin
+    // semi-aggregate per doc, integer per-mille. Fully oracled.
+    "q_ngram_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("l"))
+        .filter(size(col("l")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(l) - 7),
+            |  i -> md5(cast(concat_ws(' ', slice(l, i, 8)) as binary)))"""
+            .stripMargin)).as("gh"))
+        .distinct()
+      val docsPerGram = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("n_docs"))
+      grams.join(docsPerGram, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 1000 div n_grams").as("novelty_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: redact email-like tokens and long digit runs with
     // sentinels, counting redactions per document. The corpus has no
     // digits, so deterministic synthetic PII (an email + a numeric ref
@@ -723,6 +803,55 @@ object TextOps {
         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_bigram_freq
         |FROM bg JOIN freq USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_perplexity_buckets" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+        |        FROM documents) t
+        |  WHERE len(l) >= 2),
+        |freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+        |score AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000
+        |      // count(*) AS BIGINT) AS score_pm
+        |  FROM bg JOIN freq USING (bg) GROUP BY doc_id, lang),
+        |hist AS (
+        |  SELECT lang, score_pm, count(*) AS n FROM score GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, score_pm,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY score_pm DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |    max(CASE WHEN cum * 3 >= tot THEN score_pm END) AS h1,
+        |    max(CASE WHEN cum * 3 >= tot * 2 THEN score_pm END) AS h2
+        |  FROM cum GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.score_pm,
+        |  CASE WHEN s.score_pm >= c.h1 THEN 'head'
+        |       WHEN s.score_pm >= c.h2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM score s JOIN cuts c USING (lang) ORDER BY s.doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(l) - 7),
+        |    i -> md5(array_to_string(l[i:i+7], ' ')))) AS gh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) t
+        |  WHERE len(l) >= 8),
+        |grams AS (SELECT DISTINCT doc_id, gh FROM g0),
+        |dpg AS (SELECT gh, count(*) AS n_docs FROM grams GROUP BY gh)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS novelty_pm
+        |FROM grams g JOIN dpg d USING (gh)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH vocab AS (
          |  SELECT token FROM (

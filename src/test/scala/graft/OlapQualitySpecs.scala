@@ -832,3 +832,68 @@ class RfmSpec extends SparkSpec {
     assert(q1max <= q4min)
   }
 }
+
+/** Round-12 text-quality additions. */
+class PerplexityBucketsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("tercile thresholds replay; ties share buckets; all three buckets fire") {
+    val rows = run("q_perplexity_buckets").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // replay the top-down threshold law per language from the scores
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val scores = rs.map(_._3)
+      val n = scores.length
+      def cut(mult: Int) = scores.distinct.sorted.reverse
+        .filter(s => scores.count(_ >= s) * 3 >= n * mult)
+        .headOption.getOrElse(Long.MinValue)
+      val (h1, h2) = (cut(1), cut(2))
+      rs.foreach { case (id, _, s, b) =>
+        val expect = if (s >= h1) "head" else if (s >= h2) "middle" else "tail"
+        assert(b == expect, s"$lang doc $id score $s: $b != $expect")
+      }
+    }
+    // equal scores never split across buckets
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, rs) =>
+      assert(rs.map(_._4).distinct.length == 1)
+    }
+    // head and tail always separate once any language has ≥2 distinct
+    // scores; middle exists only where h2 < h1 (the per-row replay
+    // above already certifies that case exactly, so it isn't forced
+    // here — at tiny SFs the top-heavy tie mass legitimately leaves
+    // middle empty)
+    assert(rows.map(_._4).toSet.contains("head"))
+    assert(rows.map(_._4).toSet.contains("tail"))
+  }
+}
+
+class NgramNoveltySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-doc novelty replays from raw 8-gram sets") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gramSets = docs.map { case (id, t) =>
+      val l = t.split(" ", -1)
+      id -> (if (l.length < 8) Set.empty[String]
+             else l.sliding(8).map(_.mkString(" ")).toSet)
+    }.toMap
+    val docCount = gramSets.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = gramSets.collect {
+      case (id, gs) if gs.nonEmpty =>
+        val novel = gs.count(g => docCount(g) == 1).toLong
+        id -> (gs.size.toLong, novel, novel * 1000 / gs.size)
+    }
+    val got = run("q_ngram_novelty").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected.toMap,
+      s"diff: ${(got.toSet -- expected.toSet).take(3)}")
+    // the corpus's deliberate exact duplicates force sub-1000 novelty
+    assert(got.values.exists(_._3 < 1000))
+    assert(got.values.exists(_._3 > 0))
+  }
+}
