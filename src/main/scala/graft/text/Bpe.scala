@@ -58,6 +58,46 @@ object Bpe {
     */
   val WpScanCap = 32
 
+  /** Unigram-LM (SentencePiece) knobs: candidate pieces are all
+    * substrings up to this length; the vocabulary keeps every single
+    * character (open vocabulary) plus the top-K multi-char pieces by
+    * occurrence mass, deterministic (mass desc, piece asc) cutoff.
+    */
+  val UniMaxPieceLen = 4
+  val UniVocabK = 512
+
+  /** Unigram candidate-piece table with occurrence mass: for every
+    * distinct word, every substring of length 1..UniMaxPieceLen at
+    * every position, weighted by the word's corpus frequency — the
+    * seed-vocabulary statistic of the unigram-LM tokenizer (Kudo
+    * 2018; the full EM re-weights these, but the frequency-seeded
+    * one-step model is deterministic and already separates fluent
+    * pieces). Kept set: all single chars + top-K multi-char;
+    * prob_ppm is integer per-mille-of-a-thousand over the KEPT mass.
+    * One vocabulary-bounded explode + map-combined aggregate — the
+    * corpus is touched only through wordFreq's one pass.
+    */
+  private[graft] def unigramPieces(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = wordFreq(s, d)
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(
+           |    sequence(i, least(length(w), i + ${UniMaxPieceLen - 1})),
+           |    j -> substring(w, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_occ"))
+    val kept = subs
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(length(col("piece")) === 1)
+        .orderBy(col("n_occ").desc, col("piece"))))
+      .filter(length(col("piece")) === 1 || col("rk") <= UniVocabK)
+      .select(col("piece"), col("n_occ"))
+    val tot = kept.agg(sum(col("n_occ")).as("tot_occ"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_occ"),
+        expr("n_occ * 1000000 div tot_occ").as("prob_ppm"))
+  }
+
   /** The one corpus-wide pass: whitespace word frequencies. */
   private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -246,8 +286,113 @@ object Bpe {
         .withColumn("fertility_cpm",
           expr("n_wp * 100 div n_words"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM (SentencePiece) VOCABULARY — the third member of the
+    // tokenizer trio (BPE replays merge history, WordPiece greedy-
+    // matches longest prefixes, unigram segments by LIKELIHOOD):
+    // candidate pieces are all substrings ≤ UniMaxPieceLen weighted
+    // by word frequency, kept = every single char (open vocabulary)
+    // + the top-K multi-char pieces, probabilities as integer ppm of
+    // the kept mass. Fully oracled (the statistic is one exploded
+    // aggregate — the EM that production SentencePiece runs on top
+    // re-weights exactly this table).
+    "q_unigram_train" -> ((s, d) =>
+      unigramPieces(s, d).orderBy(col("piece"))),
+
+    // Unigram-LM ENCODE: Viterbi maximum-likelihood segmentation of
+    // every DISTINCT WORD under the trained piece model — the DP runs
+    // as a bounded driver loop over word positions (the WordPiece
+    // checkpoint-barrier pattern; a nested fold would explode the
+    // Catalyst tree), with each step ONE thin join of the edge table
+    // (word, from, to, logp — every in-vocab substring occurrence)
+    // against the frontier scores and a struct-max reduce (ties →
+    // fewer pieces, deterministically). Vocabulary-bounded
+    // throughout; the corpus pass is the same gated-broadcast
+    // dictionary join + map-combined per-doc sums as BPE/WordPiece.
+    // Rows-only (log-likelihood doubles have no integer twin);
+    // UnigramSpec replays the exact Viterbi in plain Scala.
+    "q_unigram_encode" -> ((s, d) => {
+      val pieces = unigramPieces(s, d)
+        .select(col("piece"), col("n_occ")).localCheckpoint()
+      val tot = pieces.agg(sum(col("n_occ")).as("tot_occ"))
+      val lp = pieces.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          (log(col("n_occ")) - log(col("tot_occ"))).as("logp"))
+      val words = wordFreq(s, d)
+        .select(col("w"), length(col("w")).as("wc"))
+      val maxLenRow = words.agg(max(col("wc"))).collect()(0)
+      val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+      val steps = math.min(maxLen, WpScanCap)
+      val edges = words.select(col("w"),
+          explode(expr(
+            s"""flatten(transform(sequence(1, wc),
+               |  i -> transform(
+               |    sequence(1, least($UniMaxPieceLen, wc - i + 1)),
+               |    l -> struct(i AS i, i + l AS j,
+               |      substring(w, i, l) AS piece))))""".stripMargin)).as("e"))
+        .select(col("w"), col("e.i").as("i"), col("e.j").as("j"),
+          col("e.piece").as("piece"))
+        .join(lp, "piece")
+        .select(col("w"), col("i"), col("j"), col("logp"))
+        .localCheckpoint()
+      var best = words.select(col("w"), lit(1).as("pos"),
+        lit(0.0).as("sc"), lit(0L).as("np"))
+      for (j <- 2 to steps + 1) {
+        val stepBest = edges.filter(col("j") === j)
+          .join(best.select(col("w"), col("pos").as("i"), col("sc"),
+            col("np")), Seq("w", "i"))
+          .groupBy(col("w"))
+          .agg(max(struct((col("sc") + col("logp")).as("sc"),
+            (-(col("np") + 1L)).as("negnp"))).as("b"))
+          .select(col("w"), lit(j).as("pos"),
+            col("b.sc").as("sc"), (-col("b.negnp")).as("np"))
+        best = best.unionByName(stepBest).localCheckpoint()
+      }
+      val vocab = best.join(words, "w")
+        .filter(col("pos") === col("wc") + 1)
+        .select(col("w"), col("wc").cast("long").as("wcl"), col("np"))
+      val vocabRows = vocab.count()
+      val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(dict, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("wcl")).as("n_chars"),
+          sum(col("np")).as("n_pieces"))
+        .withColumn("fertility_cpm",
+          expr("n_pieces * 100 div n_words"))
+        .orderBy(col("doc_id"))
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q_unigram_train" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE strlen(w) > 0 GROUP BY w),
+         |subs AS (
+         |  SELECT cnt, unnest(flatten(list_transform(
+         |    generate_series(1, strlen(w)),
+         |    i -> list_transform(
+         |      generate_series(i, least(strlen(w), i + ${UniMaxPieceLen - 1})),
+         |      j -> substr(w, i, j - i + 1))))) AS piece
+         |  FROM wf),
+         |agg AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_occ
+         |  FROM subs GROUP BY piece),
+         |kept AS (
+         |  SELECT piece, n_occ FROM (
+         |    SELECT piece, n_occ, row_number() OVER (
+         |      PARTITION BY strlen(piece) = 1
+         |      ORDER BY n_occ DESC, piece) AS rk
+         |    FROM agg) r
+         |  WHERE strlen(piece) = 1 OR rk <= $UniVocabK),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot_occ FROM kept)
+         |SELECT piece, n_occ,
+         |  CAST(n_occ * 1000000 // tot_occ AS BIGINT) AS prob_ppm
+         |FROM kept, tot ORDER BY piece""".stripMargin)
 }

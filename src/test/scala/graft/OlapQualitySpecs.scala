@@ -897,3 +897,77 @@ class NgramNoveltySpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0))
   }
 }
+
+/** Unigram-LM tokenizer: vocabulary statistic + exact Viterbi replay. */
+class UnigramSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def corpusWords: Seq[String] = Tables.documents(spark, sf)
+    .select(col("text")).collect()
+    .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty).toSeq
+
+  test("q_unigram_train keeps every single char + top-K multi-char by mass") {
+    val got = run("q_unigram_train").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val words = corpusWords
+    // replay the occurrence mass from raw text
+    val mass = words.flatMap { w =>
+      for (i <- 0 until w.length;
+           l <- 1 to math.min(graft.text.Bpe.UniMaxPieceLen, w.length - i))
+      yield w.substring(i, i + l)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val singles = mass.keys.filter(_.length == 1).toSet
+    assert(singles.subsetOf(got.keySet), "missing single chars")
+    val multiKept = got.keys.filter(_.length > 1).toSet
+    assert(multiKept.size <= graft.text.Bpe.UniVocabK)
+    val expectMulti = mass.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, m) => (-m, p) }
+      .take(graft.text.Bpe.UniVocabK).map(_._1).toSet
+    assert(multiKept == expectMulti)
+    got.foreach { case (p, (occ, _)) => assert(occ == mass(p), p) }
+    // ppm masses sum to ~1e6 (floor rounding loses < |kept| ppm)
+    val ppmSum = got.values.map(_._2).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - got.size)
+  }
+
+  test("q_unigram_encode replays the exact Viterbi segmentation") {
+    val pieces = run("q_unigram_train").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = pieces.values.sum
+    def logp(p: String) = math.log(pieces(p).toDouble) - math.log(tot.toDouble)
+    def viterbi(w: String): Long = {
+      // best(pos) = (score, negPieces), positions 1..len+1, 1-based
+      val best = Array.fill(w.length + 2)((Double.NegativeInfinity, 0L))
+      best(1) = (0.0, 0L)
+      for (j <- 2 to w.length + 1) {
+        val cands = for {
+          i <- math.max(1, j - graft.text.Bpe.UniMaxPieceLen) until j
+          p = w.substring(i - 1, j - 1) if pieces.contains(p)
+          if best(i)._1 > Double.NegativeInfinity
+        } yield (best(i)._1 + logp(p), -(best(i)._2 + 1L))
+        if (cands.nonEmpty)
+          best(j) = {
+            val m = cands.max
+            (m._1, -m._2)
+          }
+      }
+      best(w.length + 1)._2
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else Some(id -> (ws.length.toLong,
+        ws.map(_.length.toLong).sum, ws.map(viterbi).sum))
+    }.toMap
+    val got = run("q_unigram_encode").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"diff ${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
+    // segmentation is genuinely sub-character-count (multi-char pieces used)
+    assert(got.values.exists { case (_, nc, np) => np < nc })
+  }
+}
