@@ -70,6 +70,12 @@ object Similarity {
     */
   val QueryBatch = 8L
 
+  /** q_diversity_sample budget: total picks spread across IVF cells
+    * by √-allocation (floored at one per cell, so the effective
+    * total can exceed it by at most the cell count).
+    */
+  val DiversityBudget = 64L
+
   /** q_sim_range_search radius: cosine ≥ 0.25 ≈ 2σ of the random-
     * corpus background (64-dim ⇒ σ = 1/8), so each query returns a
     * small but non-empty neighbor set at every SF. Compared on the
@@ -930,6 +936,45 @@ object Similarity {
             "transform(plane_project(embedding, 16), x -> round(x, 6))"))
             .as(Seq("pos", "val")))
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // SEMANTIC-DIVERSITY sampling — cluster-stratified selection over
+    // the written IVF layout: the post-SemDeDup "sample diversely
+    // from embedding clusters" step (a uniform corpus sample
+    // reproduces the data's redundancy; sampling across LEARNED
+    // clusters flattens it). A fixed budget spreads across cells by
+    // SQUARE-ROOT allocation (√|cell| — between proportional, which
+    // re-inherits the skew, and uniform, which over-weights noise
+    // cells), floored at one pick per cell so every cluster is
+    // represented; within a cell the picks are the deterministic
+    // content-hash ranking (xxhash64 asc, vec_id tiebreak — the
+    // q_stratified_sample discipline over learned strata instead of
+    // metadata strata). Shape: the layout's thin (vec_id, cell) rows
+    // are the only input; allocation derives from the bounded
+    // per-cell count table broadcast back; the rank window partitions
+    // by cell (~128 members at ANY scale — the adaptive-k occupancy
+    // law — so no window partition ever grows). Rows-only (k-means
+    // lineage); DiversitySampleSpec replays the allocation law and
+    // pins the per-cell picks to the hash ranking.
+    "q_diversity_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = ivfIndex(s, d).select(col("vec_id"), col("cell"))
+      val sizes = idx.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+        .withColumn("sq_u",
+          floor(sqrt(col("n_c").cast("double")) * 1000000).cast("long"))
+      val tot = sizes.agg(sum(col("sq_u")).as("sq_tot"))
+      val alloc = sizes.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_c"),
+          greatest(lit(1L),
+            expr(s"$DiversityBudget * sq_u div sq_tot")).as("a_c"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      idx.withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), "cell")
+        .filter(col("rk") <= col("a_c"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rk"), col("a_c"))
+        .orderBy(col("vec_id"))
     }),
 
     // Incremental IVF maintenance: a delta batch of arriving vectors

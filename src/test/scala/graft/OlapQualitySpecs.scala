@@ -971,3 +971,41 @@ class UnigramSpec extends SparkSpec {
     assert(got.values.exists { case (_, nc, np) => np < nc })
   }
 }
+
+/** Cluster-stratified diversity sampling over the IVF layout. */
+class DiversitySampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  test("sqrt allocation replays; picks are the per-cell hash ranking; every cell covered") {
+    val rows = run("q_diversity_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val idx = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val sizes = idx.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // allocation law: a_c = max(1, B*floor(sqrt(n)*1e6) / sum)
+    val squ = sizes.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1000000).toLong).toMap
+    val sqTot = squ.values.sum
+    val expAlloc = squ.map { case (c, u) =>
+      c -> math.max(1L, sim.Similarity.DiversityBudget * u / sqTot) }
+    rows.foreach { case (_, c, _, a) => assert(a == expAlloc(c), s"cell $c") }
+    // per-cell selected count = min(a_c, n_c), and every cell appears
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    sizes.foreach { case (c, n) =>
+      assert(perCell.getOrElse(c, 0L) == math.min(expAlloc(c), n), s"cell $c")
+    }
+    // picks are exactly the xxhash64-rank head of each cell (computed
+    // through the same Spark expression the operator uses)
+    val ranked = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val expPicks = ranked.filter { case (_, c, rk) => rk <= expAlloc(c) }
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == expPicks)
+  }
+}
