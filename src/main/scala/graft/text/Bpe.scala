@@ -86,12 +86,16 @@ object Bpe {
            |    sequence(i, least(length(w), i + ${UniMaxPieceLen - 1})),
            |    j -> substring(w, i, j - i + 1))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("n_occ"))
+    // localCheckpoint: the kept table (≤ |alphabet| + K rows) feeds
+    // both the total-mass aggregate and the ppm projection — without
+    // the barrier the corpus-wide substring explode would run twice
     val kept = subs
       .withColumn("rk", row_number().over(Window
         .partitionBy(length(col("piece")) === 1)
         .orderBy(col("n_occ").desc, col("piece"))))
       .filter(length(col("piece")) === 1 || col("rk") <= UniVocabK)
       .select(col("piece"), col("n_occ"))
+      .localCheckpoint()
     val tot = kept.agg(sum(col("n_occ")).as("tot_occ"))
     kept.crossJoin(broadcast(tot))
       .select(col("piece"), col("n_occ"),
@@ -319,8 +323,12 @@ object Bpe {
       val lp = pieces.crossJoin(broadcast(tot))
         .select(col("piece"),
           (log(col("n_occ")) - log(col("tot_occ"))).as("logp"))
+      // localCheckpoint: the distinct-word table feeds the edge
+      // explode, the DP frontier seed, the max-length scalar, and the
+      // final length join — four consumers, one corpus pass
       val words = wordFreq(s, d)
         .select(col("w"), length(col("w")).as("wc"))
+        .localCheckpoint()
       val maxLenRow = words.agg(max(col("wc"))).collect()(0)
       val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
       val steps = math.min(maxLen, WpScanCap)

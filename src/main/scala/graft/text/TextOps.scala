@@ -401,10 +401,15 @@ object TextOps {
             |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
             .stripMargin)).as("bg"))
       val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      // localCheckpoint: the thin (doc_id, lang, score_pm) table feeds
+      // BOTH the cutoff derivation and the final bucketing join —
+      // without the barrier Catalyst replays the corpus-wide bigram
+      // aggregate once per consumer (the q_market_basket lesson)
       val score = bigrams.join(freq, "bg")
         .groupBy(col("doc_id"), col("lang"))
         .agg(expr("sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000" +
           " div count(1)").as("score_pm"))
+        .localCheckpoint()
       val hist = score.groupBy(col("lang"), col("score_pm"))
         .agg(count(lit(1)).as("n"))
       val wCum = Window.partitionBy(col("lang"))
@@ -444,6 +449,11 @@ object TextOps {
             |  i -> md5(cast(concat_ws(' ', slice(l, i, 8)) as binary)))"""
             .stripMargin)).as("gh"))
         .distinct()
+        // localCheckpoint: the distinct (doc_id, gh) table feeds both
+        // the per-gram doc counts and the per-doc join — without the
+        // barrier the distinct SHUFFLE (the query's heaviest exchange)
+        // would run twice
+        .localCheckpoint()
       val docsPerGram = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("n_docs"))
       grams.join(docsPerGram, "gh")

@@ -812,6 +812,44 @@ class Round12PlanSpec extends SparkSpec {
     }
   }
 
+  test("perplexity buckets read the checkpointed score table; cutoffs broadcast") {
+    val p = plan("q_perplexity_buckets")
+    // the corpus-wide bigram aggregate runs ONCE (at checkpoint time):
+    // both the cutoff branch and the bucketing join read the
+    // materialized thin score table, and the per-language cutoffs
+    // broadcast back
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("BroadcastHashJoin [lang"), p)
+    // the only windows run over the bounded (lang, score) histogram,
+    // never over per-document rows
+    assert(!p.contains("windowspecdefinition(lang#") ||
+      p.contains("score_pm"), p)
+  }
+
+  test("ngram novelty runs its distinct shuffle once; gram counts broadcast") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("BroadcastHashJoin [gh"), p)
+  }
+
+  test("unigram train explodes the vocabulary once; total mass folds in broadcast") {
+    val p = plan("q_unigram_train")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("diversity sample reads only thin (vec_id, cell) from the layout; alloc broadcasts") {
+    val p = plan("q_diversity_sample")
+    // embeddings are never read — the layout scan prunes to ids
+    val scans = p.linesIterator.filter(_.contains("FileScan")).mkString
+    assert(!scans.contains("embedding"), scans)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("media pipeline: payload bytes never cross a shuffle boundary") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Join, Sort, Window => LWindow}
