@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape inspection helper: prints the physical plan of each
+  * named query at sf0.001 — the iterate-on-.explain loop behind every
+  * PlanSpec pin (`runMain graft.PlanDump q_foo q_bar`). Dev tool only;
+  * not part of the driver contract.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -431,6 +431,48 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // COLLOCATION mining — top bigram phrases by LIFT over
+    // independence (observed/expected ratio, the rational PMI twin —
+    // the word2phrase / "New York" detector every tokenizer-prep and
+    // phrase-vocabulary pass runs): lift = n_ab·N / (n_a·n_b), in
+    // integer cpm with the big products in DECIMAL(38,0) so the
+    // arithmetic never wraps at corpus scale (N ~ 1e13 tokens at
+    // 100 TB; a BIGINT product would overflow). Min support 5 kills
+    // the noise tail; top-50 via TakeOrderedAndProject. Shape: two
+    // map-combined aggregates (unigram + adjacent-bigram counts); the
+    // vocabulary-bounded unigram table is checkpointed once and joins
+    // back under the measured-size broadcast gate (the Bpe rule); N
+    // folds in as a broadcast 1-row aggregate. Fully oracled.
+    "q_collocations" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(toks(col("text")).as("l"))
+      val uni = tok.select(explode(col("l")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        .localCheckpoint()
+      val ntot = uni.agg(sum(col("n_w")).as("n_tok"))
+      val bg = tok.filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> struct(element_at(l, i) AS w1,
+            |              element_at(l, i + 1) AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val vocabRows = uni.count()
+      def dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(uni) else uni
+      bg.join(dict.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+        .join(dict.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+        .crossJoin(broadcast(ntot))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("""CAST(n_ab AS DECIMAL(38,0)) * n_tok * 100
+                 | div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin)
+            .as("lift_cpm"))
+        .orderBy(col("lift_cpm").desc, col("n_ab").desc,
+          col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // N-GRAM NOVELTY — the memorization-risk / informativeness signal
     // (Lee et al. 2022 tie duplicated spans to verbatim memorization;
     // novelty is that measure's per-document complement): the share
@@ -813,6 +855,27 @@ object TextOps {
         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_bigram_freq
         |FROM bg JOIN freq USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS l FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+        |    SELECT unnest(l) AS w FROM tok) t GROUP BY w),
+        |ntot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tok FROM uni),
+        |bg AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM tok, unnest(generate_series(1, len(l) - 1)) AS g(i)
+        |  WHERE len(l) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+        |  CAST(CAST(b.n_ab AS HUGEINT) * n.n_tok * 100
+        |    // (CAST(ua.n_w AS HUGEINT) * ub.n_w) AS BIGINT) AS lift_cpm
+        |FROM bg b
+        |JOIN uni ua ON b.w1 = ua.w
+        |JOIN uni ub ON b.w2 = ub.w
+        |CROSS JOIN ntot n
+        |ORDER BY lift_cpm DESC, n_ab DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_perplexity_buckets" ->
       """WITH bg AS (
         |  SELECT doc_id, lang, unnest(list_transform(

@@ -1009,3 +1009,35 @@ class DiversitySampleSpec extends SparkSpec {
     assert(rows.map(t => (t._1, t._2, t._3)).toSet == expPicks)
   }
 }
+
+/** Collocation mining: exact BigInt lift replay of the top-50. */
+class CollocationsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("top-50 bigrams by lift replay exactly from raw text") {
+    val texts = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val uni = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum
+    val bg = texts.map(_.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(l => l.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5)
+    val scored = bg.toSeq.map { case ((a, b), nab) =>
+      val lift = (BigInt(nab) * nTok * 100 /
+        (BigInt(uni(a)) * uni(b))).toLong
+      (a, b, nab, uni(a), uni(b), lift)
+    }
+    val expect = scored
+      .sortBy(t => (-t._6, -t._3, t._1, t._2)).take(50)
+    val got = run("q_collocations").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty)
+    // the detector actually detects: the head's lift beats independence
+    assert(got.head._6 > 100L)
+  }
+}
