@@ -938,6 +938,48 @@ object Similarity {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // BITEXT MINING by the margin criterion (Artetxe & Schwenk 2019;
+    // the CCMatrix/LASER parallel-corpus pairing rule): for each
+    // source-language vector, its best target-language match is
+    // accepted only when it beats the SECOND-best by a margin —
+    // absolute cosine thresholds fail because hubness inflates some
+    // vectors' similarity to everything; the margin competition
+    // cancels the hub effect. Labels stand in for languages (0 =
+    // source, 1 = target). Shape: the bounded source batch broadcasts
+    // (the QueryBatch rule — a full-corpus mining run feeds the LSH
+    // candidate path instead, exactly like q_sim_topk vs
+    // q_sim_ann_lsh); ranking reuses the filtered-topk machinery;
+    // best/second pivot via struct-max. The margin is computed from
+    // the ROUNDED cosines so the accept decision compares identical
+    // doubles in both engines. Fully oracled.
+    "q_bitext_mine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val src = e.filter(col("label") === 0 && col("vec_id") < 80)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tgt = e.filter(col("label") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("tv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("nid"))
+      tgt.crossJoin(broadcast(src))
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosineSim(s, "qv", "tv").as("cs"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy(col("qid"))
+        .agg(max(when(col("rk") === 1,
+            struct(col("cs"), col("nid")))).as("b1"),
+          max(when(col("rk") === 2, col("cs"))).as("cs2"))
+        .select(col("qid"), col("b1.nid").as("nid"),
+          round(col("b1.cs"), 6).as("cos_best"),
+          round(col("cs2"), 6).as("cos_second"))
+        .withColumn("margin",
+          round(col("cos_best") - col("cos_second"), 6))
+        .withColumn("accept", col("margin") > 0.01)
+        .orderBy(col("qid"))
+    }),
+
     // SEMANTIC-DIVERSITY sampling — cluster-stratified selection over
     // the written IVF layout: the post-SemDeDup "sample diversely
     // from embedding clusters" step (a uniform corpus sample
@@ -1008,6 +1050,29 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitext_mine" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cs
+        |  FROM embeddings q JOIN embeddings e ON e.label = 1
+        |  WHERE q.label = 0 AND q.vec_id < 80),
+        |rk AS (
+        |  SELECT qid, nid, cs, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, nid) AS rk
+        |  FROM pairs),
+        |top AS (
+        |  SELECT qid,
+        |    CAST(max(CASE WHEN rk = 1 THEN nid END) AS BIGINT) AS nid,
+        |    max(CASE WHEN rk = 1 THEN round(cs, 6) END) AS cos_best,
+        |    max(CASE WHEN rk = 2 THEN round(cs, 6) END) AS cos_second
+        |  FROM rk WHERE rk <= 2 GROUP BY qid)
+        |SELECT qid, nid, cos_best, cos_second,
+        |  round(cos_best - cos_second, 6) AS margin,
+        |  round(cos_best - cos_second, 6) > 0.01 AS accept
+        |FROM top ORDER BY qid""".stripMargin,
     "q_sim_filtered_topk" ->
       s"""SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
          |  SELECT qid, nid, cos_sim,

@@ -1041,3 +1041,40 @@ class CollocationsSpec extends SparkSpec {
     assert(got.head._6 > 100L)
   }
 }
+
+/** Bitext margin mining: exact brute-force replay. */
+class BitextMineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("best/second/margin/accept replay from raw cosines") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val src = vecs.filter(v => v._3 == 0 && v._1 < 80)
+    val tgt = vecs.filter(_._3 == 1)
+    val expected = src.map { case (qid, qv, _) =>
+      val ranked = tgt.map { case (nid, tv, _) => (nid, cos(qv, tv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+      val (n1, c1) = ranked(0)
+      val c2 = r6(ranked(1)._2)
+      val m = r6(r6(c1) - c2)
+      qid -> (n1, r6(c1), c2, m, m > 0.01)
+    }.toMap
+    val got = run("q_bitext_mine").collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got == expected,
+      s"diff ${(got.toSet -- expected.toSet).take(2)} vs ${(expected.toSet -- got.toSet).take(2)}")
+    assert(got.nonEmpty)
+  }
+}
