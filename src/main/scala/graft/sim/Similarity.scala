@@ -938,6 +938,40 @@ object Similarity {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // IVF INDEX-HEALTH monitor — the quantization-error / balance
+    // report a production vector store runs to decide WHEN to refit
+    // the quantizer (the refit q_sim_ivf_append deliberately never
+    // does): per cell, member count and mean/max squared distance to
+    // the cell's derived centroid, plus the global row — drifting
+    // ingest shows up as rising residuals and cell imbalance long
+    // before recall collapses. Shape: one pass over the written
+    // cell-partitioned index, centroids broadcast (k rows), d2 in the
+    // same zip_with fold as the append's argmin, one bounded
+    // (≤ k+1 rows) aggregate. Rows-only (k-means lineage); spec
+    // replays the residuals from the two written layouts.
+    "q_ivf_health" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+      val cents = ivfCentroids(s, d)
+      val d2 = idx.join(broadcast(cents), "cell")
+        .select(col("cell").cast("long").as("cell"), expr(
+          """aggregate(zip_with(embedding, centroid,
+            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+          .as("d2"))
+        .localCheckpoint()
+      val perCell = d2.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vec"),
+          round(avg(col("d2")), 6).as("mean_d2"),
+          round(max(col("d2")), 6).as("max_d2"))
+      val overall = d2
+        .agg(count(lit(1)).as("n_vec"),
+          round(avg(col("d2")), 6).as("mean_d2"),
+          round(max(col("d2")), 6).as("max_d2"))
+        .select(lit(-1L).as("cell"), col("n_vec"), col("mean_d2"),
+          col("max_d2"))
+      perCell.unionByName(overall).orderBy(col("cell"))
+    }),
+
     // BITEXT MINING by the margin criterion (Artetxe & Schwenk 2019;
     // the CCMatrix/LASER parallel-corpus pairing rule): for each
     // source-language vector, its best target-language match is

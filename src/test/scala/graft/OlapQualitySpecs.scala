@@ -1078,3 +1078,42 @@ class BitextMineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 }
+
+/** IVF index-health monitor: residuals replay from the written layouts. */
+class IvfHealthSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-cell quantization residuals replay; global row aggregates all") {
+    val idx = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = sim.Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) {
+        val dd = v(i).toDouble - c(i); s += dd * dd; i += 1
+      }
+      s
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val res = idx.map { case (v, c) => (c.toLong, d2(v, cents(c))) }
+    val expected = res.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.length.toLong, r6(rs.map(_._2).sum / rs.length),
+        r6(rs.map(_._2).max))
+    } + (-1L -> (res.length.toLong, r6(res.map(_._2).sum / res.length),
+      r6(res.map(_._2).max)))
+    val got = run("q_ivf_health").collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // counts exact; means/maxes to 1e-9 (fold order of the mean)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (c, (n, m, mx)) =>
+      val (en, em, emx) = expected(c)
+      assert(n == en, s"cell $c")
+      assert(math.abs(m - em) < 1e-9 && math.abs(mx - emx) < 1e-9, s"cell $c")
+    }
+    // residuals are positive (random corpus never sits on a centroid)
+    assert(got(-1L)._2 > 0)
+  }
+}
