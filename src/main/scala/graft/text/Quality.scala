@@ -178,6 +178,53 @@ object Quality {
     // sum is a thin doc_id aggregate. Nothing after the token agg
     // scales with corpus size; at 100 TB the vocab table is the same
     // written artifact the coverage/topk operators share.
+    // CORPUS DATASHEET — the one-page dataset documentation card
+    // ("Datasheets for Datasets", Gebru et al. 2021) a training-data
+    // release ships: document and token counts, exact duplicate
+    // burden (docs carrying a non-unique payload fingerprint),
+    // Gopher-rule keep rate, and language/source concentration as
+    // integer-ppm Simpson indices (the rational entropy twin — the
+    // library's no-libm diversity measure, q_doc_diversity's
+    // corpus-level sibling). Every row composes an already-oracled
+    // standalone measurement, so the card itself is FULLY ORACLED.
+    // Shape: three map-combined corpus aggregates (base counts,
+    // Gopher keeps, per-group counts ×2), each collapsing to ≤
+    // |groups| rows before any join; the published table is 7 rows.
+    // Simpson numerators ride DECIMAL(38,0) so nothing wraps at
+    // 100 TB row counts.
+    "q_corpus_datasheet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("text"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_fp"))
+        .localCheckpoint()
+      val keeps = gopherTable(s, d)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      def simpson(keyCol: String, name: String) =
+        docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n_g"))
+          .agg(sum((col("n_g") * col("n_g")).cast("decimal(38,0)"))
+              .as("sq"),
+            sum(col("n_g")).cast("decimal(38,0)").as("nn"))
+          .select(lit(name).as("metric"),
+            expr("CAST(sq * 1000000 div (nn * nn) AS BIGINT)")
+              .as("value"))
+      base.select(lit("m01_n_docs").as("metric"),
+          col("n_docs").as("value"))
+        .unionAll(base.select(lit("m02_n_tokens"), col("n_tokens")))
+        .unionAll(base.select(lit("m03_mean_doc_tokens_cpm"),
+          expr("n_tokens * 100 div n_docs")))
+        .unionAll(base.select(lit("m04_dup_docs"),
+          col("n_docs") - col("n_fp")))
+        .unionAll(base.crossJoin(broadcast(keeps))
+          .select(lit("m05_gopher_keep_pm"),
+            expr("n_keep * 1000 div n_docs")))
+        .unionAll(simpson("lang", "m06_lang_simpson_ppm"))
+        .unionAll(simpson("source", "m07_source_simpson_ppm"))
+        .orderBy(col("metric"))
+    }),
+
     "q_dsir_weights" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -259,6 +306,37 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q_quality_gopher" -> s"$gopherSql ORDER BY doc_id",
+    "q_corpus_datasheet" ->
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_fp
+         |  FROM documents),
+         |g AS ($gopherSql),
+         |k AS (
+         |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep FROM g),
+         |ls AS (
+         |  SELECT CAST(sum(CAST(n_g AS HUGEINT) * n_g) * 1000000
+         |    // (sum(CAST(n_g AS HUGEINT)) * sum(CAST(n_g AS HUGEINT)))
+         |    AS BIGINT) AS v
+         |  FROM (SELECT count(*) AS n_g FROM documents GROUP BY lang) t),
+         |ss AS (
+         |  SELECT CAST(sum(CAST(n_g AS HUGEINT) * n_g) * 1000000
+         |    // (sum(CAST(n_g AS HUGEINT)) * sum(CAST(n_g AS HUGEINT)))
+         |    AS BIGINT) AS v
+         |  FROM (SELECT count(*) AS n_g FROM documents GROUP BY source) t)
+         |SELECT metric, value FROM (
+         |  SELECT 'm01_n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'm02_n_tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'm03_mean_doc_tokens_cpm',
+         |    n_tokens * 100 // n_docs FROM base
+         |  UNION ALL SELECT 'm04_dup_docs', n_docs - n_fp FROM base
+         |  UNION ALL SELECT 'm05_gopher_keep_pm',
+         |    k.n_keep * 1000 // b.n_docs FROM k, base b
+         |  UNION ALL SELECT 'm06_lang_simpson_ppm', v FROM ls
+         |  UNION ALL SELECT 'm07_source_simpson_ppm', v FROM ss) u
+         |ORDER BY metric""".stripMargin,
     "q_langid_eval" ->
       s"""WITH g AS (
          |  SELECT lang,

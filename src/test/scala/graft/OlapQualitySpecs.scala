@@ -1117,3 +1117,36 @@ class IvfHealthSpec extends SparkSpec {
     assert(got(-1L)._2 > 0)
   }
 }
+
+/** Corpus datasheet: every metric replays from raw text or the
+  * standalone operator it composes.
+  */
+class DatasheetSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("datasheet metrics replay from raw text and compose the gopher filter") {
+    val got = run("q_corpus_datasheet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val n = docs.length.toLong
+    assert(got("m01_n_docs") == n)
+    val nTok = docs.map(_._3.split(" ", -1).length.toLong).sum
+    assert(got("m02_n_tokens") == nTok)
+    assert(got("m03_mean_doc_tokens_cpm") == nTok * 100 / n)
+    assert(got("m04_dup_docs") == n - docs.map(_._3).distinct.length)
+    // composition: the keep rate IS q_quality_gopher's keep rate
+    val keeps = run("q_quality_gopher").collect()
+      .count(_.getBoolean(8)).toLong
+    assert(got("m05_gopher_keep_pm") == keeps * 1000 / n)
+    def simpson(groups: Map[String, Long]): Long = {
+      val sq = groups.values.map(g => BigInt(g) * g).sum
+      (sq * 1000000 / (BigInt(n) * n)).toLong
+    }
+    assert(got("m06_lang_simpson_ppm") ==
+      simpson(docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap))
+    assert(got("m07_source_simpson_ppm") ==
+      simpson(docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap))
+  }
+}
