@@ -938,6 +938,54 @@ object Similarity {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // EMBEDDING-DRIFT monitor — the feature-store drift alarm for the
+    // vector side (q_drift_tvd's embedding sibling): cosine between
+    // the mean vectors of two ingest periods (vec_id parity is the
+    // period stand-in), per label and overall — a drifting embedding
+    // model or upstream distribution shows up as the drift cosine
+    // falling from ~1 long before retrieval quality visibly degrades.
+    // Determinism discipline: per-dimension means are ROUNDED to 4
+    // decimals first (the q_embed_centroid interchange rule — raw
+    // cross-row double sums are summation-order-sensitive in the last
+    // ulp), then the cosine runs as a sequential fold over the
+    // ordered rounded vectors, identical in both engines ⇒ FULLY
+    // ORACLED. Shape: one exploded (label, period, dim) aggregate
+    // (map-combined, ≤ |labels|·2·64 rows out), the fold is per-row
+    // work over ≤ |labels|+1 rows.
+    "q_embed_drift" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2).as("period"), col("embedding"))
+      // the overall row is the same pipeline under the sentinel label
+      val both = base.unionAll(base.withColumn("label", lit(-1L)))
+      val dims = both.select(col("label"), col("period"),
+        posexplode(col("embedding").cast("array<double>")))
+      val drift = dims
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(when(col("period") === 0, col("col"))), 4).as("ma"),
+          round(avg(when(col("period") === 1, col("col"))), 4).as("mb"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, ma)))," +
+          " x -> x.ma)").as("va"),
+          expr("transform(sort_array(collect_list(struct(pos, mb)))," +
+            " x -> x.mb)").as("vb"))
+        .select(col("label"),
+          round(expr(
+            """aggregate(zip_with(va, vb, (a, b) -> a * b),
+              |  cast(0.0 as double), (acc, x) -> acc + x)
+              |/ sqrt(aggregate(transform(va, x -> x * x),
+              |    cast(0.0 as double), (acc, x) -> acc + x)
+              |  * aggregate(transform(vb, x -> x * x),
+              |    cast(0.0 as double), (acc, x) -> acc + x))"""
+              .stripMargin), 6).as("drift_cos"))
+      val cnt = both.groupBy(col("label"))
+        .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("n_b"))
+      drift.join(cnt, "label")
+        .select(col("label"), col("n_a"), col("n_b"), col("drift_cos"))
+        .orderBy(col("label"))
+    }),
+
     // IVF INDEX-HEALTH monitor — the quantization-error / balance
     // report a production vector store runs to decide WHEN to refit
     // the quantizer (the refit q_sim_ivf_append deliberately never
