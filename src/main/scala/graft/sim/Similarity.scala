@@ -832,8 +832,11 @@ object Similarity {
       inc.join(g.select(col("vid"), col("rk"), col("nid").as("g_nid"),
           col("cos_sim").as("g_cos")), Seq("vid", "rk"), "left")
         .select(col("vid"), col("rk"), col("nid"), col("cos_sim"),
-          (col("nid") === col("g_nid") &&
-            col("cos_sim") === col("g_cos")).as("agrees"))
+          // coalesce: a (vid, rk) row ABSENT from the written graph is
+          // an audit failure, not a NULL — the left join alone would
+          // publish agrees = NULL and weaken the forall-true witness
+          coalesce(col("nid") === col("g_nid") &&
+            col("cos_sim") === col("g_cos"), lit(false)).as("agrees"))
         .orderBy(col("vid"), col("rk"))
     }),
 
@@ -1132,6 +1135,51 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // Parity discipline: per-dimension means round to 4 decimals first
+    // (the q_embed_centroid interchange rule), the cosine is the same
+    // sequential left-fold both engines perform (list_sum ≡ aggregate),
+    // and the published value rounds to 6 — identical doubles end to
+    // end, so the monitor is fully oracled.
+    "q_embed_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS period,
+        |    embedding
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), vec_id % 2, embedding
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, period,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM base),
+        |means AS (
+        |  SELECT label, pos,
+        |    round(avg(CASE WHEN period = 0 THEN v END), 4) AS ma,
+        |    round(avg(CASE WHEN period = 1 THEN v END), 4) AS mb
+        |  FROM dims GROUP BY label, pos),
+        |vecs AS (
+        |  SELECT label, list(ma ORDER BY pos) AS va,
+        |    list(mb ORDER BY pos) AS vb
+        |  FROM means GROUP BY label),
+        |drift AS (
+        |  SELECT label,
+        |    round(list_sum(list_transform(generate_series(1, len(va)),
+        |        i -> va[i] * vb[i]))
+        |      / sqrt(list_sum(list_transform(va, x -> x * x))
+        |           * list_sum(list_transform(vb, x -> x * x))), 6)
+        |      AS drift_cos
+        |  FROM vecs),
+        |cnt AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM base GROUP BY label)
+        |SELECT d.label, c.n_a, c.n_b, d.drift_cos
+        |FROM drift d JOIN cnt c USING (label)
+        |ORDER BY label""".stripMargin,
     "q_bitext_mine" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, e.vec_id AS nid,

@@ -357,9 +357,24 @@ object Bpe {
             col("b.sc").as("sc"), (-col("b.negnp")).as("np"))
         best = best.unionByName(stepBest).localCheckpoint()
       }
+      // residual fallback (the q_wordpiece_encode rule): a word longer
+      // than the WpScanCap step budget never reaches pos == wc + 1 —
+      // instead of silently vanishing from the dictionary, its
+      // furthest Viterbi state wins (max pos; per (w, pos) the DP
+      // already kept exactly one best row, so the struct-max is
+      // deterministic) and the untokenized tail counts as single-char
+      // pieces: np + (wc - pos + 1). For finished words pos == wc + 1
+      // is the unique maximum reachable state, so the fallback term is
+      // 0 and the exact Viterbi result is untouched; at this corpus's
+      // max word length (≤ cap) the fallback branch is provably never
+      // taken — UnigramSpec pins both facts.
       val vocab = best.join(words, "w")
-        .filter(col("pos") === col("wc") + 1)
-        .select(col("w"), col("wc").cast("long").as("wcl"), col("np"))
+        .groupBy(col("w"), col("wc"))
+        .agg(max(struct(col("pos"), col("sc"),
+          (-col("np")).as("negnp"))).as("b"))
+        .select(col("w"), col("wc").cast("long").as("wcl"),
+          (-col("b.negnp") +
+            (col("wc") + lit(1) - col("b.pos")).cast("long")).as("np"))
       val vocabRows = vocab.count()
       val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
       Tables.documents(s, d)

@@ -204,7 +204,11 @@ object Quality {
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
       def simpson(keyCol: String, name: String) =
         docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n_g"))
-          .agg(sum((col("n_g") * col("n_g")).cast("decimal(38,0)"))
+          // cast BEFORE the multiply: a BIGINT·BIGINT square wraps for
+          // per-group counts past ~3e9 (a 100 TB corpus's biggest lang
+          // group is bigger); DECIMAL(38,0)·BIGINT matches the
+          // oracle's HUGEINT arithmetic exactly
+          .agg(sum(col("n_g").cast("decimal(38,0)") * col("n_g"))
               .as("sq"),
             sum(col("n_g")).cast("decimal(38,0)").as("nn"))
           .select(lit(name).as("metric"),

@@ -970,6 +970,52 @@ class UnigramSpec extends SparkSpec {
     // segmentation is genuinely sub-character-count (multi-char pieces used)
     assert(got.values.exists { case (_, nc, np) => np < nc })
   }
+
+  test("corpus words fit the step cap, so the residual fallback never fires") {
+    val maxLen = corpusWords.map(_.length).max
+    assert(maxLen <= graft.text.Bpe.WpScanCap,
+      s"corpus max word length $maxLen exceeds the cap — fallback live")
+  }
+
+  test("cap residual fallback: an over-cap word tails as single chars") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("unigram_cap").toString
+    val longWord = "ab" * 20 // 40 chars > WpScanCap (32)
+    spark.createDataFrame(Seq((1L, longWord), (2L, "xy xy")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pieces = SparkEntry.queries("q_unigram_train")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = pieces.values.sum
+    def logp(p: String) =
+      math.log(pieces(p).toDouble) - math.log(tot.toDouble)
+    // the CAPPED Viterbi the query runs: DP to min(len, cap) + 1, then
+    // the furthest reached state wins and the tail counts per char
+    def cappedNp(w: String): Long = {
+      val maxJ = math.min(w.length, graft.text.Bpe.WpScanCap) + 1
+      val best = Array.fill(w.length + 2)((Double.NegativeInfinity, 0L))
+      best(1) = (0.0, 0L)
+      for (j <- 2 to maxJ) {
+        val cands = for {
+          i <- math.max(1, j - graft.text.Bpe.UniMaxPieceLen) until j
+          p = w.substring(i - 1, j - 1) if pieces.contains(p)
+          if best(i)._1 > Double.NegativeInfinity
+        } yield (best(i)._1 + logp(p), -(best(i)._2 + 1L))
+        if (cands.nonEmpty) best(j) = { val m = cands.max; (m._1, -m._2) }
+      }
+      val pos = (1 to maxJ)
+        .filter(best(_)._1 > Double.NegativeInfinity).max
+      best(pos)._2 + (w.length + 1 - pos)
+    }
+    val got = SparkEntry.queries("q_unigram_encode")(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the over-cap word is PRESENT (pre-fix it vanished entirely) with
+    // the capped segmentation + single-char tail
+    assert(got(1L) == ((1L, 40L, cappedNp(longWord))))
+    assert(got(2L) == ((2L, 4L, 2L * cappedNp("xy"))))
+  }
 }
 
 /** Cluster-stratified diversity sampling over the IVF layout. */
@@ -1148,5 +1194,57 @@ class DatasheetSpec extends SparkSpec {
       simpson(docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap))
     assert(got("m07_source_simpson_ppm") ==
       simpson(docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap))
+  }
+}
+
+/** Embedding-drift monitor: the drift cosine replays from the rounded
+  * per-dimension period means (the q_embed_centroid interchange rule).
+  */
+class EmbedDriftSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-label and overall drift cosines replay from rounded means") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def meanVec(vs: Array[Array[Float]]): Array[Double] = {
+      val dim = vs.head.length
+      Array.tabulate(dim) { p =>
+        r(vs.map(_(p).toDouble).sum / vs.length, 4)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val labels = vecs.map(_._2).distinct.toSeq :+ -1L
+    val expected = labels.map { lbl =>
+      val members =
+        if (lbl == -1L) vecs else vecs.filter(_._2 == lbl)
+      val a = members.filter(_._1 % 2 == 0).map(_._3)
+      val b = members.filter(_._1 % 2 == 1).map(_._3)
+      lbl -> (a.length.toLong, b.length.toLong,
+        r(cos(meanVec(a), meanVec(b)), 6))
+    }.toMap
+    val got = run("q_embed_drift").collect()
+      .map(r0 => r0.getLong(0) ->
+        (r0.getLong(1), r0.getLong(2), r0.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (lbl, (na, nb, dc)) =>
+      val (gna, gnb, gdc) = got(lbl)
+      assert(gna == na && gnb == nb, s"label $lbl counts")
+      assert(math.abs(gdc - dc) < 2e-6, s"label $lbl cos: $gdc vs $dc")
+    }
+    // the synthetic corpus is zero-centered noise, so period means are
+    // tiny and their cosine is unconstrained — pin only validity (a
+    // production corpus with a real embedding model reads ~1 here)
+    assert(got(-1L)._3 >= -1.0 && got(-1L)._3 <= 1.0)
+    assert(got.size == vecs.map(_._2).distinct.length + 1)
   }
 }
