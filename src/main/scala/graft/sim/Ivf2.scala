@@ -215,6 +215,47 @@ object Ivf2 {
         .select(col("qid"), col("rk"), col("nid"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // SEMANTIC-DIVERSITY sampling over the TWO-LEVEL strata —
+    // q_diversity_sample's past-the-ceiling twin: the flat form's
+    // "~128 members per stratum" occupancy law only holds while the
+    // flat quantizer stays trainable (k ≤ 2¹⁶ ⇒ n ≤ 2²³); past it,
+    // flat cells grow linearly and the per-cell rank window with
+    // them. Stratifying over the written (cell, fine) partition
+    // restores the invariant at ANY corpus size: fine cells re-target
+    // ~128 members by construction, so no window partition ever
+    // grows. Same √-allocation (floored at one pick per stratum) and
+    // deterministic content-hash picks as the flat form. The
+    // allocation table is ~n/128 rows at scale — NOT broadcast; the
+    // join keys on (cell, fine), the same partitioning the rank
+    // window just established, so Catalyst reuses the exchange (at
+    // test scale AQE broadcasts it on measured size — both plans are
+    // one thin-row pipeline). Rows-only (k-means lineage);
+    // DiversitySampleSpec replays the two-level allocation and pins
+    // the picks to the hash ranking.
+    "q_diversity_sample2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = ivf2Index(s, d)
+        .select(col("vec_id"), col("cell"), col("fine"))
+      val sizes = idx.groupBy(col("cell"), col("fine"))
+        .agg(count(lit(1)).as("n_c"))
+        .withColumn("sq_u",
+          floor(sqrt(col("n_c").cast("double")) * 1000000).cast("long"))
+      val tot = sizes.agg(sum(col("sq_u")).as("sq_tot"))
+      val alloc = sizes.crossJoin(broadcast(tot))
+        .select(col("cell"), col("fine"), col("n_c"),
+          greatest(lit(1L),
+            expr(s"${Similarity.DiversityBudget} * sq_u div sq_tot"))
+            .as("a_c"))
+      val w = Window.partitionBy(col("cell"), col("fine"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      idx.withColumn("rk", row_number().over(w).cast("long"))
+        .join(alloc, Seq("cell", "fine"))
+        .filter(col("rk") <= col("a_c"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("fine").cast("long").as("fine"), col("rk"), col("a_c"))
+        .orderBy(col("vec_id"))
     })
   )
 

@@ -1078,11 +1078,15 @@ object Similarity {
     // q_stratified_sample discipline over learned strata instead of
     // metadata strata). Shape: the layout's thin (vec_id, cell) rows
     // are the only input; allocation derives from the bounded
-    // per-cell count table broadcast back; the rank window partitions
-    // by cell (~128 members at ANY scale — the adaptive-k occupancy
-    // law — so no window partition ever grows). Rows-only (k-means
-    // lineage); DiversitySampleSpec replays the allocation law and
-    // pins the per-cell picks to the hash ranking.
+    // per-cell count table broadcast back (≤ 2^16 rows by the flat-k
+    // trainability ceiling); the rank window partitions by cell —
+    // ~128 members by the adaptive-k occupancy law WHILE the flat
+    // quantizer holds (n ≤ 2²³; past that flat cells grow linearly,
+    // which is exactly why Ivf2 exists). Past the ceiling the
+    // deployment switches to q_diversity_sample2, whose (cell, fine)
+    // strata re-target ~128 members at any corpus size. Rows-only
+    // (k-means lineage); DiversitySampleSpec replays the allocation
+    // law and pins the per-cell picks to the hash ranking.
     "q_diversity_sample" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val idx = ivfIndex(s, d).select(col("vec_id"), col("cell"))

@@ -1054,6 +1054,47 @@ class DiversitySampleSpec extends SparkSpec {
       .map(t => (t._1, t._2, t._3)).toSet
     assert(rows.map(t => (t._1, t._2, t._3)).toSet == expPicks)
   }
+
+  test("two-level form: allocation and picks replay over (cell, fine) strata") {
+    val rows = run("q_diversity_sample2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val idx = sim.Ivf2.ivf2Index(spark, sf)
+      .select(col("vec_id"), col("cell"), col("fine")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    val sizes = idx.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.length.toLong).toMap
+    val squ = sizes.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1000000).toLong).toMap
+    val sqTot = squ.values.sum
+    val expAlloc = squ.map { case (k, u) =>
+      k -> math.max(1L, sim.Similarity.DiversityBudget * u / sqTot) }
+    rows.foreach { case (_, c, f, _, a) =>
+      assert(a == expAlloc((c, f)), s"stratum ($c,$f)") }
+    // every (cell, fine) stratum is represented with min(a, n) picks
+    val perStratum = rows.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.length.toLong).toMap
+    sizes.foreach { case (k, n) =>
+      assert(perStratum.getOrElse(k, 0L) == math.min(expAlloc(k), n),
+        s"stratum $k")
+    }
+    // picks are the xxhash64-rank head of each stratum
+    val ranked = sim.Ivf2.ivf2Index(spark, sf)
+      .select(col("vec_id"), col("cell"), col("fine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell"), col("fine"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getLong(3)))
+    val expPicks = ranked
+      .filter { case (_, c, f, rk) => rk <= expAlloc((c, f)) }
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet == expPicks)
+    // the fine split is real at this SF: more strata than flat cells
+    assert(sizes.keySet.map(_._1).size < sizes.size)
+  }
 }
 
 /** Collocation mining: exact BigInt lift replay of the top-50. */
