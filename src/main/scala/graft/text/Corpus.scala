@@ -49,6 +49,74 @@ object Corpus {
   /** Per-source reservoir budget for q_reservoir_sample. */
   val ReservoirK = 20L
 
+  /** q_shard_export per-shard token target. Test-scale value yields a
+    * handful of shards at sf0.001 and tens at sf0.01 so the manifest
+    * and the file-count law are exercised; a deployment sets the
+    * 100 MB–1 GB-of-tokens shard a training loader actually wants —
+    * the shard count, not this constant, is what scales (ceil of
+    * corpus tokens over the budget, the q_compact_files law).
+    */
+  val ShardTokenBudget = 8192L
+
+  /** The packed-sequence table (doc_id, source, n_tok, running, bin) —
+    * q_seq_pack's body, shared with the shard exporter. Two-phase
+    * distributed prefix sum; see the q_seq_pack comment.
+    */
+  private[graft] def seqPacked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("source"), col("sub"))
+      .agg(sum(col("n_tok")).as("sub_tok"))
+      .withColumn("off", coalesce(sum(col("sub_tok")).over(wOff), lit(0L)))
+      .select(col("source"), col("sub"), col("off"))
+    val wLoc = Window.partitionBy(col("source"), col("sub"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(offsets), Seq("source", "sub"))
+      .withColumn("running", col("off") + sum(col("n_tok")).over(wLoc))
+      .withColumn("bin", expr("(running - n_tok) div 2048"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("running"), col("bin"))
+  }
+
+  /** Shard-assigned packed rows BEFORE the layout write — exposed so
+    * the plan spec can pin the payload discipline (text collapses to
+    * n_tok below every exchange) and the single hash repartition.
+    * shard = 48-bit md5 prefix of the (source, bin) sequence key mod
+    * the shard count, so WHOLE training sequences land in one shard
+    * and the assignment is a pure function of (documents, budget) —
+    * which is what makes the manifest fully oracle-able.
+    */
+  private[graft] def shardAssigned(s: SparkSession, d: String,
+      nShards: Int): DataFrame =
+    seqPacked(s, d)
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(col("source"), lit(":"),
+            col("bin").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+
+  /** The write-once training-shard layout, partitioned by shard —
+    * the artifact a training job's data loader consumes. The shard
+    * count derives from corpus tokens at build time (one 1-row
+    * aggregate; the q_compact_files rows-per-file precedent) and each
+    * shard is written by exactly one task, so files-on-disk ==
+    * occupied shards (ShardExportSpec pins it).
+    */
+  private[graft] def shardLayout(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "train_shards",
+        partitionCols = Seq("shard")) {
+      val totTok = seqPacked(s, d).agg(sum(col("n_tok"))).head.getLong(0)
+      val nsh = ((totTok + ShardTokenBudget - 1) / ShardTokenBudget)
+        .toInt.max(1)
+      shardAssigned(s, d, nsh)
+    }
+
   /** q_token_budget total training-token budget. A knob, not a scale
     * parameter: the planner's cost is one per-source aggregate
     * regardless of the budget or corpus size.
@@ -271,28 +339,39 @@ object Corpus {
     //      partition is ≤ SubShardDocs rows — plus the offset.
     // bin id = tokens-before-this-doc div capacity, all integer math;
     // results are bit-identical to the single-window form.
-    "q_seq_pack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
-      val wOff = Window.partitionBy(col("source")).orderBy(col("sub"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("source"), col("sub"))
-        .agg(sum(col("n_tok")).as("sub_tok"))
-        .withColumn("off", coalesce(sum(col("sub_tok")).over(wOff), lit(0L)))
-        .select(col("source"), col("sub"), col("off"))
-      val wLoc = Window.partitionBy(col("source"), col("sub"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      docs.join(broadcast(offsets), Seq("source", "sub"))
-        .withColumn("running", col("off") + sum(col("n_tok")).over(wLoc))
-        .withColumn("bin", expr("(running - n_tok) div 2048"))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          col("running"), col("bin"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_seq_pack" -> ((s, d) =>
+      seqPacked(s, d).orderBy(col("doc_id"))),
+
+    // TRAINING-EXPORT shard writer — the step that hands the packed
+    // corpus to a training job: the packed-sequence table is written
+    // ONCE as a shard-partitioned layout (shard count = ⌈corpus
+    // tokens / ShardTokenBudget⌉, the q_compact_files file-count law;
+    // whole (source, bin) sequences hash to one shard so no training
+    // sequence ever splits across files), and the published artifact
+    // is the per-shard MANIFEST a loader checks before reading bytes:
+    // sequence/doc/token counts plus an order-independent content
+    // fingerprint (the q_table_checksum DECIMAL(38,0) fold — identical
+    // across partitionings and engines at any row count). Everything
+    // is a pure function of (documents, budget): assignment is the
+    // 48-bit md5 prefix of the sequence key mod the derived shard
+    // count, so the manifest is FULLY ORACLED even though the layout
+    // write itself is a side effect. Payload discipline: text
+    // collapses to n_tok at the scan projection — no exchange in the
+    // whole pipeline carries a payload column, and the only
+    // data-moving step beyond seq-pack's prefix sum is the ONE hash
+    // repartition into shards (plan-pinned by ShardExportSpec).
+    "q_shard_export" -> ((s, d) =>
+      shardLayout(s, d)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(concat(col("source"), lit(":"),
+            col("bin").cast("string"))).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (sum(conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard"))),
 
     // Deterministic corpus shuffle: hash-shard then hash-order within
     // the shard — the reproducible "global shuffle" that training
@@ -689,6 +768,37 @@ object Corpus {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |        FROM documents) t) w
         |ORDER BY doc_id""".stripMargin,
+    "q_shard_export" ->
+      s"""WITH packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents) t),
+         |b AS (
+         |  SELECT doc_id, source, n_tok,
+         |    (running - n_tok) // 2048 AS bin
+         |  FROM packed),
+         |nsh AS (
+         |  SELECT CAST(GREATEST(1,
+         |    (sum(n_tok) + $ShardTokenBudget - 1) // $ShardTokenBudget)
+         |    AS BIGINT) AS n
+         |  FROM b),
+         |a AS (
+         |  SELECT doc_id, source, n_tok, bin,
+         |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
+         |      1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT source || ':' || CAST(bin AS VARCHAR))
+         |    AS BIGINT) AS n_seqs,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q_corpus_shuffle" ->
       s"""SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)

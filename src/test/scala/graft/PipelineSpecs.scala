@@ -2202,3 +2202,71 @@ class KnnAppendSpec extends SparkSpec {
     assert(deltaIds.subsetOf(expected))
   }
 }
+
+/** Training-export shard writer: manifest totals, whole-sequence
+  * shard atomicity, the file-count law, and the payload/shuffle pins.
+  */
+class ShardExportSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("manifest conserves docs/tokens, keeps sequences whole, matches disk") {
+    val man = run("q_shard_export").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(man.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(man.map(_._3).sum == docs.length.toLong, "docs not conserved")
+    assert(man.map(_._4).sum == docs.map(_._3).sum, "tokens not conserved")
+    // shard count law: occupied shards <= ceil(tokens / budget), and
+    // the hash spread actually uses more than one shard at this SF
+    val nsh = ((docs.map(_._3).sum + text.Corpus.ShardTokenBudget - 1)
+      / text.Corpus.ShardTokenBudget).max(1L)
+    assert(man.length <= nsh.toInt && man.length > 1)
+    assert(man.forall { case (s0, _, _, _) => s0 >= 0 && s0 < nsh })
+    // whole sequences: every (source, bin) key lives in exactly ONE shard
+    val layout = text.Corpus.shardLayout(spark, sf)
+      .select(col("source"), col("bin"), col("shard").cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    layout.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.map(_._2).distinct.length == 1, s"sequence $k split")
+    }
+    // file-count law: exactly one parquet file per occupied shard dir
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(wh,
+      s"train_shards_${sources.Layouts.sfSuffix(sf)}")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dirs.size == man.length)
+    dirs.foreach { p =>
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$p has $files files")
+    }
+  }
+
+  test("no exchange carries a payload column; shards come from one hash repartition") {
+    val df = text.Corpus.shardAssigned(spark, sf, 7)
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // text collapses to n_tok below every exchange: no shuffle moves
+    // a payload column (sparkPlan = the physical plan before AQE wraps
+    // it in AdaptiveSparkPlanExec, which hides exchanges from collect)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"), e.toString)
+    }
+    // exactly one repartition, and it keys on shard
+    val reps = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression => r
+    }
+    assert(reps.length == 1)
+    assert(reps.head.partitionExpressions.exists(
+      _.references.exists(_.name == "shard")), reps.head.toString)
+  }
+}
