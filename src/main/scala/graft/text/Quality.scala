@@ -42,11 +42,32 @@ object Quality {
   private val stopList: String =
     graft.functions.GraftText.Stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** The per-doc Gopher feature/decision table — shared by
-    * q_quality_gopher and the composed corpus pipeline
-    * (`Corpus.q_corpus_pipeline`).
+  /** Mergeable per-ingest-batch datasheet partials, written once:
+    * a row per (batch, lang, source) cell — batch = a 16-way hash of
+    * doc_id standing in for stream micro-batches — carrying the sums
+    * and the HLL fingerprint sketch every datasheet metric merges
+    * from. The ONE aggregate here is the only corpus pass the
+    * incremental datasheet ever takes per batch.
     */
-  private[graft] def gopherTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def datasheetPartials(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "datasheet_partials") {
+      gopherWide(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("keep"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("text").cast("binary")).as("fp"))
+        .withColumn("batch", pmod(xxhash64(col("doc_id")), lit(16)))
+        .groupBy(col("batch"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          hll_sketch_agg(col("fp"), lit(12)).as("fp_sk"))
+    }
+
+  /** gopherTable plus the raw source/text columns — for composers
+    * (the datasheet partials) that need the rule verdict AND the raw
+    * row in the SAME single pass, without a self-join on doc_id.
+    */
+  private[graft] def gopherWide(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
         .withColumn("lines", split(col("text"), "\n"))
@@ -64,7 +85,8 @@ object Quality {
           "CAST(size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS LONG)"))
         .withColumn("n_ell", expr(
           "CAST(size(filter(lines, l -> l LIKE '%...')) AS LONG)"))
-        .select(col("doc_id"), col("lang"), col("n_words"),
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          col("n_words"),
           expr("wchars * 100 div n_words").as("mean_wlen_cpm"),
           col("n_stop"),
           expr("n_sym * 1000 div n_words").as("sym_pm"),
@@ -77,6 +99,13 @@ object Quality {
             col("sym_pm") <= GopherMaxSymPm &&
             col("bullet_pm") <= GopherMaxBulletPm &&
             col("ellipsis_pm") <= GopherMaxEllipsisPm)
+
+  /** The per-doc Gopher feature/decision table — shared by
+    * q_quality_gopher and the composed corpus pipeline
+    * (`Corpus.q_corpus_pipeline`).
+    */
+  private[graft] def gopherTable(s: SparkSession, d: String): DataFrame =
+    gopherWide(s, d).drop("source", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher/MassiveText rule-based quality filter: word-count gate,
@@ -226,6 +255,53 @@ object Quality {
             expr("n_keep * 1000 div n_docs")))
         .unionAll(simpson("lang", "m06_lang_simpson_ppm"))
         .unionAll(simpson("source", "m07_source_simpson_ppm"))
+        .orderBy(col("metric"))
+    }),
+
+    // STREAMING-OBSERVABILITY twin of the corpus datasheet: the same
+    // card maintained INCREMENTALLY from mergeable per-batch partials
+    // (the q_hll_partial_union / q_moments_merge layout family) so an
+    // ingest stream updates it per micro-batch instead of rescanning
+    // the corpus. The partial layout is one map-combined aggregate
+    // per ingest batch — a row per (batch, lang, source) cell carrying
+    // sums (docs, tokens, gopher keeps) and an HLL sketch of the doc
+    // fingerprints; every datasheet metric then derives from the
+    // ≤ batches·|langs|·|sources| partial rows: sums merge by
+    // addition, the duplicate burden by the native HLL union (the one
+    // metric that goes approximate — exact distinct is the only
+    // non-mergeable-in-O(1) datasheet ingredient, the same trade
+    // q_profile_table_approx documents), Simpson marginals by summing
+    // cells. A foreachBatch sink upserts exactly these partial rows at
+    // 100 TB; the merge query stays metadata-sized forever. Rows-only
+    // (sketch lineage); DatasheetPartialsSpec pins every exact metric
+    // EQUAL to the batch datasheet and the dup estimate within ±5%.
+    "q_datasheet_partials" -> ((s, d) => {
+      val p = datasheetPartials(s, d).localCheckpoint()
+      val tot = p.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_keep")).as("n_keep"),
+          hll_sketch_estimate(hll_union_agg(col("fp_sk"), lit(false)))
+            .as("est_fp"))
+        .localCheckpoint()
+      def simpsonOf(keyCol: String, name: String) =
+        p.groupBy(col(keyCol)).agg(sum(col("n_docs")).as("n_g"))
+          .agg(sum(col("n_g").cast("decimal(38,0)") * col("n_g"))
+              .as("sq"),
+            sum(col("n_g")).cast("decimal(38,0)").as("nn"))
+          .select(lit(name).as("metric"),
+            expr("CAST(sq * 1000000 div (nn * nn) AS BIGINT)")
+              .as("value"))
+      tot.select(lit("m01_n_docs").as("metric"), col("n_docs").as("value"))
+        .unionAll(tot.select(lit("m02_n_tokens"), col("n_tokens")))
+        .unionAll(tot.select(lit("m03_mean_doc_tokens_cpm"),
+          expr("n_tokens * 100 div n_docs")))
+        .unionAll(tot.select(lit("m04_dup_docs_est"),
+          greatest(lit(0L),
+            (col("n_docs") - col("est_fp")).cast("long"))))
+        .unionAll(tot.select(lit("m05_gopher_keep_pm"),
+          expr("n_keep * 1000 div n_docs")))
+        .unionAll(simpsonOf("lang", "m06_lang_simpson_ppm"))
+        .unionAll(simpsonOf("source", "m07_source_simpson_ppm"))
         .orderBy(col("metric"))
     }),
 

@@ -1289,3 +1289,32 @@ class EmbedDriftSpec extends SparkSpec {
     assert(got.size == vecs.map(_._2).distinct.length + 1)
   }
 }
+
+/** Incremental datasheet: partial-union equals the batch recompute. */
+class DatasheetPartialsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("merged partials equal the batch datasheet; dup estimate within 5%") {
+    val inc = run("q_datasheet_partials").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = run("q_corpus_datasheet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every exact metric is EQUAL — merging partials loses nothing
+    Seq("m01_n_docs", "m02_n_tokens", "m03_mean_doc_tokens_cpm",
+      "m05_gopher_keep_pm", "m06_lang_simpson_ppm",
+      "m07_source_simpson_ppm").foreach { m =>
+      assert(inc(m) == batch(m), s"$m: ${inc(m)} vs ${batch(m)}")
+    }
+    // the one approximate metric: the HLL distinct behind the dup
+    // burden sits within the sketch's documented band
+    val nDocs = batch("m01_n_docs")
+    val exactDistinct = nDocs - batch("m04_dup_docs")
+    val estDistinct = nDocs - inc("m04_dup_docs_est")
+    assert(math.abs(estDistinct - exactDistinct).toDouble
+      <= 0.05 * exactDistinct, s"est $estDistinct vs exact $exactDistinct")
+    // the layout is genuinely multi-batch (the merge is exercised)
+    val nb = text.Quality.datasheetPartials(spark, sf)
+      .select(col("batch")).distinct().count()
+    assert(nb > 1)
+  }
+}
