@@ -45,6 +45,14 @@ object TextOps {
     */
   val PhraseTerms: Seq[String] = Seq("join", "part", "filter")
 
+  /** q_doremi_weights iteration budget and step size. The iterate is
+    * a fixed-point toward score-equalized mixture weights; both are
+    * quality knobs (the per-step cost is one aggregate over the
+    * ≤ |domains| table regardless).
+    */
+  val DoremiIters = 8
+  val DoremiEtaPm = 500L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -558,6 +566,60 @@ object TextOps {
         .orderBy(col("source"))
     }),
 
+    // DoReMi-STYLE mixture reweighting (Xie et al. 2023, the
+    // domain-weight iteration of the sampling family): multiplicative-
+    // weights updates over the ≤ |domains| table, starting uniform,
+    // each step boosting domains whose quality score EXCEEDS the
+    // current mixture-weighted reference and shrinking the rest —
+    // w ∝ w · (1e6 + η·(score − ref(w))) with renormalization to ppm.
+    // The reference moves WITH the weights (DoReMi's proxy-loss
+    // feedback, stood in by the engine's own per-domain stop-density
+    // score since no proxy model trains here), so the iterate is a
+    // genuine fixed point toward score-equalized excess, not a closed
+    // form. ALL arithmetic is integer (ppm weights, per-mille scores,
+    // DECIMAL(38,0) products) — no exp/libm, the engine's no-libm
+    // rule — so every iterate is bit-identical cross-engine and the
+    // operator is FULLY ORACLED (the DuckDB side unrolls the same 8
+    // steps as chained CTEs). Cost class: the BPE merge loop — a
+    // bounded driver loop where each step is one 1-row aggregate +
+    // one projection over the bounded domain table; the corpus is
+    // touched exactly once (the per-domain score aggregate).
+    "q_doremi_weights" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val dom = Tables.documents(s, d)
+        .select(col("source"), expr("text_stats(split(text, ' '))").as("st"))
+        .groupBy(col("source"))
+        .agg(sum(col("st.n_tokens")).as("n_tokens"),
+          sum(col("st.n_stop")).as("n_stop"))
+        .select(col("source"), col("n_tokens"),
+          expr("n_stop * 1000 div n_tokens").as("score_pm"))
+        .localCheckpoint()
+      // |domains| is bounded (the broadcast-dim class); the 1-row
+      // count seeds the uniform start
+      val nDom = math.max(1L, dom.count())
+      var w = dom.withColumn("w", lit(1000000L / nDom))
+      for (_ <- 1 to DoremiIters) {
+        val ref = w.agg(expr("sum(w * score_pm) div sum(w)").as("ref"))
+        val u = w.crossJoin(broadcast(ref))
+          .withColumn("u", col("w").cast("decimal(38,0)") *
+            (lit(1000000L) +
+              lit(DoremiEtaPm) * (col("score_pm") - col("ref"))))
+          .localCheckpoint()
+        val tot = u.agg(sum(col("u")).as("tot_u"))
+        w = u.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"), col("score_pm"),
+            expr("CAST(u * 1000000 div tot_u AS BIGINT)").as("w"))
+          .localCheckpoint()
+      }
+      w.crossJoin(broadcast(dom.agg(
+          sum(col("n_tokens")).cast("decimal(38,0)").as("tot_tok"))))
+        .select(col("source"), col("n_tokens"),
+          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+                 div tot_tok AS BIGINT)""").as("share_ppm"),
+          col("score_pm"), col("w").as("w_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Domain-level filtering: keep every document whose domain's
     // stop-density (per-mille, integer) is at or above the corpus-wide
     // density — the "drop below-average domains" cut of the web
@@ -811,6 +873,41 @@ object TextOps {
          |                      AS BIGINT) AS n_distinct
          |                  FROM documents) f) feats) scored
          |ORDER BY doc_id""".stripMargin,
+    "q_doremi_weights" -> {
+      // the same DoremiIters multiplicative-weights steps, unrolled as
+      // chained CTEs (recursive CTEs cannot aggregate the recursive
+      // term) — integer floors match Spark's div exactly
+      val steps = (1 to DoremiIters).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT CAST(sum(w * score_pm) // sum(w) AS BIGINT)
+           |  AS ref FROM w${t - 1}),
+           |u$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
+           |  CAST(w AS HUGEINT) * (1000000 + $DoremiEtaPm
+           |    * (score_pm - (SELECT ref FROM r$t))) AS u
+           |  FROM w${t - 1}),
+           |w$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
+           |  CAST(u * 1000000 // (SELECT sum(u) FROM u$t) AS BIGINT)
+           |    AS w FROM u$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dom AS MATERIALIZED (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopSql, x)))) AS BIGINT) AS n_stop
+         |  FROM documents GROUP BY source),
+         |w0 AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS score_pm,
+         |    CAST(1000000 // (SELECT count(*) FROM dom) AS BIGINT) AS w
+         |  FROM dom),
+         |$steps
+         |SELECT source, n_tokens,
+         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000
+         |    // (SELECT sum(n_tokens) FROM dom) AS BIGINT) AS share_ppm,
+         |  score_pm, w AS w_ppm
+         |FROM w$DoremiIters
+         |ORDER BY source""".stripMargin
+    },
     "q_domain_stats" ->
       s"""SELECT source, n_docs, n_tokens, n_stop,
          |  CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_pm,

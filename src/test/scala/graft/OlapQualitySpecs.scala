@@ -1318,3 +1318,55 @@ class DatasheetPartialsSpec extends SparkSpec {
     assert(nb > 1)
   }
 }
+
+/** DoReMi-style mixture reweighting: exact BigInt replay of the
+  * multiplicative-weights iterate.
+  */
+class DoremiSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("the 8-step iterate replays exactly; above-reference domains gain weight") {
+    val got = run("q_doremi_weights").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val stop = graft.functions.GraftText.Stopwords.toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val scores = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.map(_._2.split(" ", -1))
+      val nTok = toks.map(_.length.toLong).sum
+      val nStop = toks.map(_.count(stop)).sum.toLong
+      src -> (nTok, nStop * 1000 / nTok)
+    }
+    val nd = scores.size.toLong
+    var w: Map[String, BigInt] =
+      scores.map { case (s0, _) => s0 -> BigInt(1000000L / nd) }
+    for (_ <- 1 to text.TextOps.DoremiIters) {
+      val ref = w.map { case (s0, wv) => wv * scores(s0)._2 }.sum /
+        w.values.sum
+      val u = w.map { case (s0, wv) =>
+        s0 -> wv * (BigInt(1000000) +
+          text.TextOps.DoremiEtaPm * (BigInt(scores(s0)._2) - ref))
+      }
+      val tot = u.values.sum
+      w = u.map { case (s0, uv) => s0 -> uv * 1000000 / tot }
+    }
+    scores.foreach { case (s0, (nt, sc)) =>
+      val (gnt, _, gsc, gw) = got(s0)
+      assert(gnt == nt && gsc == sc, s"$s0 inputs")
+      assert(BigInt(gw) == w(s0), s"$s0: got $gw expected ${w(s0)}")
+    }
+    // weight mass conserved up to per-domain floor loss
+    assert(got.values.map(_._4).sum <= 1000000L)
+    // the iterate moved: with a real score spread, the top-score
+    // domain ends above uniform and the bottom one below
+    if (scores.values.map(_._2).toSet.size > 1) {
+      val top = scores.maxBy(_._2._2)._1
+      val bot = scores.minBy(_._2._2)._1
+      assert(got(top)._4 > 1000000L / nd, "top domain did not gain")
+      assert(got(bot)._4 < 1000000L / nd, "bottom domain did not shrink")
+    }
+  }
+}
