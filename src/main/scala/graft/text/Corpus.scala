@@ -342,6 +342,40 @@ object Corpus {
     "q_seq_pack" -> ((s, d) =>
       seqPacked(s, d).orderBy(col("doc_id"))),
 
+    // PACKING-EFFICIENCY report — the observability readout on
+    // q_seq_pack (the packing law assigns a document to the bin where
+    // it STARTS, so a boundary-straddling document overfills its bin;
+    // training pipelines watch exactly this: fill ratio and spill
+    // decide whether to re-pack with wrapping or shrink documents
+    // first). Per source and overall: bin count, token fill vs
+    // 2048-token capacity in per-mille, overflowing-bin count and
+    // spilled tokens. Shape: seqPacked's two-phase prefix sum → one
+    // map-combined (source, bin) aggregate → a bounded per-source
+    // aggregate; integers throughout; fully oracled by composing the
+    // seq-pack SQL.
+    "q_pack_efficiency" -> ((s, d) => {
+      val fills = seqPacked(s, d)
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("n_tok")).as("fill"))
+      def report(g: DataFrame, label: Option[String]) = {
+        val agg = (if (label.isEmpty) g.groupBy(col("source")) else g.groupBy())
+        val base = agg.agg(count(lit(1)).as("n_bins"),
+          sum(col("fill")).as("n_tokens"),
+          (count(lit(1)) * lit(2048L)).as("capacity"),
+          sum(when(col("fill") > 2048L, 1L).otherwise(0L))
+            .as("n_overflow_bins"),
+          sum(greatest(lit(0L), col("fill") - 2048L)).as("spill_tokens"))
+        label.map(l => base.select(lit(l).as("source"), col("*")))
+          .getOrElse(base)
+      }
+      report(fills, None).unionByName(report(fills, Some("(all)")))
+        .select(col("source"), col("n_bins"), col("n_tokens"),
+          col("capacity"),
+          expr("n_tokens * 1000 div capacity").as("fill_pm"),
+          col("n_overflow_bins"), col("spill_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // TRAINING-EXPORT shard writer — the step that hands the packed
     // corpus to a training job: the packed-sequence table is written
     // ONCE as a shard-partitioned layout (shard count = ⌈corpus
@@ -768,6 +802,36 @@ object Corpus {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |        FROM documents) t) w
         |ORDER BY doc_id""".stripMargin,
+    "q_pack_efficiency" ->
+      s"""WITH packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents) t),
+         |f AS (
+         |  SELECT source, (running - n_tok) // 2048 AS bin,
+         |    CAST(sum(n_tok) AS BIGINT) AS fill
+         |  FROM packed GROUP BY source, (running - n_tok) // 2048),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(fill) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) * 2048 AS BIGINT) AS capacity,
+         |    CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overflow_bins,
+         |    CAST(sum(GREATEST(0, fill - 2048)) AS BIGINT) AS spill_tokens
+         |  FROM f GROUP BY source
+         |  UNION ALL
+         |  SELECT '(all)', CAST(count(*) AS BIGINT),
+         |    CAST(sum(fill) AS BIGINT), CAST(count(*) * 2048 AS BIGINT),
+         |    CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(GREATEST(0, fill - 2048)) AS BIGINT)
+         |  FROM f)
+         |SELECT source, n_bins, n_tokens, capacity,
+         |  CAST(n_tokens * 1000 // capacity AS BIGINT) AS fill_pm,
+         |  n_overflow_bins, spill_tokens
+         |FROM per ORDER BY source""".stripMargin,
     "q_shard_export" ->
       s"""WITH packed AS (
          |  SELECT doc_id, source, n_tok,

@@ -1370,3 +1370,57 @@ class DoremiSpec extends SparkSpec {
     }
   }
 }
+
+/** Packing-efficiency report: replays from the seq-pack output. */
+class PackEfficiencySpec extends SparkSpec {
+  test("per-source fill/overflow/spill replay from q_seq_pack; (all) row totals") {
+    val packed = run("q_seq_pack").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(4))) // (source, n_tok, bin)
+    val fills = packed.groupBy(t => (t._1, t._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expected = fills.groupBy(_._1._1).map { case (src, fs) =>
+      val vals = fs.values.toSeq
+      src -> (vals.size.toLong, vals.sum, vals.size * 2048L,
+        vals.sum * 1000 / (vals.size * 2048L),
+        vals.count(_ > 2048L).toLong, vals.map(v => math.max(0L, v - 2048L)).sum)
+    }
+    val got = run("q_pack_efficiency").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    expected.foreach { case (src, e) => assert(got(src) == e, src) }
+    // the (all) row is the column-wise total of the per-source rows
+    val all = got("(all)")
+    assert(all._1 == expected.values.map(_._1).sum)
+    assert(all._2 == expected.values.map(_._2).sum)
+    assert(all._5 == expected.values.map(_._5).sum)
+    assert(all._6 == expected.values.map(_._6).sum)
+    // fill is high but bounded sane
+    assert(all._4 > 500 && all._4 < 2000)
+  }
+}
+
+/** Duplicate-cluster size distribution: replays from the labels. */
+class ClusterDistSpec extends SparkSpec {
+  test("log2 bins replay from cluster labels; singleton mass accounted") {
+    val labels = run("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = Tables.documents(spark, sf).count()
+    def bin(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n).toLong
+    val exp = sizes.values.groupBy(bin).map { case (b, cs) =>
+      b -> (cs.size.toLong, cs.sum)
+    } + (0L -> ((nTotal - labels.length, nTotal - labels.length)))
+    val got = run("q_dedup_cluster_dist").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (b, (nc, ndoc)) =>
+      assert(got(b)._1 == nc && got(b)._2 == ndoc, s"bin $b")
+      assert(got(b)._3 == ndoc * 1000 / nTotal, s"bin $b share")
+    }
+    // the corpus's deliberate duplicates produce at least one real cluster
+    assert(got.keySet.exists(_ >= 1))
+    // doc mass conserved across bins
+    assert(got.values.map(_._2).sum == nTotal)
+  }
+}
