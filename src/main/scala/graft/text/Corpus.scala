@@ -159,7 +159,12 @@ object Corpus {
     * shingle appear) — shared by q_decontaminate and the composed
     * pipeline.
     */
-  private[graft] def decontamTable(s: SparkSession, d: String): DataFrame = {
+  /** The (corpus doc, bench doc, shared-shingle count) pair stage
+    * both decontamination views aggregate — corpus side by doc_id
+    * (q_decontaminate), benchmark side by bdoc
+    * (q_contamination_report).
+    */
+  private[graft] def decontamPairs(s: SparkSession, d: String): DataFrame = {
     val sets = graft.dedup.Dedup.shingleSets(s, d)
     val bench = sets.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bdoc"), explode(col("sh")).as("s"))
@@ -168,11 +173,14 @@ object Corpus {
     corpus.join(broadcast(bench), "s")
       .groupBy(col("doc_id"), col("bdoc"))
       .agg(countDistinct(col("s")).as("n_shared"))
+  }
+
+  private[graft] def decontamTable(s: SparkSession, d: String): DataFrame =
+    decontamPairs(s, d)
       .groupBy(col("doc_id"))
       .agg(max(col("n_shared")).as("max_shared"),
         countDistinct(col("bdoc")).as("n_bench_hits"))
       .withColumn("contaminated", col("max_shared") >= 5)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STRATIFIED sampling with NEYMAN allocation — the survey-
@@ -285,6 +293,26 @@ object Corpus {
     // overlap decontamination pass (cf. GPT-3/C4 dataset reports).
     "q_decontaminate" -> ((s, d) =>
       decontamTable(s, d).orderBy(col("doc_id"))),
+
+    // CONTAMINATION report, benchmark side — the view the benchmark
+    // OWNER reads (q_decontaminate aggregates the same pair table by
+    // corpus doc for the corpus-hygiene cut; this aggregates by
+    // held-out doc): per benchmark document, how many corpus docs
+    // share any shingle, how many cross the contamination threshold,
+    // and the worst overlap — the artifact that decides whether an
+    // eval number is trustworthy or the benchmark leaked into
+    // training wholesale. Same shape and cost as q_decontaminate
+    // (the bench side broadcasts, corpus streams past, pairs are
+    // thin); fully oracled from the shared hits CTE.
+    "q_contamination_report" -> ((s, d) =>
+      decontamPairs(s, d)
+        .groupBy(col("bdoc"))
+        .agg(count(lit(1)).as("n_corpus_hits"),
+          sum(when(col("n_shared") >= 5, 1L).otherwise(0L))
+            .as("n_contaminating"),
+          max(col("n_shared")).as("max_shared"))
+        .withColumn("leaked", col("n_contaminating") > 0)
+        .orderBy(col("bdoc"))),
 
     // NEAR-DUP benchmark decontamination — the fuzzy counterpart of
     // q_decontaminate: exact n-gram overlap misses light paraphrase
@@ -674,15 +702,21 @@ object Corpus {
   /** The q_decontaminate SQL (no ORDER BY) — shared with the composed
     * pipeline oracle.
     */
-  private[graft] val decontamSql: String =
-    s"""WITH sets AS ($shingleSetsSql),
+  /** The shared pair-stage CTE chain (… AS hits) both decontamination
+    * oracles aggregate.
+    */
+  private[graft] val decontamHitsSql: String =
+    s"""sets AS ($shingleSetsSql),
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |bench AS (SELECT doc_id AS bdoc, s FROM sh WHERE doc_id % 97 = 0),
        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0),
        |hits AS (
        |  SELECT c.doc_id, b.bdoc, count(DISTINCT c.s) AS n_shared
        |  FROM corpus c JOIN bench b USING (s)
-       |  GROUP BY c.doc_id, b.bdoc)
+       |  GROUP BY c.doc_id, b.bdoc)""".stripMargin
+
+  private[graft] val decontamSql: String =
+    s"""WITH $decontamHitsSql
        |SELECT doc_id, max(n_shared) AS max_shared,
        |  CAST(count(DISTINCT bdoc) AS BIGINT) AS n_bench_hits,
        |  max(n_shared) >= 5 AS contaminated
@@ -792,6 +826,14 @@ object Corpus {
          |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
          |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> s"$decontamSql ORDER BY doc_id",
+    "q_contamination_report" ->
+      s"""WITH $decontamHitsSql
+         |SELECT bdoc, count(*) AS n_corpus_hits,
+         |  CAST(sum(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminating,
+         |  max(n_shared) AS max_shared,
+         |  sum(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END) > 0 AS leaked
+         |FROM hits GROUP BY bdoc ORDER BY bdoc""".stripMargin,
     "q_seq_pack" ->
       """SELECT doc_id, source, n_tok, running, (running - n_tok) // 2048 AS bin
         |FROM (

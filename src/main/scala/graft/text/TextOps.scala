@@ -53,6 +53,45 @@ object TextOps {
   val DoremiIters = 8
   val DoremiEtaPm = 500L
 
+  /** The DoReMi multiplicative-weights iterate (see q_doremi_weights)
+    * — shared by the weights query and the mixture plan. Returns
+    * (source, n_tokens, share_ppm, score_pm, w_ppm), unordered.
+    */
+  private[graft] def doremiWeights(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    val dom = Tables.documents(s, d)
+      .select(col("source"), expr("text_stats(split(text, ' '))").as("st"))
+      .groupBy(col("source"))
+      .agg(sum(col("st.n_tokens")).as("n_tokens"),
+        sum(col("st.n_stop")).as("n_stop"))
+      .select(col("source"), col("n_tokens"),
+        expr("n_stop * 1000 div n_tokens").as("score_pm"))
+      .localCheckpoint()
+    // |domains| is bounded (the broadcast-dim class); the 1-row
+    // count seeds the uniform start
+    val nDom = math.max(1L, dom.count())
+    var w = dom.withColumn("w", lit(1000000L / nDom))
+    for (_ <- 1 to DoremiIters) {
+      val ref = w.agg(expr("sum(w * score_pm) div sum(w)").as("ref"))
+      val u = w.crossJoin(broadcast(ref))
+        .withColumn("u", col("w").cast("decimal(38,0)") *
+          (lit(1000000L) +
+            lit(DoremiEtaPm) * (col("score_pm") - col("ref"))))
+        .localCheckpoint()
+      val tot = u.agg(sum(col("u")).as("tot_u"))
+      w = u.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("score_pm"),
+          expr("CAST(u * 1000000 div tot_u AS BIGINT)").as("w"))
+        .localCheckpoint()
+    }
+    w.crossJoin(broadcast(dom.agg(
+        sum(col("n_tokens")).cast("decimal(38,0)").as("tot_tok"))))
+      .select(col("source"), col("n_tokens"),
+        expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+               div tot_tok AS BIGINT)""").as("share_ppm"),
+        col("score_pm"), col("w").as("w_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -584,41 +623,29 @@ object TextOps {
     // bounded driver loop where each step is one 1-row aggregate +
     // one projection over the bounded domain table; the corpus is
     // touched exactly once (the per-domain score aggregate).
-    "q_doremi_weights" -> ((s, d) => {
-      graft.functions.TextFunctions.register(s)
-      val dom = Tables.documents(s, d)
-        .select(col("source"), expr("text_stats(split(text, ' '))").as("st"))
-        .groupBy(col("source"))
-        .agg(sum(col("st.n_tokens")).as("n_tokens"),
-          sum(col("st.n_stop")).as("n_stop"))
-        .select(col("source"), col("n_tokens"),
-          expr("n_stop * 1000 div n_tokens").as("score_pm"))
-        .localCheckpoint()
-      // |domains| is bounded (the broadcast-dim class); the 1-row
-      // count seeds the uniform start
-      val nDom = math.max(1L, dom.count())
-      var w = dom.withColumn("w", lit(1000000L / nDom))
-      for (_ <- 1 to DoremiIters) {
-        val ref = w.agg(expr("sum(w * score_pm) div sum(w)").as("ref"))
-        val u = w.crossJoin(broadcast(ref))
-          .withColumn("u", col("w").cast("decimal(38,0)") *
-            (lit(1000000L) +
-              lit(DoremiEtaPm) * (col("score_pm") - col("ref"))))
-          .localCheckpoint()
-        val tot = u.agg(sum(col("u")).as("tot_u"))
-        w = u.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_tokens"), col("score_pm"),
-            expr("CAST(u * 1000000 div tot_u AS BIGINT)").as("w"))
-          .localCheckpoint()
-      }
-      w.crossJoin(broadcast(dom.agg(
-          sum(col("n_tokens")).cast("decimal(38,0)").as("tot_tok"))))
-        .select(col("source"), col("n_tokens"),
-          expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
-                 div tot_tok AS BIGINT)""").as("share_ppm"),
-          col("score_pm"), col("w").as("w_ppm"))
-        .orderBy(col("source"))
-    }),
+    "q_doremi_weights" -> ((s, d) =>
+      doremiWeights(s, d).orderBy(col("source"))),
+
+    // MIXTURE PLAN — the practical step after the weights: given the
+    // training token budget, the per-domain token allocation
+    // (budget · w_ppm / 1e6) and the implied epoch count over the
+    // domain's available tokens in centi-epochs — the "how many
+    // repeats of each domain does this mixture actually mean" table a
+    // run config is generated from (epochs > 1 flags upsampling, the
+    // memorization-risk knob). Pure integer arithmetic over the
+    // bounded weight table (DECIMAL(38,0) products so a 1e13-token
+    // budget never wraps); fully oracled by composing the doremi SQL.
+    "q_mixture_plan" -> ((s, d) =>
+      doremiWeights(s, d)
+        .select(col("source"), col("n_tokens"), col("w_ppm"))
+        .withColumn("alloc_tokens", expr(
+          s"""CAST(CAST(${Corpus.BudgetTokens} AS DECIMAL(38,0)) * w_ppm
+             div 1000000 AS BIGINT)"""))
+        .withColumn("epochs_cpm", expr(
+          """CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 100
+             div n_tokens AS BIGINT)"""))
+        .withColumn("upsampled", col("epochs_cpm") > 100L)
+        .orderBy(col("source"))),
 
     // Domain-level filtering: keep every document whose domain's
     // stop-density (per-mille, integer) is at or above the corpus-wide
@@ -781,6 +808,46 @@ object TextOps {
       .stripMargin
   }.mkString("\n  + ")
 
+  /** The DoReMi oracle SQL (no ORDER BY) — the same DoremiIters
+    * multiplicative-weights steps, unrolled as chained MATERIALIZED
+    * CTEs (recursive CTEs cannot aggregate the recursive term, and
+    * INLINED chained CTEs double the scan tree per level — measured:
+    * file-handle exhaustion at 8 levels); integer floors match
+    * Spark's div exactly. Shared by the q_doremi_weights and
+    * q_mixture_plan oracles.
+    */
+  private[graft] val doremiSql: String = {
+    val steps = (1 to DoremiIters).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT CAST(sum(w * score_pm) // sum(w) AS BIGINT)
+         |  AS ref FROM w${t - 1}),
+         |u$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
+         |  CAST(w AS HUGEINT) * (1000000 + $DoremiEtaPm
+         |    * (score_pm - (SELECT ref FROM r$t))) AS u
+         |  FROM w${t - 1}),
+         |w$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
+         |  CAST(u * 1000000 // (SELECT sum(u) FROM u$t) AS BIGINT)
+         |    AS w FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dom AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(list_filter(string_split(text, ' '),
+       |      x -> list_contains($stopSql, x)))) AS BIGINT) AS n_stop
+       |  FROM documents GROUP BY source),
+       |w0 AS MATERIALIZED (
+       |  SELECT source, n_tokens,
+       |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS score_pm,
+       |    CAST(1000000 // (SELECT count(*) FROM dom) AS BIGINT) AS w
+       |  FROM dom),
+       |$steps
+       |SELECT source, n_tokens,
+       |  CAST(CAST(n_tokens AS HUGEINT) * 1000000
+       |    // (SELECT sum(n_tokens) FROM dom) AS BIGINT) AS share_ppm,
+       |  score_pm, w AS w_ppm
+       |FROM w$DoremiIters""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_text_normalize" ->
       """SELECT doc_id,
@@ -873,41 +940,19 @@ object TextOps {
          |                      AS BIGINT) AS n_distinct
          |                  FROM documents) f) feats) scored
          |ORDER BY doc_id""".stripMargin,
-    "q_doremi_weights" -> {
-      // the same DoremiIters multiplicative-weights steps, unrolled as
-      // chained CTEs (recursive CTEs cannot aggregate the recursive
-      // term) — integer floors match Spark's div exactly
-      val steps = (1 to DoremiIters).map { t =>
-        s"""r$t AS MATERIALIZED (
-           |  SELECT CAST(sum(w * score_pm) // sum(w) AS BIGINT)
-           |  AS ref FROM w${t - 1}),
-           |u$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
-           |  CAST(w AS HUGEINT) * (1000000 + $DoremiEtaPm
-           |    * (score_pm - (SELECT ref FROM r$t))) AS u
-           |  FROM w${t - 1}),
-           |w$t AS MATERIALIZED (SELECT source, n_tokens, score_pm,
-           |  CAST(u * 1000000 // (SELECT sum(u) FROM u$t) AS BIGINT)
-           |    AS w FROM u$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH dom AS MATERIALIZED (
-         |  SELECT source,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-         |    CAST(sum(len(list_filter(string_split(text, ' '),
-         |      x -> list_contains($stopSql, x)))) AS BIGINT) AS n_stop
-         |  FROM documents GROUP BY source),
-         |w0 AS MATERIALIZED (
-         |  SELECT source, n_tokens,
-         |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS score_pm,
-         |    CAST(1000000 // (SELECT count(*) FROM dom) AS BIGINT) AS w
-         |  FROM dom),
-         |$steps
-         |SELECT source, n_tokens,
-         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000
-         |    // (SELECT sum(n_tokens) FROM dom) AS BIGINT) AS share_ppm,
-         |  score_pm, w AS w_ppm
-         |FROM w$DoremiIters
-         |ORDER BY source""".stripMargin
-    },
+    "q_doremi_weights" -> s"$doremiSql\nORDER BY source",
+    "q_mixture_plan" ->
+      s"""SELECT source, n_tokens, w_ppm,
+         |  CAST(CAST(${Corpus.BudgetTokens} AS HUGEINT) * w_ppm
+         |    // 1000000 AS BIGINT) AS alloc_tokens,
+         |  CAST(CAST(CAST(${Corpus.BudgetTokens} AS HUGEINT) * w_ppm
+         |    // 1000000 AS HUGEINT) * 100 // n_tokens AS BIGINT)
+         |    AS epochs_cpm,
+         |  CAST(CAST(CAST(${Corpus.BudgetTokens} AS HUGEINT) * w_ppm
+         |    // 1000000 AS HUGEINT) * 100 // n_tokens AS BIGINT) > 100
+         |    AS upsampled
+         |FROM ($doremiSql) t ORDER BY source""".stripMargin,
+
     "q_domain_stats" ->
       s"""SELECT source, n_docs, n_tokens, n_stop,
          |  CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_pm,

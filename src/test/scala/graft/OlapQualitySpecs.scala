@@ -1424,3 +1424,54 @@ class ClusterDistSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == nTotal)
   }
 }
+
+/** Benchmark-side contamination report: pair-table identity with the
+  * corpus-side view (both aggregate the same hits).
+  */
+class ContaminationReportSpec extends SparkSpec {
+  test("report and q_decontaminate agree on the pair table") {
+    val rep = run("q_contamination_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val dec = run("q_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rep.nonEmpty && dec.nonEmpty)
+    // sides: bdocs are the %97 split, corpus docs are not
+    assert(rep.forall(_._1 % 97 == 0))
+    assert(dec.forall(_._1 % 97 != 0))
+    // both views sum the SAME pair table
+    assert(rep.map(_._2).sum == dec.map(_._3).sum, "pair-count identity")
+    // the worst overlap is the same number seen from either side
+    assert(rep.map(_._4).max == dec.map(_._2).max)
+    // leakage consistency: contaminated corpus docs exist iff some
+    // benchmark doc reports a contaminating neighbor
+    assert(rep.exists(_._5) == dec.exists(_._4))
+    assert(rep.forall(r => r._5 == (r._3 > 0)))
+    // the fixture leaks by construction (exact dups cross the split)
+    assert(rep.exists(_._5))
+  }
+}
+
+/** Mixture plan: exact replay from the published weights. */
+class MixturePlanSpec extends SparkSpec {
+  test("allocations and epoch counts replay from q_doremi_weights") {
+    val w = run("q_doremi_weights").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val got = run("q_mixture_plan").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(got.keySet == w.keySet)
+    val budget = BigInt(text.Corpus.BudgetTokens)
+    w.foreach { case (src, (nTok, wppm)) =>
+      val (gTok, gW, alloc, epochs, up) = got(src)
+      assert(gTok == nTok && gW == wppm, src)
+      val expAlloc = (budget * wppm / 1000000).toLong
+      assert(alloc == expAlloc, s"$src alloc")
+      val expEpochs = (BigInt(expAlloc) * 100 / nTok).toLong
+      assert(epochs == expEpochs, s"$src epochs")
+      assert(up == (expEpochs > 100), src)
+    }
+    // floor allocations never exceed the budget
+    assert(got.values.map(_._3).sum <= text.Corpus.BudgetTokens)
+  }
+}
