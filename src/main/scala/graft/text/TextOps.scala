@@ -92,6 +92,49 @@ object TextOps {
         col("score_pm"), col("w").as("w_ppm"))
   }
 
+  /** The per-doc fluency-tercile table (doc_id, lang, score_pm,
+    * bucket) behind q_perplexity_buckets — shared with the curriculum
+    * schedule. Unordered.
+    */
+  private[graft] def pplBuckets(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+            .stripMargin)).as("bg"))
+      val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      // localCheckpoint: the thin (doc_id, lang, score_pm) table feeds
+      // BOTH the cutoff derivation and the final bucketing join —
+      // without the barrier Catalyst replays the corpus-wide bigram
+      // aggregate once per consumer (the q_market_basket lesson)
+      val score = bigrams.join(freq, "bg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000" +
+          " div count(1)").as("score_pm"))
+        .localCheckpoint()
+      val hist = score.groupBy(col("lang"), col("score_pm"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("score_pm").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(max(when(col("cum") * 3 >= col("tot"), col("score_pm")))
+            .as("h1"),
+          max(when(col("cum") * 3 >= col("tot") * 2, col("score_pm")))
+            .as("h2"))
+      score.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("score_pm"),
+          when(col("score_pm") >= col("h1"), "head")
+            .when(col("score_pm") >= col("h2"), "middle")
+            .otherwise("tail").as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // Explode → partial-agg → TakeOrderedAndProject: the map-side
@@ -438,45 +481,40 @@ object TextOps {
     // lands in the BETTER bucket — the corpus's mode sits at the top
     // score, and bottom-up cumulation would label the entire fluent
     // mode "tail". Fully oracled.
-    "q_perplexity_buckets" -> ((s, d) => {
+    "q_perplexity_buckets" -> ((s, d) =>
+      pplBuckets(s, d).orderBy(col("doc_id"))),
+
+    // CURRICULUM ordering — the training-schedule artifact (Bengio et
+    // al. 2009 easy-to-hard): documents ordered into stages by the
+    // LM-fluency terciles (head = most fluent trains first, then
+    // middle, then tail), with a deterministic within-stage shuffle —
+    // the same hash-shard + per-shard dense positions as
+    // q_corpus_shuffle (a loader reads stage 1 shards in any order,
+    // then stage 2 …; no RNG state, stable under retries, and no
+    // global row_number ever serializes the corpus through one task).
+    // Composes the oracled bucket table, so the whole schedule is
+    // FULLY ORACLED. One thin (doc_id, stage) table + one bounded
+    // per-(stage, shard) window.
+    "q_curriculum_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val bigrams = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          """transform(sequence(1, size(l) - 1),
-            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
-            .stripMargin)).as("bg"))
-      val freq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      // localCheckpoint: the thin (doc_id, lang, score_pm) table feeds
-      // BOTH the cutoff derivation and the final bucketing join —
-      // without the barrier Catalyst replays the corpus-wide bigram
-      // aggregate once per consumer (the q_market_basket lesson)
-      val score = bigrams.join(freq, "bg")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(expr("sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000" +
-          " div count(1)").as("score_pm"))
-        .localCheckpoint()
-      val hist = score.groupBy(col("lang"), col("score_pm"))
-        .agg(count(lit(1)).as("n"))
-      val wCum = Window.partitionBy(col("lang"))
-        .orderBy(col("score_pm").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cuts = hist
-        .withColumn("cum", sum(col("n")).over(wCum))
-        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
-        .groupBy(col("lang"))
-        .agg(max(when(col("cum") * 3 >= col("tot"), col("score_pm")))
-            .as("h1"),
-          max(when(col("cum") * 3 >= col("tot") * 2, col("score_pm")))
-            .as("h2"))
-      score.join(broadcast(cuts), "lang")
-        .select(col("doc_id"), col("lang"), col("score_pm"),
-          when(col("score_pm") >= col("h1"), "head")
-            .when(col("score_pm") >= col("h2"), "middle")
-            .otherwise("tail").as("bucket"))
+      val wPos = Window.partitionBy(col("stage_no"), col("shard"))
+        .orderBy(col("skey"), col("doc_id"))
+      pplBuckets(s, d)
+        .select(col("doc_id"),
+          when(col("bucket") === "head", 1L)
+            .when(col("bucket") === "middle", 2L)
+            .otherwise(3L).as("stage_no"))
+        .withColumn("skey",
+          md5(concat(col("doc_id").cast("string"), lit(":cur"))
+            .cast("binary")))
+        .withColumn("shard",
+          pmod(conv(substring(col("skey"), 1, 3), 16, 10).cast("long"),
+            lit(Corpus.ShuffleShards.toLong)))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+        .select(col("doc_id"), col("stage_no"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     }),
+
 
     // COLLOCATION mining — top bigram phrases by LIFT over
     // independence (observed/expected ratio, the rational PMI twin —
@@ -848,6 +886,42 @@ object TextOps {
        |FROM w$DoremiIters""".stripMargin
   }
 
+  /** The fluency-tercile oracle SQL (no ORDER BY) — shared by the
+    * q_perplexity_buckets and q_curriculum_order oracles.
+    */
+  private[graft] val pplBucketsSql: String =
+    """WITH bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+        |        FROM documents) t
+        |  WHERE len(l) >= 2),
+        |freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+        |score AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000
+        |      // count(*) AS BIGINT) AS score_pm
+        |  FROM bg JOIN freq USING (bg) GROUP BY doc_id, lang),
+        |hist AS (
+        |  SELECT lang, score_pm, count(*) AS n FROM score GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, score_pm,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY score_pm DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |    max(CASE WHEN cum * 3 >= tot THEN score_pm END) AS h1,
+        |    max(CASE WHEN cum * 3 >= tot * 2 THEN score_pm END) AS h2
+        |  FROM cum GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.score_pm,
+        |  CASE WHEN s.score_pm >= c.h1 THEN 'head'
+        |       WHEN s.score_pm >= c.h2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM score s JOIN cuts c USING (lang)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_normalize" ->
       """SELECT doc_id,
@@ -1018,38 +1092,24 @@ object TextOps {
         |JOIN uni ub ON b.w2 = ub.w
         |CROSS JOIN ntot n
         |ORDER BY lift_cpm DESC, n_ab DESC, w1, w2 LIMIT 50""".stripMargin,
-    "q_perplexity_buckets" ->
-      """WITH bg AS (
-        |  SELECT doc_id, lang, unnest(list_transform(
-        |    generate_series(1, len(l) - 1),
-        |    i -> l[i] || ' ' || l[i + 1])) AS bg
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
-        |        FROM documents) t
-        |  WHERE len(l) >= 2),
-        |freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
-        |score AS (
-        |  SELECT doc_id, lang,
-        |    CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) * 1000
-        |      // count(*) AS BIGINT) AS score_pm
-        |  FROM bg JOIN freq USING (bg) GROUP BY doc_id, lang),
-        |hist AS (
-        |  SELECT lang, score_pm, count(*) AS n FROM score GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT lang, score_pm,
-        |    sum(n) OVER (PARTITION BY lang ORDER BY score_pm DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(n) OVER (PARTITION BY lang) AS tot
-        |  FROM hist),
-        |cuts AS (
-        |  SELECT lang,
-        |    max(CASE WHEN cum * 3 >= tot THEN score_pm END) AS h1,
-        |    max(CASE WHEN cum * 3 >= tot * 2 THEN score_pm END) AS h2
-        |  FROM cum GROUP BY lang)
-        |SELECT s.doc_id, s.lang, s.score_pm,
-        |  CASE WHEN s.score_pm >= c.h1 THEN 'head'
-        |       WHEN s.score_pm >= c.h2 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM score s JOIN cuts c USING (lang) ORDER BY s.doc_id""".stripMargin,
+    "q_perplexity_buckets" -> s"$pplBucketsSql\nORDER BY doc_id",
+    "q_curriculum_order" ->
+      s"""WITH bk AS ($pplBucketsSql),
+         |cur AS (
+         |  SELECT doc_id,
+         |    CAST(CASE bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2
+         |      ELSE 3 END AS BIGINT) AS stage_no,
+         |    md5(CAST(doc_id AS VARCHAR) || ':cur') AS skey
+         |  FROM bk),
+         |sh AS (
+         |  SELECT doc_id, stage_no,
+         |    ('0x' || substr(skey, 1, 3))::BIGINT % ${Corpus.ShuffleShards}
+         |      AS shard, skey
+         |  FROM cur)
+         |SELECT doc_id, stage_no, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY stage_no, shard
+         |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "q_ngram_novelty" ->
       """WITH g0 AS (
         |  SELECT doc_id, unnest(list_transform(

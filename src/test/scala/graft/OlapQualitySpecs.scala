@@ -1475,3 +1475,29 @@ class MixturePlanSpec extends SparkSpec {
     assert(got.values.map(_._3).sum <= text.Corpus.BudgetTokens)
   }
 }
+
+/** Curriculum schedule: stages track the fluency buckets, positions
+  * are dense per (stage, shard), coverage is total.
+  */
+class CurriculumSpec extends SparkSpec {
+  test("stages mirror buckets; per-shard positions dense; every doc scheduled") {
+    val buckets = run("q_perplexity_buckets").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val got = run("q_curriculum_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == buckets.keySet, "coverage")
+    val stageOf = Map("head" -> 1L, "middle" -> 2L, "tail" -> 3L)
+    got.foreach { case (id, st, _, _) =>
+      assert(st == stageOf(buckets(id)), s"doc $id") }
+    // positions are dense 1..n within every (stage, shard)
+    got.groupBy(t => (t._2, t._3)).foreach { case (k, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq, s"$k")
+    }
+    // head and tail always fire; middle can be legitimately empty at
+    // tiny SFs (top-heavy tie mass — the PerplexityBucketsSpec note)
+    val stages = got.map(_._2).toSet
+    assert(stages.subsetOf(Set(1L, 2L, 3L)) &&
+      stages.contains(1L) && stages.contains(3L))
+    assert(got.map(_._3).distinct.length > 10)
+  }
+}
