@@ -54,10 +54,19 @@ object TextOps {
   val DoremiEtaPm = 500L
 
   /** The DoReMi multiplicative-weights iterate (see q_doremi_weights)
-    * — shared by the weights query and the mixture plan. Returns
-    * (source, n_tokens, share_ppm, score_pm, w_ppm), unordered.
+    * — shared by the weights query and the mixture plan, written ONCE
+    * as a layout (the q_sim_knn_graph precedent: the iterate is a
+    * deterministic pure function of the corpus, and a mixture-weight
+    * table is a per-corpus ARTIFACT every consumer re-reads, not a
+    * per-query recomputation). Returns (source, n_tokens, share_ppm,
+    * score_pm, w_ppm), unordered.
     */
-  private[graft] def doremiWeights(s: SparkSession, d: String): DataFrame = {
+  private[graft] def doremiWeights(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "doremi_weights") {
+      doremiIterate(s, d)
+    }
+
+  private[graft] def doremiIterate(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
     val dom = Tables.documents(s, d)
       .select(col("source"), expr("text_stats(split(text, ' '))").as("st"))

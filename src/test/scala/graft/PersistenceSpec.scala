@@ -232,3 +232,33 @@ class Round12PersistenceSpec extends SparkSpec {
       "knn_graph rebuilt")
   }
 }
+
+class Round13PersistenceSpec extends SparkSpec {
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  test("round-13 layouts (train_shards, datasheet_partials, doremi_weights) re-attach un-rebuilt") {
+    // force-build all three, then pin that consumers only READ
+    run("q_shard_export").collect()
+    run("q_datasheet_partials").collect()
+    run("q_doremi_weights").collect()
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val sfx = sources.Layouts.sfSuffix(sf)
+    Seq("train_shards", "datasheet_partials", "doremi_weights").foreach { n =>
+      val dir = wh.resolve(s"${n}_$sfx")
+      assert(Files.exists(dir.resolve("_SUCCESS")), n)
+      val files = Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, n)
+      val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+      run(n match {
+        case "train_shards" => "q_shard_export"
+        case "datasheet_partials" => "q_datasheet_partials"
+        case _ => "q_mixture_plan" // a DIFFERENT consumer of the layout
+      }).collect()
+      assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+        s"$n rebuilt")
+    }
+  }
+}
