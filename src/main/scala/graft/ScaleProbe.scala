@@ -97,6 +97,29 @@ object ScaleProbe {
       val lpUncapped = operators.Graph.wedgeCandidateCount(skew, 0)
       val ivf2Parts = sim.Ivf2.ivf2Index(spark, d)
         .select("cell", "fine").distinct().count()
+      // round-13: the two claims behind q_diversity_sample2 and
+      // q_shard_export, measured. (a) the MAX (cell, fine) stratum —
+      // the biggest rank-window partition the two-level sampler ever
+      // sorts — should be flat across SFs (exp ~0); (b) occupied
+      // shard count grows linearly (exp ~1) while the heaviest
+      // shard's token mass stays near the budget (exp ~0) — files
+      // stay loader-sized no matter the corpus.
+      import org.apache.spark.sql.functions.{count => cnt, lit,
+        max => mx, sum => sm}
+      val div2MaxOcc = sim.Ivf2.ivf2Index(spark, d)
+        .groupBy("cell", "fine")
+        .agg(cnt(lit(1)).as("n")).agg(mx("n")).head.getLong(0)
+      // adaptive regime: at these SFs the canonical 128-target leaves
+      // kf floored (cells ≤ 256 members), so the canonical reading
+      // above is floor-regime by construction (like semdedup_floor16);
+      // a target of 8 lifts kf off its floor at BOTH SFs and measures
+      // the bound the two-level law actually provides (exp ~0)
+      val div2MaxOccAdaptive = sim.Ivf2.fineMaxStratumFor(spark, d, 8)
+      val shardRow = text.Corpus.shardLayout(spark, d).groupBy("shard")
+        .agg(sm("n_tok").as("t"))
+        .agg(mx("t").as("m"), cnt(lit(1)).as("c")).head
+      val (shardCount, shardMaxTok) =
+        (shardRow.getAs[Long]("c"), shardRow.getAs[Long]("m"))
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -114,6 +137,10 @@ object ScaleProbe {
         s""""ivf2_candidates":$ivf2Cands""",
         s""""ivf2_partitions":$ivf2Parts""",
         s""""ivf2_mean_occupancy":${vecs / math.max(1L, ivf2Parts)}""",
+        s""""diversity2_max_stratum":$div2MaxOcc""",
+        s""""diversity2_max_stratum_target8":$div2MaxOccAdaptive""",
+        s""""shard_count":$shardCount""",
+        s""""shard_max_tokens":$shardMaxTok""",
         s""""triangle_edges":$triEdges""",
         s""""triangle_wedges":$triWedges""",
         s""""linkpred_skew_nodes":$skewN""",
@@ -123,7 +150,10 @@ object ScaleProbe {
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
         "sem_scaled" -> semScaled, "decontam_fuzzy" -> decontamCands,
-        "ivf2_cands" -> ivf2Cands, "tri_edges" -> triEdges,
+        "ivf2_cands" -> ivf2Cands, "div2_max" -> div2MaxOcc,
+        "div2_max_t8" -> div2MaxOccAdaptive,
+        "shard_count" -> shardCount, "shard_max_tok" -> shardMaxTok,
+        "tri_edges" -> triEdges,
         "tri_wedges" -> triWedges, "lp_skew_nodes" -> skewN,
         "lp_skew_capped" -> lpCapped, "lp_skew_uncapped" -> lpUncapped),
         secs)
@@ -148,6 +178,10 @@ object ScaleProbe {
         s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
         s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""",
         s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""",
+        s""""diversity2_max_stratum_exp":${f"${exp(d1vecs, d2vecs, c1("div2_max").toDouble, c2("div2_max").toDouble)}%.2f"}""",
+        s""""diversity2_max_stratum_target8_exp":${f"${exp(d1vecs, d2vecs, c1("div2_max_t8").toDouble, c2("div2_max_t8").toDouble)}%.2f"}""",
+        s""""shard_count_exp":${f"${exp(d1docs, d2docs, c1("shard_count").toDouble, c2("shard_count").toDouble)}%.2f"}""",
+        s""""shard_max_tokens_exp":${f"${exp(d1docs, d2docs, c1("shard_max_tok").toDouble, c2("shard_max_tok").toDouble)}%.2f"}""",
         s""""triangle_wedge_vs_edge_exp":${f"${exp(c1("tri_edges"), c2("tri_edges"), c1("tri_wedges").toDouble, c2("tri_wedges").toDouble)}%.2f"}""",
         s""""linkpred_skew_capped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_capped").toDouble, c2("lp_skew_capped").toDouble)}%.2f"}""",
         s""""linkpred_skew_uncapped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_uncapped").toDouble, c2("lp_skew_uncapped").toDouble)}%.2f"}""")

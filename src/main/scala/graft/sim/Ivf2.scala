@@ -109,6 +109,16 @@ object Ivf2 {
     */
   private[graft] def fineCentroids(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "ivf2_centroids") {
+      fineCentroidsFor(s, d, FineCellTarget)
+    }
+
+  /** The fine-quantizer fit at an explicit occupancy target — the
+    * layout build uses FineCellTarget; ScaleProbe calls with a small
+    * target to measure the ADAPTIVE regime (kf off its floor) at SFs
+    * where the canonical target leaves kf floored.
+    */
+  private[graft] def fineCentroidsFor(s: SparkSession, d: String,
+      target: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val idx = Similarity.ivfIndex(s, d)
@@ -117,7 +127,7 @@ object Ivf2 {
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       val sample = idx.join(broadcast(counts), "cell")
         .withColumn("kf", greatest(lit(FineFloor),
-          ceil(col("n_c").cast("double") / FineCellTarget)).cast("int"))
+          ceil(col("n_c").cast("double") / target)).cast("int"))
         .withColumn("cap", col("kf") * Similarity.IvfFitPerCell)
         // expectation 2·cap kept per cell; an under-sampled tail cell
         // still fits (Lloyd clamps k to its point count)
@@ -139,6 +149,30 @@ object Ivf2 {
         }
         .toDF("cell", "fine", "fcentroid")
     }
+
+  /** ScaleProbe readout: the LARGEST (cell, fine) stratum under a
+    * given occupancy target — assignment computed live from the
+    * probe-target fit (no layout write). Measures the adaptive-regime
+    * occupancy bound the two-level sampler's windows rely on.
+    */
+  private[graft] def fineMaxStratumFor(s: SparkSession, d: String,
+      target: Int): Long = {
+    val fcs = fineCentroidsFor(s, d, target)
+      .groupBy(col("cell"))
+      .agg(expr("sort_array(collect_list(struct(fine, fcentroid)))")
+        .as("fcs"))
+    Similarity.ivfIndex(s, d)
+      .join(broadcast(fcs), "cell")
+      .withColumn("best", expr(
+        """array_min(transform(fcs, f -> struct(
+          |  aggregate(zip_with(embedding, f.fcentroid,
+          |    (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |    cast(0.0 as double), (acc, x) -> acc + x) AS d2,
+          |  f.fine AS fine)))""".stripMargin))
+      .groupBy(col("cell"), col("best.fine"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+  }
 
   /** The two-level index layout: the corpus partitioned by
     * (cell, fine). Assignment broadcasts the per-cell centroid lists
