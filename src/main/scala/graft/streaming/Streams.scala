@@ -71,6 +71,44 @@ object Streams {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Documents replayed as four doc_id-sliced parquet files consumed
+    * one per micro-batch — the ingest-stream fixture for the
+    * incremental datasheet (same one-time build discipline as
+    * `eventsStreamMulti` below).
+    */
+  private def docsStreamMulti(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val schema = Tables.t(s, d, "documents").schema
+    val dir = Paths.get("/tmp", "graft_docstream4_" + Tables.cacheKey(d))
+    if (!Files.exists(dir.resolve("_READY"))) synchronized {
+      if (!Files.exists(dir.resolve("_READY"))) {
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createDirectories(dir)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val sliced = Tables.t(s, d, "documents")
+          .withColumn("__slice", ntile(4).over(w))
+        (1 to 4).foreach { i =>
+          val tmp = dir.resolve(s"__build_$i")
+          sliced.filter(col("__slice") === i).drop("__slice")
+            .coalesce(1).write.parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+          Files.setLastModifiedTime(dir.resolve(f"batch_$i%02d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createFile(dir.resolve("_READY"))
+      }
+    }
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
   /** Events replayed as three time-ordered parquet files consumed one
     * per micro-batch (`maxFilesPerTrigger 1`), so the watermark
     * genuinely ADVANCES between batches — append mode emits each
@@ -540,6 +578,48 @@ object Streams {
         rmTree(ckpt)
       }
       s.read.parquet(out).orderBy(col("event_type"))
+    }),
+
+    // STREAMING datasheet maintenance — the live twin of
+    // q_datasheet_partials: the document INGEST STREAM itself
+    // maintains the corpus datasheet, one bounded partial-cell write
+    // per micro-batch (foreachBatch, idempotent batch-keyed overwrite
+    // dirs — the upsert sink's redelivery discipline), and the
+    // published card merges the accumulated partials — sums add, HLL
+    // sketches union register-wise, Simpson marginals sum cells, so
+    // the STREAM's batch boundaries cannot change any published value
+    // (spec-pinned: every metric equals the batch-partials form
+    // exactly, including the HLL estimate). m00_n_batches witnesses
+    // that the stream really ran multi-batch. At 100 TB this is the
+    // observability sidecar on the ingest path: per batch one
+    // map-combined aggregate over the arriving slice, state = the
+    // bounded partial table, the corpus never rescanned.
+    "q_stream_datasheet" -> ((s, d) => {
+      val out = s"/tmp/graft_dsb_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, DrainStatePartitions)
+      val ckpt = s"$ckptRoot/graft_ckpt_ds_${sinkCounter.incrementAndGet()}"
+      val wide = graft.text.Quality.gopherWideOf(docsStreamMulti(s, d))
+      try {
+        val q = wide.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.text.Quality.datasheetPartialRows(
+                batch.withColumn("batch", lit(batchId)))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { s.conf.set(key, prev); rmTree(ckpt) }
+      val p = s.read.parquet(s"$out/b*")
+      val nb = p.select(col("batch")).distinct().count()
+      import s.implicits._
+      graft.text.Quality.datasheetMetrics(p)
+        .unionAll(Seq(("m00_n_batches", nb)).toDF("metric", "value"))
+        .orderBy(col("metric"))
     }),
 
     // Exactly-once streaming UPSERT — foreachBatch MERGE into a

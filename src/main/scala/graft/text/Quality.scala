@@ -51,24 +51,74 @@ object Quality {
     */
   private[graft] def datasheetPartials(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "datasheet_partials") {
-      gopherWide(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("keep"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
-          md5(col("text").cast("binary")).as("fp"))
-        .withColumn("batch", pmod(xxhash64(col("doc_id")), lit(16)))
-        .groupBy(col("batch"), col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-          hll_sketch_agg(col("fp"), lit(12)).as("fp_sk"))
+      datasheetPartialRows(
+        gopherWide(s, d)
+          .withColumn("batch", pmod(xxhash64(col("doc_id")), lit(16))))
     }
+
+  /** One ingest batch's partial cell rows — the SINGLE aggregate the
+    * incremental datasheet takes per batch. `docs` must carry the
+    * gopherWideOf columns plus a `batch` column.
+    */
+  private[graft] def datasheetPartialRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("batch"), col("lang"), col("source"), col("keep"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("batch"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        hll_sketch_agg(col("fp"), lit(12)).as("fp_sk"))
+
+  /** The metric-card derivation from ANY set of partial cell rows —
+    * shared by q_datasheet_partials and the streaming twin (merging
+    * is associative: sums add, HLL unions register-wise, Simpson
+    * marginals sum cells — the grouping of rows into batches cannot
+    * change any published value).
+    */
+  private[graft] def datasheetMetrics(partials: DataFrame): DataFrame = {
+    val p = partials.localCheckpoint()
+    val tot = p.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_keep")).as("n_keep"),
+        hll_sketch_estimate(hll_union_agg(col("fp_sk"), lit(false)))
+          .as("est_fp"))
+      .localCheckpoint()
+    def simpsonOf(keyCol: String, name: String) =
+      p.groupBy(col(keyCol)).agg(sum(col("n_docs")).as("n_g"))
+        .agg(sum(col("n_g").cast("decimal(38,0)") * col("n_g"))
+            .as("sq"),
+          sum(col("n_g")).cast("decimal(38,0)").as("nn"))
+        .select(lit(name).as("metric"),
+          expr("CAST(sq * 1000000 div (nn * nn) AS BIGINT)")
+            .as("value"))
+    tot.select(lit("m01_n_docs").as("metric"), col("n_docs").as("value"))
+      .unionAll(tot.select(lit("m02_n_tokens"), col("n_tokens")))
+      .unionAll(tot.select(lit("m03_mean_doc_tokens_cpm"),
+        expr("n_tokens * 100 div n_docs")))
+      .unionAll(tot.select(lit("m04_dup_docs_est"),
+        greatest(lit(0L),
+          (col("n_docs") - col("est_fp")).cast("long"))))
+      .unionAll(tot.select(lit("m05_gopher_keep_pm"),
+        expr("n_keep * 1000 div n_docs")))
+      .unionAll(simpsonOf("lang", "m06_lang_simpson_ppm"))
+      .unionAll(simpsonOf("source", "m07_source_simpson_ppm"))
+  }
 
   /** gopherTable plus the raw source/text columns — for composers
     * (the datasheet partials) that need the rule verdict AND the raw
     * row in the SAME single pass, without a self-join on doc_id.
     */
   private[graft] def gopherWide(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    gopherWideOf(Tables.documents(s, d))
+
+  /** The same rule projection over an arbitrary documents-shaped DF —
+    * streaming-safe (pure per-row expressions), used by the streaming
+    * datasheet twin on the ingest stream.
+    */
+  private[graft] def gopherWideOf(docs: DataFrame): DataFrame =
+    docs
         .withColumn("words", split(col("text"), " "))
         .withColumn("lines", split(col("text"), "\n"))
         .withColumn("n_words", size(col("words")).cast("long"))
@@ -275,35 +325,9 @@ object Quality {
     // 100 TB; the merge query stays metadata-sized forever. Rows-only
     // (sketch lineage); DatasheetPartialsSpec pins every exact metric
     // EQUAL to the batch datasheet and the dup estimate within ±5%.
-    "q_datasheet_partials" -> ((s, d) => {
-      val p = datasheetPartials(s, d).localCheckpoint()
-      val tot = p.agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          sum(col("n_keep")).as("n_keep"),
-          hll_sketch_estimate(hll_union_agg(col("fp_sk"), lit(false)))
-            .as("est_fp"))
-        .localCheckpoint()
-      def simpsonOf(keyCol: String, name: String) =
-        p.groupBy(col(keyCol)).agg(sum(col("n_docs")).as("n_g"))
-          .agg(sum(col("n_g").cast("decimal(38,0)") * col("n_g"))
-              .as("sq"),
-            sum(col("n_g")).cast("decimal(38,0)").as("nn"))
-          .select(lit(name).as("metric"),
-            expr("CAST(sq * 1000000 div (nn * nn) AS BIGINT)")
-              .as("value"))
-      tot.select(lit("m01_n_docs").as("metric"), col("n_docs").as("value"))
-        .unionAll(tot.select(lit("m02_n_tokens"), col("n_tokens")))
-        .unionAll(tot.select(lit("m03_mean_doc_tokens_cpm"),
-          expr("n_tokens * 100 div n_docs")))
-        .unionAll(tot.select(lit("m04_dup_docs_est"),
-          greatest(lit(0L),
-            (col("n_docs") - col("est_fp")).cast("long"))))
-        .unionAll(tot.select(lit("m05_gopher_keep_pm"),
-          expr("n_keep * 1000 div n_docs")))
-        .unionAll(simpsonOf("lang", "m06_lang_simpson_ppm"))
-        .unionAll(simpsonOf("source", "m07_source_simpson_ppm"))
-        .orderBy(col("metric"))
-    }),
+    "q_datasheet_partials" -> ((s, d) =>
+      datasheetMetrics(datasheetPartials(s, d))
+        .orderBy(col("metric"))),
 
     "q_dsir_weights" -> ((s, d) => {
       val tok = Tables.documents(s, d)

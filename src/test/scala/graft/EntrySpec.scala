@@ -49,7 +49,7 @@ class EntrySpec extends AnyFunSuite {
       "q_decontaminate_fuzzy", "q_bpe_merges", "q_bpe_encode",
       "q_graph_pagerank", "q_media_phash_dedup", "q_media_scene_cut",
       "q_media_pipeline", "q_unigram_encode", "q_diversity_sample",
-      "q_diversity_sample2", "q_datasheet_partials",
+      "q_diversity_sample2", "q_datasheet_partials", "q_stream_datasheet",
       "q_ivf_health",
       "q_weighted_sample", "q_join_card_est",
       "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",

@@ -2270,3 +2270,19 @@ class ShardExportSpec extends SparkSpec {
       _.references.exists(_.name == "shard")), reps.head.toString)
   }
 }
+
+/** Streaming datasheet: batch boundaries change nothing. */
+class StreamDatasheetSpec extends SparkSpec {
+  test("stream-maintained card equals the batch partials form exactly") {
+    val live = run("q_stream_datasheet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = run("q_datasheet_partials").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the stream genuinely ran multi-batch
+    assert(live("m00_n_batches") >= 2L, s"batches: ${live("m00_n_batches")}")
+    // every metric identical — INCLUDING the HLL estimate (register
+    // unions are associative, so the batch split cannot move it)
+    assert((live - "m00_n_batches") == batch,
+      s"live ${live - "m00_n_batches"} vs batch $batch")
+  }
+}
