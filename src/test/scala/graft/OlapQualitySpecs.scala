@@ -1501,3 +1501,23 @@ class CurriculumSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 10)
   }
 }
+
+/** Index-served retrieval: equals the rescan form; never reads text. */
+class IndexSearchSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("index-served BM25 equals q_bm25 row-for-row and scans only the index") {
+    val a = run("q_bm25").collect().map(_.toSeq).toSeq
+    val b = run("q_index_search").collect().map(_.toSeq).toSeq
+    assert(a == b, s"${a.take(2)} vs ${b.take(2)}")
+    assert(a.nonEmpty)
+    // the serving plan touches ONLY the written layouts — the corpus
+    // text is never re-tokenized (documents.parquet absent)
+    val p = run("q_index_search").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("text_index") && p.contains("doc_stats"), p)
+    // the postings read is pruned to the query terms (pushed filter)
+    assert(p.contains("PushedFilters: [In(term"), p)
+  }
+}
