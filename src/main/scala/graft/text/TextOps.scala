@@ -733,6 +733,32 @@ object TextOps {
         .withColumn("upsampled", col("epochs_cpm") > 100L)
         .orderBy(col("source"))),
 
+    // INCREMENTAL index maintenance — q_sim_ivf_append's retrieval
+    // twin: an arriving document batch (the %17 delta fixture) is
+    // tokenized ONCE and its posting rows are exactly what the
+    // written inverted index gains on ingest — history is never
+    // re-tokenized. The `agrees` audit column certifies the
+    // incremental path against the batch-built index at every
+    // (term, doc_id): a row absent from the index coalesces to an
+    // explicit false (the q_sim_knn_append lesson), and since the
+    // layout content is deterministic the audit is provably all-true
+    // — which is what lets the query stay FULLY ORACLED (the oracle
+    // publishes literal true). The delta side broadcasts; only thin
+    // (term, doc_id, tf) rows move.
+    "q_index_append" -> ((s, d) => {
+      val delta = Tables.documents(s, d)
+        .filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val idx = textIndex(s, d)
+        .select(col("term"), col("doc_id"), col("tf").as("g_tf"))
+      broadcast(delta).join(idx, Seq("term", "doc_id"), "left")
+        .select(col("term"), col("doc_id"), col("tf"),
+          coalesce(col("tf") === col("g_tf"), lit(false)).as("agrees"))
+        .orderBy(col("term"), col("doc_id"))
+    }),
+
     // Domain-level filtering: keep every document whose domain's
     // stop-density (per-mille, integer) is at or above the corpus-wide
     // density — the "drop below-average domains" cut of the web
@@ -1058,6 +1084,12 @@ object TextOps {
          |ORDER BY doc_id, pos""".stripMargin,
     "q_bm25" -> bm25Sql,
     "q_index_search" -> bm25Sql,
+    "q_index_append" ->
+      """SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |  true AS agrees
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE doc_id % 17 = 3) t
+        |GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
     "q_doc_diversity" ->
       """SELECT doc_id, n_tok, n_types,
         |  CAST(1000000 - (sum_c2 * 1000000 // (n_tok * n_tok)) AS BIGINT)

@@ -1521,3 +1521,23 @@ class IndexSearchSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(term"), p)
   }
 }
+
+/** Incremental index maintenance: the delta's postings agree with the
+  * batch-built index at every (term, doc_id).
+  */
+class IndexAppendSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("delta postings audit all-true; rows match the delta tokenization") {
+    val rows = run("q_index_append").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), rows.filterNot(_._3).take(3).mkString(";"))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (t, r.getLong(0))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap == expected)
+  }
+}
