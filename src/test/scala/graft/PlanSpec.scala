@@ -834,11 +834,13 @@ class Round12PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin [gh"), p)
   }
 
-  test("unigram train explodes the vocabulary once; total mass folds in broadcast") {
+  test("unigram train serves from the written piece-model layout, corpus untouched") {
+    // round-13: the trained model is a write-once layout (a tokenizer
+    // model is a per-corpus artifact), so a train READ is one layout
+    // scan + the publish sort — no corpus scan, no vocabulary explode
     val p = plan("q_unigram_train")
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("unigram_pieces"), p)
     assert(!p.contains("documents.parquet"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("diversity sample reads only thin (vec_id, cell) from the layout; alloc broadcasts") {
