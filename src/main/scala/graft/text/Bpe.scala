@@ -249,46 +249,37 @@ object Bpe {
       val pieces = learnedMerges(s, d).map(m => m._2 + m._3).distinct
       val byLen = pieces.groupBy(_.length)
       val lensDesc = byLen.keys.toSeq.sorted.reverse
-      val vocabAll = wordFreq(s, d)
-      // one driver scalar (max word length) bounds the scan loop —
-      // the same 1-row-collect budget as the BPE argmax steps. The
-      // aggregate is NULL on an empty corpus (0 scan rounds, empty
-      // result — no NPE), and the round count is CAPPED at WpScanCap:
-      // one pathological kilobyte-long "word" must not turn the query
-      // into a thousand blocking checkpoint rounds. Words longer than
-      // the cap finish via the residual per-char fallback below
-      // (single-char pieces — the open-vocabulary floor, and exactly
-      // what greedy matching degenerates to on adversarial strings);
-      // at this corpus's max word length (8 ≤ cap) the fallback is
-      // provably never taken.
-      val maxLenRow = vocabAll.agg(max(length(col("w")))).collect()(0)
-      val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-      // the greedy scan as a driver loop over the VOCABULARY table
-      // with per-step localCheckpoint: a single nested fold would
-      // re-embed the state expression several times per step and grow
-      // the Catalyst tree exponentially (measured: OOM at depth ~10);
-      // the checkpoint is a projection barrier, and the table it
-      // snapshots is vocabulary-bounded
-      var v = vocabAll
-        .select(col("w"), length(col("w")).cast("long").as("wc"),
-          lit(1).as("pos"), lit(0L).as("wp"))
-      for (_ <- 1 to math.min(maxLen, WpScanCap)) {
-        val adv = lensDesc.foldRight(lit(1)) { (l, els) =>
-          when(col("w").substr(col("pos"), lit(l))
-            .isInCollection(byLen(l)), lit(l)).otherwise(els)
-        }
-        v = v.select(col("w"), col("wc"),
-          when(col("pos") > col("wc"), col("pos"))
-            .otherwise(col("pos") + adv).as("pos"),
-          when(col("pos") > col("wc"), col("wp"))
-            .otherwise(col("wp") + 1).as("wp"))
-          .localCheckpoint()
+      // the greedy scan is ONE runtime fold per distinct word (the
+      // q_unigram_encode rewrite): `aggregate` over WpScanCap steps
+      // with a (pos, wp) state struct — a runtime lambda iterates
+      // with a constant-size plan, so neither the Catalyst tree
+      // blow-up that forced the old per-step checkpoint barriers nor
+      // the max-word-length driver scalar applies. The piece sets are
+      // bounded literal arrays (the learned-merge vocabulary); the
+      // step cap bounds a pathological kilobyte-long "word", whose
+      // tail finishes via the residual per-char fallback (the
+      // open-vocabulary floor — exactly what greedy matching
+      // degenerates to on adversarial strings; provably never taken
+      // at this corpus's max word length ≤ cap).
+      val advSql = lensDesc.foldRight("1") { (l, els) =>
+        val arr = byLen(l).map(p =>
+          "'" + p.replace("'", "\\'") + "'").mkString(", ")
+        s"IF(array_contains(array($arr), substring(w, st.pos, $l)), $l, $els)"
       }
-      // residual fallback: any word still unfinished after WpScanCap
-      // rounds tokenizes its tail as single-char pieces
-      val vocab = v.select(col("w"), col("wc"),
-        when(col("pos") > col("wc"), col("wp"))
-          .otherwise(col("wp") + (col("wc") - col("pos") + 1)).as("wp"))
+      val vocab = wordFreq(s, d)
+        .select(col("w"), length(col("w")).cast("long").as("wc"))
+        .withColumn("st", expr(s"""
+          |aggregate(sequence(1, least(cast(wc AS INT), $WpScanCap)),
+          |  struct(1 AS pos, 0L AS wp),
+          |  (st, _s) -> IF(st.pos > wc, st,
+          |    struct(st.pos + $advSql AS pos, st.wp + 1L AS wp)))"""
+          .stripMargin))
+        // residual fallback: a word still unfinished after the capped
+        // steps tokenizes its tail as single-char pieces
+        .select(col("w"), col("wc"),
+          when(col("st.pos") > col("wc"), col("st.wp"))
+            .otherwise(col("st.wp") +
+              (col("wc") - col("st.pos") + 1)).as("wp"))
       val vocabRows = vocab.count()
       val dict = if (vocabRows <= 4L * 1000 * 1000) broadcast(vocab) else vocab
       Tables.documents(s, d)
