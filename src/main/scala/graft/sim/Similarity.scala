@@ -1023,6 +1023,43 @@ object Similarity {
       perCell.unionByName(overall).orderBy(col("cell"))
     }),
 
+    // EMBEDDING OUTLIER detection — the corrupted-vector review queue
+    // (q_anomaly_zscore's vector sibling, composing the IVF health
+    // machinery): a vector whose quantization residual sits far above
+    // its OWN cell's distribution is a truncated/zeroed/mis-scaled
+    // embedding or an out-of-domain row — the rows a vector store
+    // quarantines before they poison retrieval. Per-cell mean/σ of d2
+    // (cells are the right reference class: a global threshold would
+    // flag every member of a naturally-wide cell), flag d2 > μ + 2σ
+    // in cells with ≥ 8 members (below that σ is noise). Shape: one
+    // pass over the written cell-partitioned index with broadcast
+    // centroids (the q_ivf_health d2 kernel, checkpointed once), one
+    // bounded ≤ k-row moment aggregate broadcast back — the corpus
+    // never reshuffles. Rows-only (k-means lineage + FP moments);
+    // EmbedOutlierSpec replays the flags from the two written layouts
+    // with a boundary-tolerance band.
+    "q_embed_outliers" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+      val cents = ivfCentroids(s, d)
+      val d2 = idx.join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), expr(
+          """aggregate(zip_with(embedding, centroid,
+            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+          .as("d2"))
+        .localCheckpoint()
+      val stats = d2.groupBy(col("cell"))
+        .agg(avg(col("d2")).as("mu"), stddev_samp(col("d2")).as("sd"),
+          count(lit(1)).as("n_c"))
+      d2.join(broadcast(stats), "cell")
+        .filter(col("n_c") >= 8 &&
+          col("d2") > col("mu") + lit(2.0) * col("sd"))
+        .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("d2"),
+          round(col("mu"), 6).as("cell_mean"),
+          round(col("sd"), 6).as("cell_sd"))
+        .orderBy(col("vec_id"))
+    }),
+
     // BITEXT MINING by the margin criterion (Artetxe & Schwenk 2019;
     // the CCMatrix/LASER parallel-corpus pairing rule): for each
     // source-language vector, its best target-language match is

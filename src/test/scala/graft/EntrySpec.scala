@@ -29,6 +29,21 @@ class EntrySpec extends AnyFunSuite {
       "SURVEY rows-only count disagrees with the registry")
   }
 
+  test("tools/check.py ROWS_ONLY mirrors the registry's rows-only set") {
+    // the driver-side allowlist lives in python; if it drifts from the
+    // scala registry the driver misclassifies a query — fail here, not
+    // in the round report
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/check.py")), "UTF-8")
+    val block = py.substring(py.indexOf("ROWS_ONLY = {"),
+      py.indexOf("}", py.indexOf("ROWS_ONLY = {")))
+    val pySet = """"(q_[a-z0-9_]+)"""".r
+      .findAllMatchIn(block).map(_.group(1)).toSet
+    val registrySet = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(pySet == registrySet,
+      s"check.py only: ${pySet -- registrySet}; registry only: ${registrySet -- pySet}")
+  }
+
   test("every query has either an oracle or a deliberate rows-only contract") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
@@ -50,6 +65,7 @@ class EntrySpec extends AnyFunSuite {
       "q_graph_pagerank", "q_media_phash_dedup", "q_media_scene_cut",
       "q_media_pipeline", "q_unigram_encode", "q_diversity_sample",
       "q_diversity_sample2", "q_datasheet_partials", "q_stream_datasheet",
+      "q_embed_outliers",
       "q_ivf_health",
       "q_weighted_sample", "q_join_card_est",
       "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",

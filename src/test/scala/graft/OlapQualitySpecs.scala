@@ -1541,3 +1541,44 @@ class IndexAppendSpec extends SparkSpec {
     assert(rows.map(t => t._1 -> t._2).toMap == expected)
   }
 }
+
+/** Embedding outliers: flags replay from the written IVF layouts. */
+class EmbedOutlierSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-cell 2-sigma flags replay within a boundary tolerance") {
+    val idx = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("cell"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val cents = sim.Similarity.ivfCentroids(spark, sf)
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Double](1).toArray).toMap
+    def d2Of(v: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) {
+        val t = v(i).toDouble - c(i); acc += t * t; i += 1
+      }
+      acc
+    }
+    val d2s = idx.map { case (id, cell, e) => (id, cell, d2Of(e, cents(cell))) }
+    val byCell = d2s.groupBy(_._2)
+    val margins = d2s.flatMap { case (id, cell, d2) =>
+      val ds = byCell(cell).map(_._3)
+      if (ds.length < 8) None else {
+        val mu = ds.sum / ds.length
+        val sd = math.sqrt(ds.map(x => (x - mu) * (x - mu)).sum / (ds.length - 1))
+        Some(id -> (d2 - (mu + 2.0 * sd)))
+      }
+    }.toMap
+    val got = run("q_embed_outliers").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "no outliers flagged at this SF")
+    // every flagged row is genuinely at/above the replayed threshold,
+    // and every clearly-over row is flagged (1e-6 boundary band for
+    // FP summation-order differences)
+    got.foreach(id => assert(margins(id) > -1e-6, s"vec $id"))
+    margins.foreach { case (id, m) =>
+      if (m > 1e-6) assert(got.contains(id), s"vec $id missed")
+    }
+  }
+}
