@@ -404,6 +404,31 @@ object Corpus {
         .orderBy(col("source"))
     }),
 
+    // WRAPPED sequence packing — the GPT-style packing that FIXES the
+    // overfill q_pack_efficiency measures: a document straddling a
+    // 2048-token bin boundary SPLITS at the boundary (its tail
+    // continues in the next bin) instead of overfilling the bin where
+    // it starts, so every bin except each source's last holds exactly
+    // 2048 tokens — zero padding, zero spill (spec-pinned). Each doc
+    // emits one (bin, in-doc offset, length) segment per bin it
+    // touches — pure integer interval math over the same two-phase
+    // prefix sum as q_seq_pack, a bounded explode (≤ n_tok/2048 + 1
+    // segments per doc), no new shuffle. Fully oracled.
+    "q_pack_wrap" -> ((s, d) =>
+      seqPacked(s, d)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("running") - col("n_tok")).as("s0"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("s0"),
+          explode(expr(
+            "sequence(s0 div 2048, (s0 + n_tok - 1) div 2048)"))
+            .as("bin"))
+        .select(col("doc_id"), col("source"), col("bin"),
+          (greatest(col("s0"), col("bin") * 2048) - col("s0"))
+            .as("seg_off"),
+          (least(col("s0") + col("n_tok"), (col("bin") + 1) * 2048) -
+            greatest(col("s0"), col("bin") * 2048)).as("seg_tokens"))
+        .orderBy(col("doc_id"), col("bin"))),
+
     // TRAINING-EXPORT shard writer — the step that hands the packed
     // corpus to a training job: the packed-sequence table is written
     // ONCE as a shard-partitioned layout (shard count = ⌈corpus
@@ -844,6 +869,27 @@ object Corpus {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |        FROM documents) t) w
         |ORDER BY doc_id""".stripMargin,
+    "q_pack_wrap" ->
+      s"""WITH packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents) t),
+         |b AS (
+         |  SELECT doc_id, source, n_tok, running - n_tok AS s0
+         |  FROM packed),
+         |seg AS (
+         |  SELECT doc_id, source, n_tok, s0,
+         |    unnest(generate_series(s0 // 2048,
+         |      (s0 + n_tok - 1) // 2048)) AS bin
+         |  FROM b)
+         |SELECT doc_id, source, CAST(bin AS BIGINT) AS bin,
+         |  CAST(GREATEST(s0, bin * 2048) - s0 AS BIGINT) AS seg_off,
+         |  CAST(LEAST(s0 + n_tok, (bin + 1) * 2048)
+         |    - GREATEST(s0, bin * 2048) AS BIGINT) AS seg_tokens
+         |FROM seg ORDER BY doc_id, bin""".stripMargin,
     "q_pack_efficiency" ->
       s"""WITH packed AS (
          |  SELECT doc_id, source, n_tok,

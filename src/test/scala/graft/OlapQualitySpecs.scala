@@ -1582,3 +1582,47 @@ class EmbedOutlierSpec extends SparkSpec {
     }
   }
 }
+
+/** Wrapped packing: exact 2048 fills, zero spill, doc conservation. */
+class PackWrapSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("every non-final bin holds exactly 2048 tokens; docs partition exactly") {
+    val segs = run("q_pack_wrap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    // per-doc conservation: segment lengths partition [0, n_tok)
+    val docs = run("q_seq_pack").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._5).sum == docs(id), s"doc $id total")
+      var off = 0L
+      sorted.foreach { s0 =>
+        assert(s0._4 == off, s"doc $id offset"); off += s0._5
+      }
+    }
+    // bin fills: exactly 2048 everywhere except each source's last bin
+    val fills = segs.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.map(_._5).sum).toMap
+    val lastBin = fills.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    fills.foreach { case ((src, bin), f) =>
+      if (bin < lastBin(src)) assert(f == 2048L, s"($src, $bin) = $f")
+      else assert(f <= 2048L, s"($src, $bin) last = $f")
+    }
+    // exact segment-count law: a doc emits one segment per boundary
+    // it crosses plus one — replayed from the seq-pack running sum
+    // (at sf0.001 every source fits one bin, so nothing wraps and
+    // every count is 1; the law still certifies that)
+    val runs = run("q_seq_pack").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val (nTok, running) = runs(id)
+      val s0 = running - nTok
+      val expSegs = ((s0 + nTok - 1) / 2048 - s0 / 2048 + 1).toInt
+      assert(ss.length == expSegs, s"doc $id segments")
+    }
+  }
+}
