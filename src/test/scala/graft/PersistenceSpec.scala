@@ -233,6 +233,39 @@ class Round12PersistenceSpec extends SparkSpec {
   }
 }
 
+/** Round-14 layouts: the business-graph edge lists. Four of the
+  * bench's six most expensive queries used to re-derive
+  * lineitem⋈orders (+ the per-order pair join) per run; since round
+  * 11 both edge tables are write-once layouts every graph query
+  * re-attaches to.
+  */
+class Round14PersistenceSpec extends SparkSpec {
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  test("graph pair/co-edge layouts re-attach; every graph query reads, never rebuilds") {
+    run("q_graph_pagerank").collect()
+    run("q_graph_triangles").collect()
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val sfx = sources.Layouts.sfSuffix(sf)
+    Seq("graph_pairs", "graph_coedges").foreach { n =>
+      val dir = wh.resolve(s"${n}_$sfx")
+      assert(Files.exists(dir.resolve("_SUCCESS")), n)
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, n)
+      val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+      // every family member consults only the written files
+      Seq("q_graph_pagerank", "q_graph_hits", "q_graph_triangles",
+        "q_graph_linkpred", "q_graph_degree_dist")
+        .foreach(q => run(q).collect())
+      assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+        s"$n rebuilt")
+    }
+  }
+}
+
 class Round13PersistenceSpec extends SparkSpec {
   import java.nio.file.Files
   import scala.jdk.CollectionConverters._
