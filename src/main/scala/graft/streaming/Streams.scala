@@ -71,15 +71,20 @@ object Streams {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  /** Documents replayed as four doc_id-sliced parquet files consumed
+  /** Documents replayed as four hash-sliced parquet files consumed
     * one per micro-batch — the ingest-stream fixture for the
     * incremental datasheet (same one-time build discipline as
-    * `eventsStreamMulti` below).
+    * `eventsStreamMulti` below). The 4-way slice is `pmod(xxhash64
+    * (doc_id), 4)` — the same hash-shard discipline as
+    * `datasheetPartials`' batch column — NOT an ntile over a global
+    * Window.orderBy, which would funnel the whole table through one
+    * task in the fixture build. Datasheet merging is associative, so
+    * batch composition cannot move any published metric.
     */
   private def docsStreamMulti(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val schema = Tables.t(s, d, "documents").schema
-    val dir = Paths.get("/tmp", "graft_docstream4_" + Tables.cacheKey(d))
+    val dir = Paths.get("/tmp", "graft_docstream4h_" + Tables.cacheKey(d))
     if (!Files.exists(dir.resolve("_READY"))) synchronized {
       if (!Files.exists(dir.resolve("_READY"))) {
         if (Files.exists(dir)) {
@@ -87,9 +92,8 @@ object Streams {
           Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
         }
         Files.createDirectories(dir)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         val sliced = Tables.t(s, d, "documents")
-          .withColumn("__slice", ntile(4).over(w))
+          .withColumn("__slice", (pmod(xxhash64(col("doc_id")), lit(4)) + 1).cast("int"))
         (1 to 4).foreach { i =>
           val tmp = dir.resolve(s"__build_$i")
           sliced.filter(col("__slice") === i).drop("__slice")

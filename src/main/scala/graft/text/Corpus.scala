@@ -416,6 +416,13 @@ object Corpus {
     // segments per doc), no new shuffle. Fully oracled.
     "q_pack_wrap" -> ((s, d) =>
       seqPacked(s, d)
+        // n_tok >= 1 invariant, enforced rather than assumed: for a
+        // hypothetical 0-token row Spark's sequence(a, a-1) would
+        // yield a DESCENDING 2-element array (two spurious segments)
+        // where DuckDB's generate_series yields the empty set — the
+        // filter makes both engines agree by construction even if
+        // tokenization ever changes
+        .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("source"), col("n_tok"),
           (col("running") - col("n_tok")).as("s0"))
         .select(col("doc_id"), col("source"), col("n_tok"), col("s0"),

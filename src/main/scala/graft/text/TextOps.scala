@@ -743,8 +743,9 @@ object TextOps {
     // explicit false (the q_sim_knn_append lesson), and since the
     // layout content is deterministic the audit is provably all-true
     // — which is what lets the query stay FULLY ORACLED (the oracle
-    // publishes literal true). The delta side broadcasts; only thin
-    // (term, doc_id, tf) rows move.
+    // publishes literal true). Both joins broadcast (semi-prefilter,
+    // then the thin filtered postings as the outer build side); the
+    // postings index itself never shuffles.
     "q_index_append" -> ((s, d) => {
       val delta = Tables.documents(s, d)
         .filter(col("doc_id") % 17 === 3)
@@ -753,7 +754,17 @@ object TextOps {
         .agg(count(lit(1)).as("tf"))
       val idx = textIndex(s, d)
         .select(col("term"), col("doc_id"), col("tf").as("g_tf"))
-      broadcast(delta).join(idx, Seq("term", "doc_id"), "left")
+      // Spark can only build the RIGHT side of a LeftOuter broadcast
+      // join, so a hint on the preserved delta side would silently
+      // degrade to a shuffle over the full postings index. Instead the
+      // index is prefiltered to the delta's (term, doc_id) keys with a
+      // broadcast LEFT SEMI (one streaming pass over the postings, no
+      // index shuffle), and the resulting ≤|delta| thin rows broadcast
+      // as the outer join's build side — only thin rows ever move.
+      val idxThin = idx.join(
+        broadcast(delta.select(col("term"), col("doc_id"))),
+        Seq("term", "doc_id"), "leftsemi")
+      delta.join(broadcast(idxThin), Seq("term", "doc_id"), "left")
         .select(col("term"), col("doc_id"), col("tf"),
           coalesce(col("tf") === col("g_tf"), lit(false)).as("agrees"))
         .orderBy(col("term"), col("doc_id"))

@@ -1540,6 +1540,18 @@ class IndexAppendSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(rows.map(t => t._1 -> t._2).toMap == expected)
   }
+
+  test("the postings index never shuffles: semi-prefilter and outer join both broadcast") {
+    // the preserved side of a LeftOuter can't be a broadcast build
+    // side, so the plan must prefilter the index (broadcast LEFT SEMI)
+    // and broadcast the thin survivors — never sort-merge/shuffle the
+    // full postings index
+    val p = run("q_index_append").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val semi = "LeftSemi".r.findAllIn(p).length
+    assert(semi >= 1, s"expected a broadcast LEFT SEMI prefilter:\n$p")
+  }
 }
 
 /** Embedding outliers: flags replay from the written IVF layouts. */
