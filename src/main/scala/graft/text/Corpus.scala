@@ -62,11 +62,18 @@ object Corpus {
     * q_seq_pack's body, shared with the shard exporter. Two-phase
     * distributed prefix sum; see the q_seq_pack comment.
     */
-  private[graft] def seqPacked(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+  private[graft] def seqPacked(s: SparkSession, d: String): DataFrame =
+    seqPackedOf(Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        size(split(col("text"), " ")).cast("long").as("n_tok")))
+
+  /** The two-phase prefix-sum packing over ANY (doc_id, source, n_tok)
+    * table — exposed so specs can drive multi-bin synthetic corpora
+    * through the exact production arithmetic.
+    */
+  private[graft] def seqPackedOf(docs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0
       .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
     val wOff = Window.partitionBy(col("source")).orderBy(col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -115,6 +122,61 @@ object Corpus {
       val nsh = ((totTok + ShardTokenBudget - 1) / ShardTokenBudget)
         .toInt.max(1)
       shardAssigned(s, d, nsh)
+    }
+
+  /** The wrapped-packing segment table (doc_id, source, bin, seg_off,
+    * seg_tokens) — q_pack_wrap's body, shared with the wrapped shard
+    * exporter. A document straddling a 2048-token bin boundary SPLITS
+    * at the boundary, so every bin except each source's last holds
+    * exactly 2048 tokens (zero spill). Pure integer interval math over
+    * seqPacked's two-phase prefix sum; bounded explode.
+    */
+  private[graft] def wrapPacked(s: SparkSession, d: String): DataFrame =
+    wrapPackedOf(seqPacked(s, d))
+
+  /** The wrap/split interval math over ANY seqPacked-shaped table. */
+  private[graft] def wrapPackedOf(packed: DataFrame): DataFrame =
+    packed
+      // n_tok >= 1 invariant, enforced rather than assumed: for a
+      // 0-token row Spark's sequence(a, a-1) would yield a DESCENDING
+      // 2-element array where DuckDB's generate_series yields the
+      // empty set — the filter makes both engines agree by
+      // construction even if tokenization ever changes
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("running") - col("n_tok")).as("s0"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("s0"),
+        explode(expr(
+          "sequence(s0 div 2048, (s0 + n_tok - 1) div 2048)"))
+          .as("bin"))
+      .select(col("doc_id"), col("source"), col("bin"),
+        (greatest(col("s0"), col("bin") * 2048) - col("s0"))
+          .as("seg_off"),
+        (least(col("s0") + col("n_tok"), (col("bin") + 1) * 2048) -
+          greatest(col("s0"), col("bin") * 2048)).as("seg_tokens"))
+
+  /** The wrapped-packing training-shard layout — the export path a
+    * trainer should actually consume: q_shard_export's layout ships
+    * the OVERFILLING q_seq_pack packing (whose spill
+    * q_pack_efficiency measures); this one ships q_pack_wrap's
+    * zero-spill segments. Same shard law (count = ⌈corpus tokens /
+    * ShardTokenBudget⌉ — wrapped packing conserves tokens, so the
+    * derived count is identical), same whole-sequence hashing (a
+    * (source, bin) training sequence never splits across shard
+    * files; its SEGMENTS travel together), same one hash repartition.
+    */
+  private[graft] def wrapShardLayout(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "train_shards_wrapped",
+        partitionCols = Seq("shard")) {
+      val totTok = seqPacked(s, d).agg(sum(col("n_tok"))).head.getLong(0)
+      val nsh = ((totTok + ShardTokenBudget - 1) / ShardTokenBudget)
+        .toInt.max(1)
+      wrapPacked(s, d)
+        .withColumn("shard",
+          pmod(conv(substring(md5(concat(col("source"), lit(":"),
+              col("bin").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long"), lit(nsh.toLong)))
+        .repartition(nsh, col("shard"))
     }
 
   /** q_token_budget total training-token budget. A knob, not a scale
@@ -415,26 +477,34 @@ object Corpus {
     // prefix sum as q_seq_pack, a bounded explode (≤ n_tok/2048 + 1
     // segments per doc), no new shuffle. Fully oracled.
     "q_pack_wrap" -> ((s, d) =>
-      seqPacked(s, d)
-        // n_tok >= 1 invariant, enforced rather than assumed: for a
-        // hypothetical 0-token row Spark's sequence(a, a-1) would
-        // yield a DESCENDING 2-element array (two spurious segments)
-        // where DuckDB's generate_series yields the empty set — the
-        // filter makes both engines agree by construction even if
-        // tokenization ever changes
-        .filter(col("n_tok") > 0)
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          (col("running") - col("n_tok")).as("s0"))
-        .select(col("doc_id"), col("source"), col("n_tok"), col("s0"),
-          explode(expr(
-            "sequence(s0 div 2048, (s0 + n_tok - 1) div 2048)"))
-            .as("bin"))
-        .select(col("doc_id"), col("source"), col("bin"),
-          (greatest(col("s0"), col("bin") * 2048) - col("s0"))
-            .as("seg_off"),
-          (least(col("s0") + col("n_tok"), (col("bin") + 1) * 2048) -
-            greatest(col("s0"), col("bin") * 2048)).as("seg_tokens"))
-        .orderBy(col("doc_id"), col("bin"))),
+      wrapPacked(s, d).orderBy(col("doc_id"), col("bin"))),
+
+    // WRAPPED-PACKING shard export — q_shard_export with the packing a
+    // trainer actually wants: the layout shards q_pack_wrap's
+    // zero-spill segments (every non-final bin per source holds
+    // exactly 2048 tokens — ShardExportSpec pins it on the written
+    // files) instead of q_seq_pack's overfilling bins. Shard count,
+    // whole-sequence hashing, manifest discipline and the
+    // order-independent fingerprint all match the flat exporter; the
+    // manifest adds n_segs (segments ≥ docs — boundary-straddling
+    // documents contribute one row per touched bin, so n_docs needs a
+    // distinct). Everything is a pure function of (documents, budget)
+    // ⇒ FULLY ORACLED by composing the pack-wrap SQL with the shard
+    // assignment.
+    "q_shard_export_wrapped" -> ((s, d) =>
+      wrapShardLayout(s, d)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(concat(col("source"), lit(":"),
+            col("bin").cast("string"))).as("n_seqs"),
+          count(lit(1)).as("n_segs"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("seg_tokens")).as("n_tokens"),
+          (sum(conv(substring(
+              md5(concat(col("doc_id").cast("string"), lit(":"),
+                col("bin").cast("string")).cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard"))),
 
     // TRAINING-EXPORT shard writer — the step that hands the packed
     // corpus to a training job: the packed-sequence table is written
@@ -956,6 +1026,47 @@ object Corpus {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
          |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_shard_export_wrapped" ->
+      s"""WITH packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents) t),
+         |b AS (
+         |  SELECT doc_id, source, n_tok, running - n_tok AS s0
+         |  FROM packed WHERE n_tok > 0),
+         |seg AS (
+         |  SELECT doc_id, source, n_tok, s0,
+         |    unnest(generate_series(s0 // 2048,
+         |      (s0 + n_tok - 1) // 2048)) AS bin
+         |  FROM b),
+         |segs AS (
+         |  SELECT doc_id, source, CAST(bin AS BIGINT) AS bin,
+         |    CAST(LEAST(s0 + n_tok, (bin + 1) * 2048)
+         |      - GREATEST(s0, bin * 2048) AS BIGINT) AS seg_tokens
+         |  FROM seg),
+         |nsh AS (
+         |  SELECT CAST(GREATEST(1,
+         |    (sum(seg_tokens) + $ShardTokenBudget - 1) // $ShardTokenBudget)
+         |    AS BIGINT) AS n
+         |  FROM segs),
+         |a AS (
+         |  SELECT doc_id, source, bin, seg_tokens,
+         |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
+         |      1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM segs)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT source || ':' || CAST(bin AS VARCHAR))
+         |    AS BIGINT) AS n_seqs,
+         |  count(*) AS n_segs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(seg_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |      || ':' || CAST(bin AS VARCHAR)), 1, 8))::BIGINT) AS HUGEINT)
          |    % 1000000000000000000 AS BIGINT) AS fingerprint
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q_corpus_shuffle" ->

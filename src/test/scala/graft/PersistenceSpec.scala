@@ -264,6 +264,21 @@ class Round14PersistenceSpec extends SparkSpec {
         s"$n rebuilt")
     }
   }
+
+  test("wrapped train-shard layout re-attaches un-rebuilt") {
+    run("q_shard_export_wrapped").collect()
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"train_shards_wrapped_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val files = Files.walk(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    run("q_shard_export_wrapped").collect()
+    assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+      "train_shards_wrapped rebuilt")
+  }
 }
 
 class Round13PersistenceSpec extends SparkSpec {
