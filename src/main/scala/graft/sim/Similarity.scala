@@ -155,10 +155,18 @@ object Similarity {
     * ScaleProbe so the cell-count knob can be measured at any k
     * without touching the canonical written index.
     */
-  private[graft] def ivfAssign(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def ivfAssign(s: SparkSession, d: String, k: Int): DataFrame =
+    ivfAssignOf(Tables.embeddings(s, d), k)
+
+  /** The same fit-on-a-bounded-sample + distributed label pass over
+    * ANY (vec_id, embedding) table — shared by the canonical index
+    * build and the refit operator (which fits on base ∪ appended
+    * delta).
+    */
+  private[graft] def ivfAssignOf(e0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.embeddings(s, d)
+    val e = e0
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
     val fitSample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -192,12 +200,54 @@ object Similarity {
     */
   private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "ivf_centroids") {
-      ivfIndex(s, d)
-        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("centroid"))
+      centroidsOf(ivfIndex(s, d))
+    }
+
+  /** Mean member vector per cell over ANY (cell, embedding) table —
+    * the derive-from-the-index discipline shared by the canonical
+    * centroids and the refit's refreshed centroids.
+    */
+  private[graft] def centroidsOf(idx: DataFrame): DataFrame =
+    idx
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+        .as("centroid"))
+
+  /** The refit fixture's appended-delta id offset: a high-bit tag (the
+    * Graph.CustTag discipline) keeps delta ids disjoint from any base
+    * id below 2^40.
+    */
+  private[graft] val RefitDeltaTag = 1L << 40
+
+  /** The post-append corpus the refit trains on: the indexed base plus
+    * the q_sim_ivf_append delta re-ingested under tagged ids — the
+    * store's CURRENT contents once the append path has run for a
+    * while.
+    */
+  private[graft] def refitCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + RefitDeltaTag).as("vec_id"), col("embedding")))
+  }
+
+  /** QUANTIZER REFIT as a written layout — the rare offline event the
+    * monitors (q_ivf_health, q_embed_outliers) exist to trigger and
+    * the append path (q_sim_ivf_append) deliberately never performs:
+    * retrain the coarse quantizer on the CURRENT corpus (base +
+    * appended delta) with the same bounded-deterministic-sample
+    * discipline as the original build (Θ(k) fit rows, k re-derived
+    * from the current count), re-label every vector distributedly,
+    * and write the refreshed cell-partitioned index beside the old
+    * one (versioned layouts — probes cut over by reading the new
+    * name, the old index stays attached for rollback).
+    */
+  private[graft] def ivfRefitIndex(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "ivf_refit",
+        partitionCols = Seq("cell")) {
+      val cur = refitCorpus(s, d)
+      ivfAssignOf(cur, ivfKFor(cur.count()))
     }
 
   /** Probe selection shared by the IVF queries: each query in the
@@ -1172,6 +1222,78 @@ object Similarity {
         .select(col("vec_id"), col("best.cell").cast("int").as("cell"),
           round(col("best.d2"), 6).as("d2"))
         .orderBy(col("vec_id"))
+    }),
+
+    // QUANTIZER REFIT — the index-lifecycle step that closes the loop
+    // the monitors open: q_ivf_health and q_embed_outliers decide WHEN
+    // to refit, q_sim_ivf_append deliberately never does, and this
+    // operator IS the refit: retrain on the current corpus (base +
+    // appended delta), re-label everything, write the refreshed
+    // cell-partitioned layout (ivfRefitIndex) beside the old one, and
+    // publish the DRIFT REPORT an operator reviews before cutting
+    // probes over — corpus/cell counts, how many vectors changed
+    // cells (new cells matched to old by majority member overlap:
+    // cell IDS are arbitrary k-means labels, membership is what's
+    // comparable), and mean quantization residual before vs after.
+    // "Before" residuals price the store as it runs today: base rows
+    // at their indexed cells, appended rows at their frozen-quantizer
+    // assignment (exactly what q_sim_ivf_append shipped). Shape: two
+    // passes over cell-partitioned layouts with broadcast ≤k-row
+    // centroid tables, one thin (vec_id, old, new) join, bounded
+    // aggregates — the corpus embeddings never shuffle. Rows-only
+    // (k-means lineage + FP means); IvfRefitSpec replays the
+    // residuals from the written layouts and pins the accounting,
+    // improvement, and determinism.
+    "q_ivf_refit" -> ((s, d) => {
+      val d2e = expr(
+        """aggregate(zip_with(embedding, centroid,
+          |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+      val cents = ivfCentroids(s, d)
+      val baseOld = ivfIndex(s, d).join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell").cast("long").as("old_cell"),
+          d2e.as("d2"))
+      val deltaOld = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 17 === 3)
+        .select((col("vec_id") + RefitDeltaTag).as("vec_id"),
+          col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", d2e)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("best.cell").cast("long").as("old_cell"),
+          col("best.d2").as("d2"))
+      val oldAssign = baseOld.unionAll(deltaOld).localCheckpoint()
+      val newIdx = ivfRefitIndex(s, d)
+      val newCents = centroidsOf(newIdx)
+      val newAssign = newIdx.join(broadcast(newCents), "cell")
+        .select(col("vec_id"), col("cell").cast("long").as("new_cell"),
+          d2e.as("d2n"))
+        .localCheckpoint()
+      val pairs = newAssign.select(col("vec_id"), col("new_cell"))
+        .join(oldAssign.select(col("vec_id"), col("old_cell")), "vec_id")
+      // majority-overlap label matching; (count, old_cell) struct-max
+      // is the deterministic tiebreak
+      val mapping = pairs.groupBy(col("new_cell"), col("old_cell"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("new_cell"))
+        .agg(max(struct(col("n"), col("old_cell"))).as("best"))
+        .select(col("new_cell"), col("best.old_cell").as("mapped_old"))
+      val moved = pairs.join(broadcast(mapping), "new_cell")
+        .agg(count(lit(1)).as("n_vec"),
+          sum(when(col("old_cell") =!= col("mapped_old"), 1L)
+            .otherwise(0L)).as("n_moved"))
+      val rb = oldAssign.agg(avg(col("d2")).as("rb"))
+      val ra = newAssign.agg(avg(col("d2n")).as("ra"))
+      val kOld = cents.agg(count(lit(1)).as("k_old"))
+      val kNew = newCents.agg(count(lit(1)).as("k_new"))
+      moved.crossJoin(broadcast(rb)).crossJoin(broadcast(ra))
+        .crossJoin(broadcast(kOld)).crossJoin(broadcast(kNew))
+        .select(col("n_vec"), col("k_old"), col("k_new"), col("n_moved"),
+          expr("n_moved * 1000 div n_vec").as("moved_pm"),
+          round(col("rb"), 6).as("resid_before"),
+          round(col("ra"), 6).as("resid_after"),
+          (col("ra") < col("rb")).as("improved"))
     })
   )
 

@@ -1205,6 +1205,67 @@ class IvfHealthSpec extends SparkSpec {
   }
 }
 
+/** Quantizer refit: the drift report replays from the written layouts
+  * and the refreshed index genuinely improves residuals.
+  */
+class IvfRefitSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def d2(v: Array[Float], c: Array[Double]): Double = {
+    var s0 = 0.0; var i = 0
+    while (i < v.length) { val dd = v(i).toDouble - c(i); s0 += dd * dd; i += 1 }
+    s0
+  }
+
+  test("accounting, residual replay, improvement, determinism") {
+    val row = run("q_ivf_refit").collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nVec, kOld, kNew, nMoved, movedPm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val (rb, ra, improved) = (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+    // accounting: corpus = base + %17 delta; labels bounded; moved_pm law
+    val nBase = Tables.embeddings(spark, sf).count()
+    val nDelta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 3).count()
+    assert(nVec == nBase + nDelta)
+    assert(nMoved >= 0 && nMoved <= nVec)
+    assert(movedPm == nMoved * 1000 / nVec)
+    assert(kOld >= 1 && kNew >= 1)
+    // the refit genuinely improves the mean quantization residual:
+    // the delta participated in the new fit but not the frozen one
+    assert(improved && ra < rb, s"resid $rb -> $ra")
+    // residual replay from the WRITTEN layouts, in plain Scala
+    val cents = sim.Similarity.ivfCentroids(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getSeq[Double](1).toArray).toMap
+    val base = sim.Similarity.ivfIndex(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+      .map(x => (x.getSeq[Float](1).toArray, x.getInt(2)))
+    val delta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 3)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val oldRes = base.map { case (v, c) => d2(v, cents(c)) } ++
+      delta.map(v => cents.values.map(c => d2(v, c)).min)
+    val newIdx = sim.Similarity.ivfRefitIndex(spark, sf)
+      .select(col("embedding"), col("cell")).collect()
+      .map(x => (x.getSeq[Float](0).toArray, x.getInt(1)))
+    val newCents = newIdx.groupBy(_._2).map { case (c, vs) =>
+      val dim = vs.head._1.length
+      val m = Array.tabulate(dim)(i =>
+        vs.map(_._1(i).toDouble).sum / vs.length)
+      c -> m
+    }
+    val newRes = newIdx.map { case (v, c) => d2(v, newCents(c)) }
+    assert(newIdx.length == nVec)
+    assert(math.abs(rb - oldRes.sum / oldRes.length) < 5e-6, "resid_before")
+    assert(math.abs(ra - newRes.sum / newRes.length) < 5e-6, "resid_after")
+    assert(kNew == newCents.size.toLong)
+    // deterministic: the report is a pure function of the layouts
+    val again = run("q_ivf_refit").collect()
+    assert(again.map(_.toSeq).toSeq == row.map(_.toSeq).toSeq)
+  }
+}
+
 /** Corpus datasheet: every metric replays from raw text or the
   * standalone operator it composes.
   */

@@ -265,6 +265,21 @@ class Round14PersistenceSpec extends SparkSpec {
     }
   }
 
+  test("refreshed IVF layout re-attaches; the drift report never re-fits") {
+    run("q_ivf_refit").collect()
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"ivf_refit_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val files = Files.walk(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    run("q_ivf_refit").collect()
+    assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+      "ivf_refit rebuilt")
+  }
+
   test("wrapped train-shard layout re-attaches un-rebuilt") {
     run("q_shard_export_wrapped").collect()
     val wh = java.nio.file.Paths.get(new java.net.URI(
