@@ -76,6 +76,49 @@ object Similarity {
     */
   val DiversityBudget = 64L
 
+  /** Hybrid-retrieval query-batch bound (the QueryBatch rule). */
+  val HybridQueries = 4L
+
+  /** The lexical retriever leg shared by both hybrid forms: distinct
+    * shared 3-gram shingles from the written shingle-set layout (the
+    * q_decontaminate shape), top-50 per query.
+    */
+  private[graft] def lexRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = graft.dedup.Dedup.shingleSets(s, d)
+    val qsh = sets.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("qid"), explode(col("sh")).as("t"))
+    val csh = sets.select(col("doc_id").as("nid"), explode(col("sh")).as("t"))
+    val wt = Window.partitionBy(col("qid"))
+      .orderBy(col("n_shared").desc, col("nid"))
+    csh.join(broadcast(qsh), "t")
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(countDistinct(col("t")).as("n_shared"))
+      .withColumn("tr", row_number().over(wt).cast("long"))
+      .filter(col("tr") <= 50)
+      .select(col("qid"), col("nid"), col("tr"))
+  }
+
+  /** Reciprocal-rank fusion of two bounded (qid, nid, rank) lists —
+    * fused rows ≤ 2·50 per query regardless of corpus size; both rank
+    * columns ride along for attribution; published top-10.
+    */
+  private[graft] def rrfFuse(vrank: DataFrame, trank: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = vrank.join(trank, Seq("qid", "nid"), "full")
+      .select(col("qid"), col("nid"),
+        (coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("tr")), lit(0.0))).as("rrf"),
+        col("vr"), col("tr"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"),
+        col("vr"), col("tr"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q_sim_range_search radius: cosine ≥ 0.25 ≈ 2σ of the random-
     * corpus background (64-dim ⇒ σ = 1/8), so each query returns a
     * small but non-empty neighbor set at every SF. Compared on the
@@ -624,9 +667,8 @@ object Similarity {
     // expression, so the oracle compares exactly.
     "q_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nQ = 4L
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < nQ)
+      val q = e.filter(col("vec_id") < HybridQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // rank on the ROUND-9 cosine: vr feeds the published rrf value,
       // and a near-exact cosine tie between two candidates would flip
@@ -640,30 +682,39 @@ object Similarity {
         .withColumn("vr", row_number().over(wv).cast("long"))
         .filter(col("vr") <= 50)
         .select(col("qid"), col("nid"), col("vr"))
-      val sets = graft.dedup.Dedup.shingleSets(s, d)
-      val qsh = sets.filter(col("doc_id") < nQ)
-        .select(col("doc_id").as("qid"), explode(col("sh")).as("t"))
-      val csh = sets.select(col("doc_id").as("nid"), explode(col("sh")).as("t"))
-      val wt = Window.partitionBy(col("qid"))
-        .orderBy(col("n_shared").desc, col("nid"))
-      val trank = csh.join(broadcast(qsh), "t")
-        .filter(col("nid") =!= col("qid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(countDistinct(col("t")).as("n_shared"))
-        .withColumn("tr", row_number().over(wt).cast("long"))
-        .filter(col("tr") <= 50)
-        .select(col("qid"), col("nid"), col("tr"))
-      val fused = vrank.join(trank, Seq("qid", "nid"), "full")
-        .select(col("qid"), col("nid"),
-          (coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("tr")), lit(0.0))).as("rrf"),
-          col("vr"), col("tr"))
-      val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
-      fused.withColumn("rk", row_number().over(wf).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("qid"), col("rk"), col("nid"), col("rrf"),
-          col("vr"), col("tr"))
-        .orderBy(col("qid"), col("rk"))
+      rrfFuse(vrank, lexRank(s, d))
+    }),
+
+    // HYBRID retrieval with the dense leg served by the ANN index —
+    // the composition SURVEY §8 promises ("dense via ANN at scale"):
+    // identical lexical leg and RRF fusion to q_hybrid_rrf, but the
+    // dense top-50 comes from the IVF probe candidates (nprobe
+    // partition-pruned cells of the WRITTEN index — the q_sim_ann_ivf
+    // scan) instead of a full-corpus cosine pass per query batch. At
+    // 100 TB the brute dense leg reads the whole corpus per batch;
+    // this one reads nprobe·cell rows per query, constant by the
+    // adaptive-k occupancy law, and NOTHING new shuffles — the probe
+    // set broadcasts onto the cell-partitioned scan. Rank fusion is
+    // deliberately robust to the swap: RRF needs only ranks, so the
+    // ANN leg slots in without recalibration — that robustness is the
+    // reason production engines fuse this way. Rows-only (IVF recall
+    // < 1 by construction); HybridAnnSpec pins fused-output recall
+    // against the brute-force q_hybrid_rrf and that the dense leg's
+    // candidates all come from probed cells.
+    "q_hybrid_rrf_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos_sim"), 9).desc, col("nid"))
+      val vrank = broadcast(ivfProbes(s, d)
+          .filter(col("qid") < HybridQueries))
+        .join(ivfIndex(s, d), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(s, "qv", "embedding").as("cos_sim"))
+        .withColumn("vr", row_number().over(wv).cast("long"))
+        .filter(col("vr") <= 50)
+        .select(col("qid"), col("nid"), col("vr"))
+      rrfFuse(vrank, lexRank(s, d))
     }),
 
     // IVF ANN over the WRITTEN cell-partitioned index (`ivfIndex`):

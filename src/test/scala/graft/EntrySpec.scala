@@ -66,7 +66,7 @@ class EntrySpec extends AnyFunSuite {
       "q_media_pipeline", "q_unigram_encode", "q_diversity_sample",
       "q_diversity_sample2", "q_datasheet_partials", "q_stream_datasheet",
       "q_embed_outliers",
-      "q_ivf_health", "q_ivf_refit",
+      "q_ivf_health", "q_ivf_refit", "q_hybrid_rrf_ann",
       "q_weighted_sample", "q_join_card_est",
       "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
       "q_quantile_partial_union", "q_hll_intersection", "q_graph_hits",

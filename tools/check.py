@@ -44,7 +44,7 @@ ROWS_ONLY = {
     "q_hll_partial_union", "q_decontaminate_fuzzy", "q_bpe_merges",
     "q_bpe_encode", "q_graph_pagerank", "q_media_phash_dedup",
     "q_media_scene_cut", "q_media_pipeline", "q_unigram_encode",
-    "q_diversity_sample", "q_diversity_sample2", "q_ivf_health", "q_ivf_refit",
+    "q_diversity_sample", "q_diversity_sample2", "q_ivf_health", "q_ivf_refit", "q_hybrid_rrf_ann",
     "q_datasheet_partials", "q_stream_datasheet", "q_embed_outliers",
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
     "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
