@@ -707,6 +707,80 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING inverted-index maintenance — q_index_append's
+    // continuous-ingest twin under the q_stream_upsert exactly-once
+    // discipline: each arriving document batch tokenizes ONCE inside
+    // its micro-batch (history is never re-tokenized), its thin
+    // (term, doc_id, tf) posting rows full-outer-MERGE into the
+    // current index version (summing tf — the general upsert form a
+    // re-crawled document needs), the new version writes under a
+    // batch-keyed dir, and the batch id lands in the txn log LAST —
+    // so a batch redelivered after a sink failure (commit() literally
+    // invoked twice per batch) finds its marker and NO-OPS. The
+    // in-query require() fails the whole query if any redelivery
+    // double-applied (doubled tf would also hash-mismatch the
+    // oracle). Published result: the maintained index's full postings
+    // — a pure function of the corpus, so the query is FULLY ORACLED
+    // against the tokenize-group SQL, and StreamIndexSpec pins it
+    // row-identical to the batch-built text_index layout. Scale
+    // shape: per-batch cost is the delta tokenize plus ONE thin
+    // (term, doc_id) merge join against current state; at 100 TB the
+    // state table is term-partitioned and only partitions the delta
+    // touches rewrite (the q_delete_rewrite dynamic-overwrite
+    // mechanics); the txn log stays KB-sized forever.
+    "q_stream_index" -> ((s, d) => {
+      val root = s"/tmp/graft_stridx_${Tables.cacheKey(d)}_${sinkCounter.incrementAndGet()}"
+      val txnDir = new java.io.File(root, "_txn")
+      txnDir.mkdirs()
+      val redelivered = new java.util.concurrent.atomic.AtomicInteger(0)
+      def committed: Seq[Long] = txnDir.listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("batch-")).map(_.stripPrefix("batch-").toLong)
+      def stateDir(v: Long) = s"$root/state_v$v"
+      def commit(batch: DataFrame, batchId: Long): Unit = {
+        if (new java.io.File(txnDir, s"batch-$batchId").exists()) {
+          redelivered.incrementAndGet(); return // redelivery: no-op
+        }
+        val delta = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        val merged = committed.sorted.lastOption match {
+          case None => delta
+          case Some(p) =>
+            s.read.parquet(stateDir(p))
+              .select(col("term"), col("doc_id"), col("tf").as("ctf"))
+              .join(delta.select(col("term"), col("doc_id"),
+                  col("tf").as("dtf")),
+                Seq("term", "doc_id"), "full_outer")
+              .select(col("term"), col("doc_id"),
+                (coalesce(col("ctf"), lit(0L)) + coalesce(col("dtf"), lit(0L)))
+                  .as("tf"))
+        }
+        merged.write.mode("overwrite").parquet(stateDir(batchId))
+        new java.io.File(txnDir, s"batch-$batchId").createNewFile()
+      }
+      val ckpt = s"$ckptRoot/graft_ckpt_stridx_${sinkCounter.incrementAndGet()}"
+      try {
+        val q = docsStreamMulti(s, d).select(col("doc_id"), col("text"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            commit(b, id)
+            commit(b, id) // simulated sink-failure redelivery
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally rmTree(ckpt)
+      require(committed.nonEmpty && redelivered.get() >= committed.size,
+        s"exactly-once violated: ${redelivered.get()} no-ops for " +
+          s"${committed.size} commits")
+      require(committed.distinct.size == committed.size &&
+        committed.forall(v => new java.io.File(stateDir(v)).exists()),
+        s"commit/state mismatch: $committed")
+      s.read.parquet(stateDir(committed.max))
+        .orderBy(col("term"), col("doc_id"))
+    }),
+
     // Stream-stream interval join: each click matched to same-user
     // purchases within the next 10 minutes. Both sides carry
     // watermarks and the join condition bounds event time on both
@@ -828,6 +902,12 @@ object Streams {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // incremental merges over the batch replay ≡ one tokenize-group
+    "q_stream_index" ->
+      """SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents) t
+        |GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         |       event_type, count(*) AS n,

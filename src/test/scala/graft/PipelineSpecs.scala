@@ -2347,6 +2347,30 @@ class ShardExportSpec extends SparkSpec {
   }
 }
 
+/** Streaming index maintenance: the incrementally-merged postings
+  * equal the batch-built inverted index exactly.
+  */
+class StreamIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("stream-maintained postings equal the text_index layout; merge is multi-batch") {
+    val live = run("q_stream_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live.nonEmpty)
+    val batch = text.TextOps.textIndex(spark, sf)
+      .select(col("term"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live == batch,
+      s"live-only ${(live -- batch).take(3)}; batch-only ${(batch -- live).take(3)}")
+    // the replay is genuinely multi-batch: the fixture splits the
+    // corpus into 4 files consumed one per trigger, and every batch
+    // has at least one document at this SF
+    val slices = Tables.documents(spark, sf)
+      .select(pmod(xxhash64(col("doc_id")), lit(4))).distinct().count()
+    assert(slices == 4L)
+  }
+}
+
 /** Streaming datasheet: batch boundaries change nothing. */
 class StreamDatasheetSpec extends SparkSpec {
   test("stream-maintained card equals the batch partials form exactly") {
