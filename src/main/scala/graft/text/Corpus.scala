@@ -179,6 +179,22 @@ object Corpus {
         .repartition(nsh, col("shard"))
     }
 
+  /** FIM apply rate (per mille): ~half the corpus is transformed —
+    * the published FIM-rate sweet spot (Bavarian et al. 2022 train at
+    * 0.5 with no loss on left-to-right capability).
+    */
+  val FimRatePm = 500L
+
+  /** Chunking window/stride (tokens): 32-token chunks advancing by
+    * 24, so adjacent chunks overlap by 8 — test-scale stand-ins
+    * (corpus docs run 10–100 tokens, so these genuinely multi-chunk
+    * most documents) for the 512/384-class values a production RAG
+    * splitter uses; the chunk-count law, not the constants, is what
+    * scales.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
   /** q_token_budget total training-token budget. A knob, not a scale
     * parameter: the planner's cost is one per-source aggregate
     * regardless of the budget or corpus size.
@@ -536,6 +552,82 @@ object Corpus {
               16, 10).cast("decimal(38,0)"))
             % lit(1000000000000000000L)).cast("long").as("fingerprint"))
         .orderBy(col("shard"))),
+
+    // FILL-IN-MIDDLE transform (Bavarian et al. 2022 — the FIM
+    // augmentation code models train with): for a deterministic
+    // hash-selected ~half of the corpus, the token sequence splits at
+    // two content-derived cut points into (prefix, middle, suffix)
+    // and re-serializes in PSM order with sentinels —
+    // <PRE> p <SUF> s <MID> m — teaching the model to infill; the
+    // rest pass through untransformed. The cut points are pure md5
+    // functions of doc_id (two independent streams, mod n+1 so empty
+    // prefix/middle/suffix all occur), the apply decision is the
+    // mixture-sampling content-hash Bernoulli — no RNG state, stable
+    // under repartition and retries, which is what makes the
+    // transform reproducible across training runs. Pure per-row map:
+    // ZERO shuffle at any scale; published as segment lengths + the
+    // transformed text's fingerprint so only 16-byte hashes leave the
+    // row. Fully oracled (identical md5/concat in both engines).
+    "q_fim_transform" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("fim", hashBucket(col("text"), 5, 1000) < FimRatePm)
+        .withColumn("c1", pmod(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":fim1")).cast("binary")),
+          1, 8), 16, 10).cast("long"), col("n") + 1))
+        .withColumn("c2", pmod(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":fim2")).cast("binary")),
+          1, 8), 16, 10).cast("long"), col("n") + 1))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+        .withColumn("out",
+          when(col("fim"), concat(
+            lit("<PRE> "),
+            concat_ws(" ", expr("slice(tk, 1, cast(lo as int))")),
+            lit(" <SUF> "),
+            concat_ws(" ", expr("slice(tk, cast(hi + 1 as int), cast(n - hi as int))")),
+            lit(" <MID> "),
+            concat_ws(" ", expr("slice(tk, cast(lo + 1 as int), cast(hi - lo as int))"))))
+          .otherwise(col("text")))
+        .select(col("doc_id"), col("fim"), col("n"),
+          // -1 sentinel, not NULL: a nullable int column degrades to
+          // float64 in the driver's pandas read on BOTH sides — avoid
+          // relying on that coincidence
+          when(col("fim"), col("lo")).otherwise(lit(-1L)).as("cut_lo"),
+          when(col("fim"), col("hi")).otherwise(lit(-1L)).as("cut_hi"),
+          md5(col("out").cast("binary")).as("out_fp"),
+          length(col("out")).cast("long").as("out_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Sliding-window CHUNKING with overlap — the long-document
+    // splitting pass RAG indexing and context-window packing share:
+    // fixed W-token windows advancing by stride S < W, so adjacent
+    // chunks overlap by W−S tokens and no token-span longer than the
+    // overlap is ever split across a chunk boundary. Chunk count =
+    // 1 + ⌈max(0, n−W)/S⌉ — pure integer math, bounded explode per
+    // document (the q_pack_wrap shape); each chunk publishes its
+    // offset/length and content fingerprint, so downstream embedding
+    // or indexing reads (doc_id, chunk) rows without re-splitting.
+    // Zero shuffle; fully oracled.
+    "q_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("n_chunks",
+          lit(1L) + greatest(lit(0L),
+            expr(s"(n - $ChunkTokens + $ChunkStride - 1) div $ChunkStride")))
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("chunk"))
+        .withColumn("tok_off", col("chunk") * ChunkStride)
+        .withColumn("tok_len",
+          least(lit(ChunkTokens.toLong), col("n") - col("tok_off")))
+        .select(col("doc_id"), col("chunk"), col("tok_off"), col("tok_len"),
+          md5(concat_ws(" ",
+            expr("slice(tk, cast(tok_off + 1 as int), cast(tok_len as int))"))
+            .cast("binary")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk"))),
 
     // Deterministic corpus shuffle: hash-shard then hash-order within
     // the shard — the reproducible "global shuffle" that training
@@ -1028,6 +1120,58 @@ object Corpus {
          |      1, 8))::BIGINT) AS HUGEINT)
          |    % 1000000000000000000 AS BIGINT) AS fingerprint
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_fim_transform" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS tk,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    ('0x' || substr(md5(text), 5, 4))::BIGINT % 1000 < $FimRatePm
+         |      AS fim,
+         |    ('0x' || substr(md5(doc_id || ':fim1'), 1, 8))::BIGINT AS h1,
+         |    ('0x' || substr(md5(doc_id || ':fim2'), 1, 8))::BIGINT AS h2
+         |  FROM documents),
+         |cuts AS (
+         |  SELECT doc_id, text, tk, n, fim,
+         |    LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo,
+         |    GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi
+         |  FROM base),
+         |o AS (
+         |  SELECT doc_id, fim, n,
+         |    CASE WHEN fim THEN lo ELSE -1 END AS cut_lo,
+         |    CASE WHEN fim THEN hi ELSE -1 END AS cut_hi,
+         |    CASE WHEN fim THEN
+         |      '<PRE> ' || coalesce(array_to_string(tk[1:lo], ' '), '') ||
+         |      ' <SUF> ' || coalesce(array_to_string(tk[hi + 1:n], ' '), '') ||
+         |      ' <MID> ' || coalesce(array_to_string(tk[lo + 1:hi], ' '), '')
+         |    ELSE text END AS out
+         |  FROM cuts)
+         |SELECT doc_id, fim, n, CAST(cut_lo AS BIGINT) AS cut_lo,
+         |  CAST(cut_hi AS BIGINT) AS cut_hi, md5(out) AS out_fp,
+         |  CAST(strlen(out) AS BIGINT) AS out_chars
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk, n,
+         |    1 + GREATEST(0,
+         |      (n - $ChunkTokens + $ChunkStride - 1) // $ChunkStride)
+         |      AS n_chunks
+         |  FROM base WHERE n > 0),
+         |e AS (
+         |  SELECT doc_id, tk, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+         |  CAST(chunk * $ChunkStride AS BIGINT) AS tok_off,
+         |  CAST(LEAST($ChunkTokens, n - chunk * $ChunkStride) AS BIGINT)
+         |    AS tok_len,
+         |  md5(array_to_string(
+         |    tk[chunk * $ChunkStride + 1 :
+         |       chunk * $ChunkStride + LEAST($ChunkTokens,
+         |         n - chunk * $ChunkStride)], ' ')) AS chunk_fp
+         |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "q_shard_export_wrapped" ->
       s"""WITH packed AS (
          |  SELECT doc_id, source, n_tok,

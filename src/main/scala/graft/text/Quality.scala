@@ -363,7 +363,70 @@ object Quality {
         .agg(sum(col("cnt")).as("n_tokens"),
           sum(col("cnt") * col("w_ppm")).as("score"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Gopher REPETITION rules (Rae et al. 2021, §A1.1's other half —
+    // q_quality_gopher covers the word/symbol/bullet gates, this the
+    // within-document repetition gates a spam/template filter needs):
+    // duplicate-line fraction and duplicate-line CHARACTER fraction
+    // (array_distinct deltas), top-bigram share (the most frequent
+    // 2-gram's share of all 2-grams), and duplicate-5-gram fraction.
+    // Everything is ONE codegen'd projection per row — the bigram
+    // mode comes from a sort_array + runtime aggregate() fold over
+    // runs (the Viterbi-fold discipline), NOT a per-gram explode, so
+    // the operator is ZERO-shuffle at any corpus size and no gram
+    // string ever leaves its row. All-integer per-mille; thresholds
+    // are the published Gopher cuts (dup lines ≤ 30%, top 2-gram
+    // ≤ 20%, dup 5-grams ≤ 15%). Fully oracled (the DuckDB side may
+    // use the simpler unnest+group form — the values are definitionally
+    // equal).
+    "q_quality_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(col("text"), "\n").as("lines"),
+          split(col("text"), " ").as("words"))
+        .withColumn("bg", expr(
+          """CASE WHEN size(words) >= 2
+            |  THEN transform(sequence(1, size(words) - 1),
+            |         i -> concat_ws(' ', slice(words, i, 2)))
+            |  ELSE array() END""".stripMargin))
+        .withColumn("g5", expr(
+          """CASE WHEN size(words) >= 5
+            |  THEN transform(sequence(1, size(words) - 4),
+            |         i -> concat_ws(' ', slice(words, i, 5)))
+            |  ELSE array() END""".stripMargin))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(array_distinct(col("lines"))).cast("long").as("d_lines"),
+          expr("aggregate(lines, 0L, (a, x) -> a + length(x))")
+            .as("line_chars"),
+          expr("aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))")
+            .as("d_line_chars"),
+          size(col("bg")).cast("long").as("n_big"),
+          // bigram mode = longest run in the sorted gram array: a
+          // constant-state runtime fold, no explode, no shuffle
+          expr("""aggregate(sort_array(bg),
+            |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+            |  (st, x) -> named_struct(
+            |    'prev', x,
+            |    'run', if(st.prev <=> x, st.run + 1L, 1L),
+            |    'best', greatest(st.best, if(st.prev <=> x, st.run + 1L, 1L))),
+            |  st -> st.best)""".stripMargin).as("max_c2"),
+          size(col("g5")).cast("long").as("n_5"),
+          size(array_distinct(col("g5"))).cast("long").as("d_5"))
+        .select(col("doc_id"), col("n_lines"),
+          expr("(n_lines - d_lines) * 1000 div n_lines").as("dup_line_pm"),
+          expr("""CASE WHEN line_chars > 0
+            |  THEN (line_chars - d_line_chars) * 1000 div line_chars
+            |  ELSE 0L END""".stripMargin).as("dup_line_chars_pm"),
+          expr("CASE WHEN n_big > 0 THEN max_c2 * 1000 div n_big ELSE 0L END")
+            .as("top2_pm"),
+          expr("CASE WHEN n_5 > 0 THEN (n_5 - d_5) * 1000 div n_5 ELSE 0L END")
+            .as("dup5_pm"))
+        .withColumn("keep",
+          col("dup_line_pm") <= 300L && col("top2_pm") <= 200L &&
+            col("dup5_pm") <= 150L)
+        .orderBy(col("doc_id")))
   )
 
   /** The Gopher per-doc decision SQL (no ORDER BY) — shared by the
@@ -410,6 +473,61 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q_quality_gopher" -> s"$gopherSql ORDER BY doc_id",
+    // the mode comes from the plain unnest+group form here — equal by
+    // definition to the Spark side's sorted-run fold
+    "q_quality_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    string_split(text, ' ') AS words
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_distinct(lines)) AS BIGINT) AS d_lines,
+        |    CAST(list_sum(list_transform(lines, x -> strlen(x)))
+        |      AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+        |      x -> strlen(x))), 0) AS BIGINT) AS d_line_chars,
+        |    CAST(greatest(len(words) - 1, 0) AS BIGINT) AS n_big,
+        |    CAST(greatest(len(words) - 4, 0) AS BIGINT) AS n_5
+        |  FROM base),
+        |big AS (
+        |  SELECT doc_id, max(c) AS max_c2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, words[i] || ' ' || words[i + 1] AS g
+        |      FROM (SELECT doc_id, words,
+        |              unnest(generate_series(1, len(words) - 1)) AS i
+        |            FROM base WHERE len(words) >= 2) t) u
+        |    GROUP BY doc_id, g) v
+        |  GROUP BY doc_id),
+        |five AS (
+        |  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS d_5 FROM (
+        |    SELECT doc_id, words[i] || ' ' || words[i + 1] || ' ' ||
+        |      words[i + 2] || ' ' || words[i + 3] || ' ' || words[i + 4] AS g
+        |    FROM (SELECT doc_id, words,
+        |            unnest(generate_series(1, len(words) - 4)) AS i
+        |          FROM base WHERE len(words) >= 5) t) u
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT f.doc_id, f.n_lines,
+        |    (f.n_lines - f.d_lines) * 1000 // f.n_lines AS dup_line_pm,
+        |    CASE WHEN f.line_chars > 0
+        |      THEN (f.line_chars - f.d_line_chars) * 1000 // f.line_chars
+        |      ELSE 0 END AS dup_line_chars_pm,
+        |    CASE WHEN f.n_big > 0
+        |      THEN coalesce(b.max_c2, 0) * 1000 // f.n_big
+        |      ELSE 0 END AS top2_pm,
+        |    CASE WHEN f.n_5 > 0
+        |      THEN (f.n_5 - coalesce(v.d_5, f.n_5)) * 1000 // f.n_5
+        |      ELSE 0 END AS dup5_pm
+        |  FROM feat f LEFT JOIN big b ON f.doc_id = b.doc_id
+        |  LEFT JOIN five v ON f.doc_id = v.doc_id)
+        |SELECT doc_id, n_lines, CAST(dup_line_pm AS BIGINT) AS dup_line_pm,
+        |  CAST(dup_line_chars_pm AS BIGINT) AS dup_line_chars_pm,
+        |  CAST(top2_pm AS BIGINT) AS top2_pm,
+        |  CAST(dup5_pm AS BIGINT) AS dup5_pm,
+        |  (dup_line_pm <= 300 AND top2_pm <= 200 AND dup5_pm <= 150) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_datasheet" ->
       s"""WITH base AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

