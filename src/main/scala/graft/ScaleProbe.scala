@@ -120,6 +120,33 @@ object ScaleProbe {
         .agg(mx("t").as("m"), cnt(lit(1)).as("c")).head
       val (shardCount, shardMaxTok) =
         (shardRow.getAs[Long]("c"), shardRow.getAs[Long]("m"))
+      // round-14 claims, measured. (a) wrapped packing emits a BOUNDED
+      // explode — segments ≈ docs + corpus_tokens/2048 (exp ~1, never
+      // super-linear); the wrapped shard layout obeys the same
+      // file-count law as the flat exporter with the heaviest shard
+      // flat. (b) the ANN-composed hybrid's dense leg scores
+      // nprobe·cell rows per query — its candidate exponent vs corpus
+      // size should sit far below the brute leg's definitional 1.0.
+      // (c) overlap chunking is a bounded explode like (a).
+      val wrapSegs = text.Corpus.wrapPacked(spark, d).count()
+      val wrapShardRow = text.Corpus.wrapShardLayout(spark, d)
+        .groupBy("shard").agg(sm("seg_tokens").as("t"))
+        .agg(mx("t").as("m"), cnt(lit(1)).as("c")).head
+      val (wrapShardCount, wrapShardMaxTok) =
+        (wrapShardRow.getAs[Long]("c"), wrapShardRow.getAs[Long]("m"))
+      val hybridDense = sim.Similarity.ivfProbes(spark, d)
+        .filter(org.apache.spark.sql.functions.col("qid") <
+          sim.Similarity.HybridQueries)
+        .join(sim.Similarity.ivfIndex(spark, d), Seq("cell")).count()
+      // canonical reading above is floor-regime by construction (the
+      // 16-cell floor binds through sf0.1, so cells — and with them
+      // nprobe·cell candidates — grow with n); a 16-member cell
+      // target lifts the floor at BOTH SFs and measures the flat
+      // per-query bound the ANN composition exists to provide
+      val hybridK16 = math.max(8, ((vecs + 15) / 16).toInt)
+      val hybridDenseAdaptive =
+        sim.Similarity.hybridDenseCandidatesAt(spark, d, hybridK16)
+      val chunkRows = SparkEntry.queries("q_chunk_overlap")(spark, d).count()
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -145,7 +172,13 @@ object ScaleProbe {
         s""""triangle_wedges":$triWedges""",
         s""""linkpred_skew_nodes":$skewN""",
         s""""linkpred_skew_capped_candidates":$lpCapped""",
-        s""""linkpred_skew_uncapped_candidates":$lpUncapped""")
+        s""""linkpred_skew_uncapped_candidates":$lpUncapped""",
+        s""""wrap_segments":$wrapSegs""",
+        s""""wrap_shard_count":$wrapShardCount""",
+        s""""wrap_shard_max_tokens":$wrapShardMaxTok""",
+        s""""hybrid_dense_candidates":$hybridDense""",
+        s""""hybrid_dense_candidates_target16":$hybridDenseAdaptive""",
+        s""""chunk_rows":$chunkRows""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
@@ -155,7 +188,12 @@ object ScaleProbe {
         "shard_count" -> shardCount, "shard_max_tok" -> shardMaxTok,
         "tri_edges" -> triEdges,
         "tri_wedges" -> triWedges, "lp_skew_nodes" -> skewN,
-        "lp_skew_capped" -> lpCapped, "lp_skew_uncapped" -> lpUncapped),
+        "lp_skew_capped" -> lpCapped, "lp_skew_uncapped" -> lpUncapped,
+        "wrap_segs" -> wrapSegs, "wrap_shard_count" -> wrapShardCount,
+        "wrap_shard_max_tok" -> wrapShardMaxTok,
+        "hybrid_dense" -> hybridDense,
+        "hybrid_dense_t16" -> hybridDenseAdaptive,
+        "chunk_rows" -> chunkRows),
         secs)
     }
 
@@ -184,7 +222,13 @@ object ScaleProbe {
         s""""shard_max_tokens_exp":${f"${exp(d1docs, d2docs, c1("shard_max_tok").toDouble, c2("shard_max_tok").toDouble)}%.2f"}""",
         s""""triangle_wedge_vs_edge_exp":${f"${exp(c1("tri_edges"), c2("tri_edges"), c1("tri_wedges").toDouble, c2("tri_wedges").toDouble)}%.2f"}""",
         s""""linkpred_skew_capped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_capped").toDouble, c2("lp_skew_capped").toDouble)}%.2f"}""",
-        s""""linkpred_skew_uncapped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_uncapped").toDouble, c2("lp_skew_uncapped").toDouble)}%.2f"}""")
+        s""""linkpred_skew_uncapped_exp":${f"${exp(c1("lp_skew_nodes"), c2("lp_skew_nodes"), c1("lp_skew_uncapped").toDouble, c2("lp_skew_uncapped").toDouble)}%.2f"}""",
+        s""""wrap_segments_exp":${f"${exp(d1docs, d2docs, c1("wrap_segs").toDouble, c2("wrap_segs").toDouble)}%.2f"}""",
+        s""""wrap_shard_count_exp":${f"${exp(d1docs, d2docs, c1("wrap_shard_count").toDouble, c2("wrap_shard_count").toDouble)}%.2f"}""",
+        s""""wrap_shard_max_tokens_exp":${f"${exp(d1docs, d2docs, c1("wrap_shard_max_tok").toDouble, c2("wrap_shard_max_tok").toDouble)}%.2f"}""",
+        s""""hybrid_dense_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense").toDouble, c2("hybrid_dense").toDouble)}%.2f"}""",
+        s""""hybrid_dense_candidates_target16_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense_t16").toDouble, c2("hybrid_dense_t16").toDouble)}%.2f"}""",
+        s""""chunk_rows_exp":${f"${exp(d1docs, d2docs, c1("chunk_rows").toDouble, c2("chunk_rows").toDouble)}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

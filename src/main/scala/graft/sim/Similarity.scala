@@ -119,6 +119,33 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** ScaleProbe-only: the hybrid dense leg's candidate count at an
+    * EXPLICIT cell count (floor lifted) — the canonical written index
+    * sits at the 16-cell floor through sf0.1, so its reading is
+    * floor-regime by construction (cells grow with n ⇒ exp ~1, the
+    * semdedup_floor16 artifact); probing with k tracking n/target
+    * measures the occupancy law the composition actually provides
+    * (flat per-query candidates ⇒ exp ~0).
+    */
+  private[graft] def hybridDenseCandidatesAt(s: SparkSession, d: String,
+      k: Int): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfAssignOf(Tables.embeddings(s, d), k).localCheckpoint()
+    val cents = centroidsOf(idx)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qv, centroid,
+          |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= IvfNProbe)
+      .select(col("qid"), col("cell"))
+    probes.join(idx.select(col("cell"), col("vec_id")), Seq("cell")).count()
+  }
+
   /** q_sim_range_search radius: cosine ≥ 0.25 ≈ 2σ of the random-
     * corpus background (64-dim ⇒ σ = 1/8), so each query returns a
     * small but non-empty neighbor set at every SF. Compared on the

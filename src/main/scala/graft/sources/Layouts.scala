@@ -399,12 +399,16 @@ object Layouts {
       val zExpr = """aggregate(sequence(0, 7), cast(0 as bigint),
         |  (acc, i) -> acc + shiftleft(shiftright(a8, i) & 1, 2 * i)
         |                  + shiftleft(shiftright(b8, i) & 1, 2 * i + 1))""".stripMargin
+      // checkpointed: both clustering passes read the same tagged
+      // rows, and the per-row Morton fold is the expensive projection
+      // — one scan + one z-compute instead of two
       val tagged = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("a"), col("l_partkey").as("b"),
           expr("least(l_orderkey div 64, 255)").as("a8"),
           expr("least(l_partkey div 8, 255)").as("b8"))
         .withColumn("zv", expr(zExpr))
         .withColumn("rm", col("a8") * 256 + col("b8"))
+        .localCheckpoint()
       def zones(bucketExpr: String, layout: String): DataFrame =
         tagged.groupBy(expr(bucketExpr).as("bucket"))
           .agg(min(col("a")).as("mina"), max(col("a")).as("maxa"),

@@ -215,8 +215,12 @@ object Quality {
             |  i -> struct(element_at(w, i) AS v, element_at(w, i + 1) AS nx))"""
             .stripMargin.replace("\n", " "))).as("b"))
         .select(col("doc_id"), col("b.v").as("v"), col("b.nx").as("nx"))
+      // per-doc bigram counts feed BOTH the model build and the final
+      // scoring join — checkpointed so the corpus explode+aggregate
+      // runs once, not twice (measured 2.35 → 1.62 s at sf0.1)
       val dbg = bg.groupBy(col("doc_id"), col("v"), col("nx"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       // model: c(vw) per bigram type — checkpointed, every marginal
       // derives from it without re-scanning the corpus
       val m = dbg.groupBy(col("v"), col("nx")).agg(sum(col("cnt")).as("c"))
