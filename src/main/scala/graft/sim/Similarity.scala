@@ -79,6 +79,11 @@ object Similarity {
   /** Hybrid-retrieval query-batch bound (the QueryBatch rule). */
   val HybridQueries = 4L
 
+  /** Matryoshka eval dimension budgets: the stored 64 plus its
+    * 32/16/8 prefixes.
+    */
+  val MrlDims = Seq(64, 32, 16, 8)
+
   /** The lexical retriever leg shared by both hybrid forms: distinct
     * shared 3-gram shingles from the written shingle-set layout (the
     * q_decontaminate shape), top-50 per query.
@@ -710,6 +715,53 @@ object Similarity {
         .filter(col("vr") <= 50)
         .select(col("qid"), col("nid"), col("vr"))
       rrfFuse(vrank, lexRank(s, d))
+    }),
+
+    // MATRYOSHKA truncation eval (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning" — the modern serving question: how
+    // many leading dimensions does retrieval actually need?): for the
+    // bounded query batch, exact cosine top-5 is computed at each
+    // dimension budget (the full 64 plus truncated prefixes 32/16/8,
+    // sliced from the SAME stored vectors — MRL's whole point is that
+    // prefixes are usable embeddings), and each budget's ranking is
+    // scored by recall against the full-dim reference. A falling
+    // recall curve prices the speed/quality trade of serving
+    // truncated vectors (4× fewer bytes scanned at dim 16). Shape:
+    // ONE broadcast-batch pass builds all four rankings (the dims
+    // union is a projection fan-out of the same pairs, not four corpus
+    // scans); published metrics are pure integers (hit counts,
+    // per-mille recall) so the eval is FULLY ORACLED — no FP mean
+    // crosses an engine boundary.
+    "q_embed_mrl_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+      val q = e.filter(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))
+      val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      val ranked = MrlDims.map { m =>
+        pairs.select(lit(m.toLong).as("dim"), col("qid"),
+          col("vec_id").as("nid"), expr(
+            s"""aggregate(zip_with(slice(qv, 1, $m), slice(ev, 1, $m),
+               |  (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)
+               |/ sqrt(aggregate(slice(qv, 1, $m), cast(0.0 as double),
+               |    (acc, x) -> acc + x * x)
+               |  * aggregate(slice(ev, 1, $m), cast(0.0 as double),
+               |    (acc, x) -> acc + x * x))""".stripMargin).as("cos"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy(col("dim"), col("qid"))
+        .orderBy(round(col("cos"), 9).desc, col("nid"))
+      val top = ranked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("dim"), col("qid"), col("nid"))
+        .localCheckpoint()
+      val ref = top.filter(col("dim") === 64L)
+        .select(col("qid"), col("nid"))
+      top.join(broadcast(ref), Seq("qid", "nid"), "leftsemi")
+        .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+        .select(col("dim"), col("n_hits"),
+          expr(s"n_hits * 1000 div (5 * $QueryBatch)").as("recall_pm"))
+        .orderBy(col("dim"))
     }),
 
     // HYBRID retrieval with the dense leg served by the ANN index —
@@ -1551,6 +1603,30 @@ object Similarity {
          |  WHERE q.vec_id < $QueryBatch) pairs
          |WHERE cos_sim >= $RangeTau
          |ORDER BY qid, nid""".stripMargin,
+    "q_embed_mrl_eval" ->
+      s"""WITH dims AS (SELECT unnest([64, 32, 16, 8]) AS dim),
+         |pairs AS (
+         |  SELECT d.dim, q.vec_id AS qid, e.vec_id AS nid,
+         |    list_sum(list_transform(generate_series(1, d.dim),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |    / sqrt(list_sum(list_transform(generate_series(1, d.dim),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+         |      * list_sum(list_transform(generate_series(1, d.dim),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         |      AS cos
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |  CROSS JOIN dims d
+         |  WHERE q.vec_id < $QueryBatch),
+         |ranked AS (
+         |  SELECT dim, qid, nid, row_number() OVER (
+         |    PARTITION BY dim, qid ORDER BY round(cos, 9) DESC, nid) AS rk
+         |  FROM pairs),
+         |top AS (SELECT dim, qid, nid FROM ranked WHERE rk <= 5),
+         |ref AS (SELECT qid, nid FROM top WHERE dim = 64)
+         |SELECT CAST(t.dim AS BIGINT) AS dim, count(*) AS n_hits,
+         |  CAST(count(*) * 1000 // (5 * $QueryBatch) AS BIGINT) AS recall_pm
+         |FROM top t JOIN ref r ON t.qid = r.qid AND t.nid = r.nid
+         |GROUP BY t.dim ORDER BY dim""".stripMargin,
     "q_sim_topk" ->
       s"""SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim FROM (
          |  SELECT qid, nid, cos_sim,

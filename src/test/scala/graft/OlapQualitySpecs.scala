@@ -1346,6 +1346,47 @@ class ChunkSpec extends SparkSpec {
   }
 }
 
+/** Matryoshka truncation eval: rankings replay exactly from the raw
+  * vectors at every dimension budget.
+  */
+class MrlSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("per-budget recall replays from a plain-Scala ranking; full dim is the identity") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qids = e.keys.filter(_ < sim.Similarity.QueryBatch).toSeq.sorted
+    def cos(q: Array[Float], v: Array[Float], m: Int): Double = {
+      var dot = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+      while (i < m) {
+        val a = q(i).toDouble; val b = v(i).toDouble
+        dot += a * b; nq += a * a; nv += b * b; i += 1
+      }
+      dot / math.sqrt(nq * nv)
+    }
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def top5(m: Int): Map[Long, Set[Long]] = qids.map { q =>
+      q -> e.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, r9(cos(e(q), v, m))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val ref = top5(64)
+    val expected = sim.Similarity.MrlDims.map { m =>
+      m.toLong -> top5(m).map { case (q, s0) => s0.intersect(ref(q)).size }.sum.toLong
+    }.toMap
+    val got = run("q_embed_mrl_eval").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (m, (hits, pm)) =>
+      assert(hits == expected(m), s"dim $m: $hits vs ${expected(m)}")
+      assert(pm == hits * 1000 / (5 * sim.Similarity.QueryBatch))
+    }
+    assert(got(64L)._2 == 1000L) // the reference recalls itself exactly
+  }
+}
+
 /** ANN-composed hybrid retrieval: fusion quality tracks the brute
   * form; the dense leg stays inside the probed cells and the probed
   * partition directories are all the scan reads.
