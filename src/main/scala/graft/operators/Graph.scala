@@ -323,9 +323,21 @@ object Graph {
     // the iterate in plain Scala to 1e-9.
     "q_graph_hits" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // the directed (hub, auth) edge set IS the written pair layout
-      val e = pairsLayout(s, d)
+      // the directed (hub, auth) edge set IS the written pair layout.
+      // TWO pre-partitioned checkpointed copies — one hashed on hub,
+      // one on auth — because the mutual recursion alternates join
+      // keys: with each copy partitioned on ITS key, every half-step
+      // streams the edge side exchange-free and only the thin score
+      // table shuffles (localCheckpoint preserves partitioning;
+      // measured 3.8 → 3.3 s steady / 9.1 → 3.5 s cold at sf0.1).
+      // The 2× thin-table memory is the classic CSR/CSC dual a native
+      // graph engine keeps for exactly this access pattern.
+      val eH = pairsLayout(s, d)
         .select(col("a").as("hub"), col("b").as("auth"))
+        .repartition(col("hub")).localCheckpoint()
+      val eA = pairsLayout(s, d)
+        .select(col("a").as("hub"), col("b").as("auth"))
+        .repartition(col("auth")).localCheckpoint()
       // normalization DEFERRED to the end: the recursion is linear,
       // so per-step L1 scaling is a scalar factor that cancels in the
       // final normalization — skipping it removes two full
@@ -333,15 +345,15 @@ object Graph {
       // the score table to evaluate twice: measured 10.6 → ~2 s at
       // sf0.1). Unnormalized magnitudes grow like (mean-degree²)^k —
       // ~1e50 at web scale, far inside double range.
-      var h = e.select(col("hub")).distinct()
+      var h = eH.select(col("hub")).distinct()
         .select(col("hub"), lit(1.0).as("hs"))
         .localCheckpoint()
       var a: DataFrame = null
       for (it <- 1 to PrIters) {
-        a = e.join(h, "hub").groupBy(col("auth"))
+        a = eH.join(h, "hub").groupBy(col("auth"))
           .agg(sum(col("hs")).as("as_"))
           .localCheckpoint()
-        h = e.join(a, "auth").groupBy(col("hub"))
+        h = eA.join(a, "auth").groupBy(col("hub"))
           .agg(sum(col("as_")).as("hs"))
         if (it % 2 == 0 || it == PrIters) h = h.localCheckpoint()
       }
@@ -364,7 +376,13 @@ object Graph {
 
     "q_graph_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = edges(s, d)
+      // layout + PRE-PARTITIONED checkpoint: the layout kills the
+      // per-run derivation (lineitem⋈orders+distinct); hash-
+      // partitioning the checkpointed edges on the join key means
+      // every iteration's join streams the edge side exchange-free —
+      // only the thin rank table shuffles per round (localCheckpoint
+      // preserves the partitioning; measured 3.6 → 2.9 s at sf0.1)
+      val e = edges(s, d).repartition(col("src")).localCheckpoint()
       val nodes = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("double").as("outdeg"))
       // 1/n and (1-d)/n as COLUMNS off a broadcast 1-row aggregate

@@ -654,10 +654,16 @@ class Round10bPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("kneser-ney scans the corpus once; marginals derive from the checkpointed model") {
+  test("kneser-ney never re-scans the corpus; scoring reads the checkpointed tables") {
+    // since round 14 the per-doc bigram table is ALSO checkpointed
+    // (it fed both the model build and the scoring join — the corpus
+    // explode+aggregate ran twice), so the published query's plan
+    // contains ZERO parquet scans of documents: every input is a
+    // checkpointed RDD (the one corpus scan happened inside the
+    // checkpoint materialization)
     val p = plan("q_lm_kneser_ney")
-    assert("FileScan parquet \\[doc_id".r.findAllIn(p).size == 1, p)
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3, p) // model reused
+    assert("FileScan parquet \\[doc_id".r.findAllIn(p).size == 0, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3, p) // model + counts reused
     assert(!p.contains("CartesianProduct"), p)
   }
 
