@@ -136,6 +136,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup: weights are inverse cluster size, corpus fully covered") {
+    val rows = run("q_dedup_soft").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == 500, "one row per document")
+    // singletons keep full weight; members weigh 1e6 div size
+    rows.foreach { case (_, _, n, w) =>
+      assert(n >= 1 && w == 1000000L / n)
+    }
+    // each cluster's total expected mass is ~one document (exact up to
+    // the integer-div truncation: size * (1e6 div size) <= 1e6)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val mass = members.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - members.length)
+    }
+    // cluster assignment agrees with the hard-dedup label table
+    val labels = run("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (doc, cl, n, _) =>
+      assert(labels.getOrElse(doc, doc) == cl)
+      if (n == 1) assert(!labels.contains(doc) || labels(doc) == doc)
+    }
+  }
+
   test("heavy-hitter sketch matches the exact vocabulary head at test scale") {
     val exact = run("q_vocab_topk").collect()
       .map(r => (r.getString(0), r.getLong(1)))
