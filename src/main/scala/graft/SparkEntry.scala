@@ -52,6 +52,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
+      sim.Pca.queries ++
       media.Multimodal.queries ++
       streaming.Streams.queries
 

@@ -1,0 +1,203 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession, TypedColumn}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Principal-component analysis over the embedding corpus — the
+  * DATA-DEPENDENT dimensionality reduction beside q_embed_project's
+  * data-oblivious Johnson-Lindenstrauss planes: PCA's top-k basis
+  * maximizes retained variance among ALL rank-k linear projections, so
+  * it is what a pipeline fits when it can afford one pass over the
+  * corpus (OPQ's rotation, whitening before IVF, Matryoshka-style
+  * truncation all start here).
+  *
+  * Scale shape (the part that matters at 100 TB): the fit is ONE
+  * corpus pass through a typed Aggregator whose buffer is constant
+  * size (~17 KB: upper triangle of Σxxᵀ + Σx + n, see
+  * [[graft.functions.GramAggregator]]) — map-side combined, one buffer
+  * per partition through the shuffle, never a row of data to the
+  * driver beyond that single 2145-double result (the same bounded
+  * 1-row collect class as the Bpe merge argmax). The eigensolve is
+  * driver-side cyclic Jacobi on the CONSTANT 64×64 covariance — O(64³)
+  * regardless of corpus size — and the basis persists as a write-once
+  * layout (`pca_basis`), so the corpus pass runs once per corpus, not
+  * per query. Projection is pure per-row map work over broadcast
+  * literal planes: zero shuffle at any scale.
+  *
+  * Determinism: float products are exact in double; only the cross-row
+  * accumulation order varies, so covariance entries are ROUNDED to 6
+  * decimals before the eigensolve (the q_embed_centroid interchange
+  * rule) and the written basis is itself rounded — the layout is
+  * reproducible across partitionings to the rounding tolerance.
+  * Rows-only (an eigensolve is not ANSI-SQL-expressible); PcaSpec
+  * pins orthonormality, the eigen equation C·v = λ·v, descending
+  * eigenvalues, trace preservation, and that each published
+  * component's corpus variance matches its eigenvalue.
+  */
+object Pca {
+
+  private val Dim = 64
+  /** components the projection publishes (the JL twin projects 16;
+    * top-8 PCA retains more variance than any 8 random planes). */
+  private val PcaK = 8
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-rows), sorted by eigenvalue
+    * descending, each vector sign-canonicalized (largest-|component|
+    * entry positive). Deterministic for a given input matrix: fixed
+    * sweep order, fixed convergence test, no randomness.
+    */
+  private[graft] def jacobiEigen(c: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = c.length
+    val a = c.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val cos = 1.0 / math.sqrt(t * t + 1.0)
+            val sin = t * cos
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cos * akp - sin * akq
+              a(k)(q) = sin * akp + cos * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cos * apk - sin * aqk
+              a(q)(k) = sin * apk + cos * aqk
+              val vkp = v(p)(k); val vkq = v(q)(k)
+              v(p)(k) = cos * vkp - sin * vkq
+              v(q)(k) = sin * vkp + cos * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val row = v(i)
+      // sign canonicalization: the largest-magnitude entry (first on
+      // ties) points positive, so ±v ambiguity never leaks downstream
+      var best = 0
+      var j = 1
+      while (j < n) {
+        if (math.abs(row(j)) > math.abs(row(best)) + 1e-12) best = j
+        j += 1
+      }
+      if (row(best) < 0) row.map(x => -x) else row.clone()
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Covariance matrix from the one-pass moment aggregate, entries
+    * rounded to 6 decimals (interchange discipline — see class doc).
+    */
+  private[graft] def covarianceOf(flat: Array[Double]): Array[Array[Double]] = {
+    val tri = Dim * (Dim + 1) / 2
+    val n = flat(tri + Dim)
+    val mu = Array.tabulate(Dim)(i => flat(tri + i) / n)
+    val c = Array.ofDim[Double](Dim, Dim)
+    var i = 0
+    var k = 0
+    while (i < Dim) {
+      var j = i
+      while (j < Dim) {
+        val cij = math.rint((flat(k) / n - mu(i) * mu(j)) * 1e6) / 1e6
+        c(i)(j) = cij; c(j)(i) = cij
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** The write-once basis layout: one row per component —
+    * (component, eigenvalue, mu_dot = μ·v, the 64 basis loadings) —
+    * everything projection needs (pc_k(x) = x·v_k − μ·v_k) without
+    * re-reading the corpus. All values rounded to 6 decimals.
+    */
+  private[graft] def pcaBasis(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.ensureLayout(s, d, "pca_basis") {
+      import s.implicits._
+      val agg = new graft.functions.GramAggregator(Dim).toColumn
+      val flat = Tables.embeddings(s, d)
+        .select(col("embedding")).as[Array[Float]]
+        .select(agg.name("g")
+          .asInstanceOf[TypedColumn[Array[Float], Array[Double]]])
+        .head()
+      val tri = Dim * (Dim + 1) / 2
+      val n = flat(tri + Dim)
+      val mu = Array.tabulate(Dim)(i => flat(tri + i) / n)
+      val (evals, evecs) = jacobiEigen(covarianceOf(flat))
+      def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+      val rows = (0 until Dim).map { k =>
+        val vk = evecs(k)
+        val muDot = (0 until Dim).map(i => mu(i) * vk(i)).sum
+        (k.toLong, r6(evals(k)), r6(muDot), vk.map(r6).toSeq)
+      }
+      s.createDataFrame(rows).toDF("component", "eigenvalue", "mu_dot", "basis")
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mean-centered top-8 PCA projection of every corpus vector,
+    // published exploded to (vec_id, pos, val) scalar rows rounded to
+    // 6 decimals (the q_embed_project interchange shape — array cells
+    // crash the driver compare). The basis reads from the write-once
+    // layout; the per-component dot is a bounded zip_with/aggregate
+    // fold over broadcast literal loadings — WholeStageCodegen map
+    // work, no shuffle before the sink sort.
+    "q_embed_pca" -> ((s, d) => {
+      val basis = pcaBasis(s, d)
+        .filter(col("component") < PcaK)
+        .orderBy(col("component"))
+        .collect()
+      val pcs = basis.map { r =>
+        val k = r.getLong(0)
+        val muDot = r.getDouble(2)
+        val loads = r.getSeq[Double](3)
+        // CAST('<repr>' AS DOUBLE): Double.toString round-trips
+        // exactly and never trips the literal lexer on E-notation
+        val arr = loads.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")
+        expr(
+          s"""round(aggregate(zip_with(embedding, array($arr),
+             |  (x, y) -> cast(x AS DOUBLE) * y), 0D,
+             |  (acc, z) -> acc + z) - CAST('$muDot' AS DOUBLE), 6)"""
+            .stripMargin)
+          .as(s"pc$k")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: pcs.toSeq: _*)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PcaK).map(k => col(s"pc$k")): _*)).as(Seq("pos", "val")))
+        .orderBy(col("vec_id"), col("pos"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

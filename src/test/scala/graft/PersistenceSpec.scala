@@ -163,6 +163,24 @@ class PersistenceSpec extends SparkSpec {
     assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
   }
 
+  test("PCA basis layout re-attaches without re-running the moment pass") {
+    val before = run("q_embed_pca").collect().toSeq
+    assert(before.nonEmpty)
+    val wh = Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val dir = wh.resolve(s"pca_basis_${sources.Layouts.sfSuffix(sf)}")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    val dataFiles = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    // a rebuild would rescan the corpus and re-run the eigensolve —
+    // the projection must read the written basis
+    val after = run("q_embed_pca").collect().toSeq
+    assert(after == before)
+    assert(dataFiles.forall(f => Files.getLastModifiedTime(f) == mtimes(f)))
+  }
+
   test("time-travel log and data files survive re-reads; snapshots never rewrite") {
     val before = run("q_time_travel").collect().toSeq
     assert(before.nonEmpty)

@@ -2409,3 +2409,75 @@ class StreamDatasheetSpec extends SparkSpec {
       s"live ${live - "m00_n_batches"} vs batch $batch")
   }
 }
+
+/** PCA: eigensolve correctness + the published projection's variance. */
+class PcaSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val basis = sim.Pca.pcaBasis(spark, sf)
+    .orderBy(col("component")).collect()
+    .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getSeq[Double](3).toArray))
+
+  // exact Scala covariance replay over the raw vectors (same rounding)
+  private lazy val cov: Array[Array[Double]] = {
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = 64
+    val n = vecs.length.toDouble
+    val mu = Array.tabulate(dim)(i => vecs.map(_(i).toDouble).sum / n)
+    Array.tabulate(dim, dim) { (i, j) =>
+      val m = vecs.map(v => v(i).toDouble * v(j).toDouble).sum / n
+      math.rint((m - mu(i) * mu(j)) * 1e6) / 1e6
+    }
+  }
+
+  test("basis is orthonormal with descending eigenvalues preserving the trace") {
+    val vs = basis.map(_._4)
+    for (i <- vs.indices; j <- i until vs.length) {
+      val dot = vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"<v$i,v$j> = $dot")
+    }
+    val evals = basis.map(_._2)
+    assert(evals.zip(evals.tail).forall { case (a, b) => a >= b })
+    val trace = (0 until 64).map(i => cov(i)(i)).sum
+    assert(math.abs(evals.sum - trace) < 1e-3,
+      s"sum(eigenvalues) ${evals.sum} != trace $trace")
+    // top-8 retained variance strictly beats the uniform floor — the
+    // reason to fit PCA at all
+    assert(evals.take(8).sum > trace * 8.0 / 64.0)
+  }
+
+  test("eigen equation holds: C*v = lambda*v within rounding tolerance") {
+    basis.take(8).foreach { case (k, ev, _, v) =>
+      val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val err = cv.zip(v.map(_ * ev)).map { case (a, b) => math.abs(a - b) }.max
+      assert(err < 1e-3, s"component $k eigen residual $err")
+    }
+  }
+
+  test("published projection: each component's corpus variance matches its eigenvalue") {
+    val rows = run("q_embed_pca").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n * 8)
+    rows.groupBy(_._2).foreach { case (pos, xs) =>
+      val vals = xs.map(_._3)
+      val mean = vals.sum / vals.length
+      // projection is mean-centered, so the published mean is ~0
+      assert(math.abs(mean) < 1e-3, s"pc$pos mean $mean")
+      val variance = vals.map(x => (x - mean) * (x - mean)).sum / vals.length
+      val ev = basis(pos)._2
+      assert(math.abs(variance - ev) < math.max(1e-3, ev * 0.01),
+        s"pc$pos variance $variance vs eigenvalue $ev")
+    }
+  }
+
+  test("jacobi replay: the written basis matches an independent eigensolve of the replay covariance") {
+    val (evals, _) = sim.Pca.jacobiEigen(cov)
+    basis.zip(evals).foreach { case ((k, ev, _, _), want) =>
+      assert(math.abs(ev - want) < 1e-4, s"component $k: $ev vs replay $want")
+    }
+  }
+}
