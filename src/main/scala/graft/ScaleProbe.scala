@@ -151,6 +151,10 @@ object ScaleProbe {
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
       }.toMap
+      // PCA fit = the one-pass moment aggregate (constant 2145-double
+      // result); its wall should grow ~linearly with the corpus while
+      // the shuffle stays one ~17 KB buffer per partition
+      val pcaFitSec = bestOf2 { sim.Pca.momentPass(spark, d); () }
       val fields = probed.map(q =>
         s""""$q":{"candidates":${cands(q)},"sec":${f"${secs(q)}%.3f"}}""") ++ Seq(
         s""""knn_candidates_fixed6bits":$knnFixed6""",
@@ -178,7 +182,8 @@ object ScaleProbe {
         s""""wrap_shard_max_tokens":$wrapShardMaxTok""",
         s""""hybrid_dense_candidates":$hybridDense""",
         s""""hybrid_dense_candidates_target16":$hybridDenseAdaptive""",
-        s""""chunk_rows":$chunkRows""")
+        s""""chunk_rows":$chunkRows""",
+        s""""pca_fit_sec":${f"$pcaFitSec%.3f"}""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
         "knn_fixed6" -> knnFixed6, "sem_floor" -> semFloor,
@@ -194,7 +199,7 @@ object ScaleProbe {
         "hybrid_dense" -> hybridDense,
         "hybrid_dense_t16" -> hybridDenseAdaptive,
         "chunk_rows" -> chunkRows),
-        secs)
+        secs + ("pca_fit" -> pcaFitSec))
     }
 
     if (rows.size >= 2) {
@@ -228,7 +233,8 @@ object ScaleProbe {
         s""""wrap_shard_max_tokens_exp":${f"${exp(d1docs, d2docs, c1("wrap_shard_max_tok").toDouble, c2("wrap_shard_max_tok").toDouble)}%.2f"}""",
         s""""hybrid_dense_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense").toDouble, c2("hybrid_dense").toDouble)}%.2f"}""",
         s""""hybrid_dense_candidates_target16_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense_t16").toDouble, c2("hybrid_dense_t16").toDouble)}%.2f"}""",
-        s""""chunk_rows_exp":${f"${exp(d1docs, d2docs, c1("chunk_rows").toDouble, c2("chunk_rows").toDouble)}%.2f"}""")
+        s""""chunk_rows_exp":${f"${exp(d1docs, d2docs, c1("chunk_rows").toDouble, c2("chunk_rows").toDouble)}%.2f"}""",
+        s""""pca_fit_time_exp":${f"${exp(d1vecs, d2vecs, s1("pca_fit"), s2("pca_fit"))}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }
     spark.stop()

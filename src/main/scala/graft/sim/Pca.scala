@@ -142,15 +142,22 @@ object Pca {
     * everything projection needs (pc_k(x) = x·v_k − μ·v_k) without
     * re-reading the corpus. All values rounded to 6 decimals.
     */
+  /** The single-pass moment aggregate (exposed for ScaleProbe: its
+    * wall should grow ~linearly in corpus size while its output stays
+    * a constant 2145 doubles). */
+  private[graft] def momentPass(s: SparkSession, d: String): Array[Double] = {
+    import s.implicits._
+    val agg = new graft.functions.GramAggregator(Dim).toColumn
+    Tables.embeddings(s, d)
+      .select(col("embedding")).as[Array[Float]]
+      .select(agg.name("g")
+        .asInstanceOf[TypedColumn[Array[Float], Array[Double]]])
+      .head()
+  }
+
   private[graft] def pcaBasis(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "pca_basis") {
-      import s.implicits._
-      val agg = new graft.functions.GramAggregator(Dim).toColumn
-      val flat = Tables.embeddings(s, d)
-        .select(col("embedding")).as[Array[Float]]
-        .select(agg.name("g")
-          .asInstanceOf[TypedColumn[Array[Float], Array[Double]]])
-        .head()
+      val flat = momentPass(s, d)
       val tri = Dim * (Dim + 1) / 2
       val n = flat(tri + Dim)
       val mu = Array.tabulate(Dim)(i => flat(tri + i) / n)
@@ -163,6 +170,19 @@ object Pca {
       }
       s.createDataFrame(rows).toDF("component", "eigenvalue", "mu_dot", "basis")
     }
+
+  /** bounded query batch for the projection eval (the q_embed_mrl_eval
+    * / q_sim_topk batch discipline: queries broadcast, corpus streams). */
+  private val EvalQueries = 8L
+
+  /** SQL cosine between two array&lt;double&gt; columns — the MRL-eval
+    * fold, shared by both eval legs. */
+  private def cosSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+       |  cast(0.0 as double), (acc, x) -> acc + x)
+       |/ sqrt(aggregate($a, cast(0.0 as double), (acc, x) -> acc + x * x)
+       |  * aggregate($b, cast(0.0 as double), (acc, x) -> acc + x * x))"""
+      .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Mean-centered top-8 PCA projection of every corpus vector,
@@ -196,6 +216,65 @@ object Pca {
         .select(col("vec_id"), posexplode(array(
           (0 until PcaK).map(k => col(s"pc$k")): _*)).as(Seq("pos", "val")))
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // THE SERVING QUESTION the two 16-dim projections pose: which one
+    // should an index store — data-DEPENDENT PCA-16 (this module's
+    // basis) or data-OBLIVIOUS JL-16 (q_embed_project's seeded
+    // planes)? Both cost identical bytes (4× less than full width);
+    // this eval prices the quality side: exact cosine top-5 in each
+    // projected space, scored by recall against the full-64-dim
+    // reference ranking — the q_embed_mrl_eval protocol with the
+    // dimension axis swapped for the projection-family axis. One
+    // broadcast query-batch pass builds all three rankings (a
+    // projection fan-out of the same pairs, not three corpus scans);
+    // outputs are pure integers (hit counts, per-mille recall).
+    // Rows-only (the PCA basis is not SQL-derivable); PcaEvalSpec
+    // replays both legs exactly in plain Scala from the written basis
+    // and the shared plane pool.
+    "q_embed_pca_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val basis = pcaBasis(s, d)
+        .filter(col("component") < 16)
+        .orderBy(col("component"))
+        .collect()
+      val pcaArr = basis.map { r =>
+        val muDot = r.getDouble(2)
+        val loads = r.getSeq[Double](3)
+        val arr = loads.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")
+        s"""(aggregate(zip_with(embedding, array($arr),
+           |  (x, y) -> cast(x AS DOUBLE) * y), 0D,
+           |  (acc, z) -> acc + z) - CAST('$muDot' AS DOUBLE))""".stripMargin
+      }.mkString("array(", ", ", ")")
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("full"),
+        expr(pcaArr).as("pca"),
+        expr("plane_project(embedding, 16)").as("jl"))
+      val q = e.filter(col("vec_id") < EvalQueries)
+        .select(col("vec_id").as("qid"), col("full").as("qfull"),
+          col("pca").as("qpca"), col("jl").as("qjl"))
+      val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      val ranked = Seq(("full64", "qfull", "full"),
+        ("pca16", "qpca", "pca"), ("jl16", "qjl", "jl")).map {
+        case (m, qa, ca) =>
+          pairs.select(lit(m).as("method"), col("qid"),
+            col("vec_id").as("nid"), expr(cosSql(qa, ca)).as("cos"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy(col("method"), col("qid"))
+        .orderBy(round(col("cos"), 9).desc, col("nid"))
+      val top = ranked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("method"), col("qid"), col("nid"))
+        .localCheckpoint()
+      val ref = top.filter(col("method") === "full64")
+        .select(col("qid"), col("nid"))
+      top.filter(col("method") =!= "full64")
+        .join(broadcast(ref), Seq("qid", "nid"), "leftsemi")
+        .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+        .select(col("method"), col("n_hits"),
+          expr(s"n_hits * 1000 div (5 * $EvalQueries)").as("recall_pm"))
+        .orderBy(col("method"))
     })
   )
 

@@ -70,6 +70,7 @@ class EntrySpec extends AnyFunSuite {
       "q_weighted_sample", "q_join_card_est",
       "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
       "q_quantile_partial_union", "q_hll_intersection", "q_graph_hits",
-      "q_dedup_lsh_tune", "q_embed_pca"), rowsOnly.toSeq.sorted)
+      "q_dedup_lsh_tune", "q_embed_pca",
+      "q_embed_pca_eval"), rowsOnly.toSeq.sorted)
   }
 }

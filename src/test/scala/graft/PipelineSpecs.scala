@@ -2481,3 +2481,58 @@ class PcaSpec extends SparkSpec {
     }
   }
 }
+
+/** PCA-16 vs JL-16 serving eval: exact Scala replay of both legs. */
+class PcaEvalSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("recalls replay exactly from the written basis and the shared plane pool") {
+    val got = run("q_embed_pca_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq("jl16", "pca16"))
+
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val basis = sim.Pca.pcaBasis(spark, sf)
+      .filter(col("component") < 16).orderBy(col("component")).collect()
+      .map(r => (r.getDouble(2), r.getSeq[Double](3).toArray))
+    def pca(v: Array[Float]): Array[Double] =
+      basis.map { case (muDot, b) =>
+        v.indices.map(i => v(i).toDouble * b(i)).sum - muDot
+      }
+    def jl(v: Array[Float]): Array[Double] = {
+      val scale = 1.0 / math.sqrt(16.0)
+      (0 until 16).map { j =>
+        val p = functions.Planes.all(j)
+        v.indices.map(i => v(i).toDouble * p(i)).sum * scale
+      }.toArray
+    }
+    def full(v: Array[Float]): Array[Double] = v.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def top5(proj: Array[Float] => Array[Double]): Map[Long, Set[Long]] =
+      vecs.filter(_._1 < 8L).map { case (qid, qv) =>
+        val qp = proj(qv)
+        qid -> vecs.filter(_._1 != qid)
+          .map { case (nid, nv) =>
+            (math.rint(cos(qp, proj(nv)) * 1e9) / 1e9, nid) }
+          .sortBy { case (c, nid) => (-c, nid) }
+          .take(5).map(_._2).toSet
+      }.toMap
+    val ref = top5(full)
+    def recall(proj: Array[Float] => Array[Double]): Long =
+      top5(proj).map { case (qid, s) => (s & ref(qid)).size.toLong }.sum
+    val wantPca = recall(pca)
+    val wantJl = recall(jl)
+    assert(got.find(_._1 == "pca16").get._2 == wantPca,
+      s"pca16 hits ${got.find(_._1 == "pca16").get._2} != replay $wantPca")
+    assert(got.find(_._1 == "jl16").get._2 == wantJl,
+      s"jl16 hits ${got.find(_._1 == "jl16").get._2} != replay $wantJl")
+    got.foreach { case (m, hits, pm) =>
+      assert(pm == hits * 1000 / 40, s"$m per-mille wrong")
+    }
+  }
+}

@@ -49,7 +49,7 @@ ROWS_ONLY = {
     "q_weighted_sample", "q_join_card_est", "q_sim_ann_ivf2",
     "q_ann_recall_eval", "q_dedup_eval", "q_wordpiece_encode",
     "q_quantile_partial_union", "q_hll_intersection", "q_graph_hits",
-    "q_dedup_lsh_tune", "q_embed_pca",
+    "q_dedup_lsh_tune", "q_embed_pca", "q_embed_pca_eval",
 }
 
 
