@@ -43,6 +43,13 @@ object Graph {
   val PrIters = 6
   val Damping = 0.85
 
+  /** Fixed synchronous label-propagation rounds; the operator (and
+    * its oracle) pin the exact 4th iterate, PageRank-style, so the
+    * budget is a cost knob, not a correctness one (synchronous LPA
+    * can oscillate on bipartite structure — a fixpoint is not even
+    * guaranteed to exist). */
+  val CommunityIters = 4
+
   /** Link-prediction witness-list cap: each shared neighbor
     * contributes at most this many (smallest-id) members to the wedge
     * join, bounding per-witness candidate fan-out at C(k,2) ≈ 2k²
@@ -423,10 +430,83 @@ object Graph {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select(col("rnk"), col("node"), col("rank"))
         .orderBy(col("rnk"))
+    }),
+
+    // COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    // et al. 2007) over the co-purchase graph — the cluster readout
+    // the centrality family lacks: PageRank says which nodes matter,
+    // communities say which nodes belong TOGETHER (product families
+    // here; host clusters in the corpus-quality reading, where a
+    // community of interlinked spam hosts is filtered as a unit).
+    // The SYNCHRONOUS variant is the dataflow one: every node
+    // simultaneously adopts its neighbors' plurality label
+    // (count DESC, label ASC on ties — no update order, no RNG, fully
+    // deterministic), for a fixed 4 rounds; like PageRank, the
+    // operator pins the exact iterate, so the budget is a cost knob.
+    // Scale shape: each round is one thin equi-join of the
+    // PRE-PARTITIONED checkpointed adjacency against the (node, label)
+    // table + one map-combined (node, label) count + one per-node
+    // argmax — the PageRank shuffle profile, linear in |E| with
+    // bounded rounds. Fully oracled: integer counts and id labels
+    // round-trip exactly through 4 unrolled CTEs.
+    "q_graph_community" -> ((s, d) => {
+      val e = coEdges(s, d)
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("v")).localCheckpoint()
+      var labels = adj.select(col("u").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+        .localCheckpoint()
+      for (it <- 1 to CommunityIters) {
+        labels = adj.join(labels, "v")
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("label")))
+            .as("m"))
+          .select(col("u").as("v"), col("m.label").as("label"))
+        if (it % 2 == 0 || it == CommunityIters)
+          labels = labels.localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "label")
+        .select(col("v"), col("label").as("community"), col("n_members"))
+        .orderBy(col("v"))
     })
   )
 
+  /** One unrolled synchronous-LPA round as SQL: node u adopts the
+    * plurality label of its neighbors in `prev` (count DESC, label ASC
+    * — the exact Spark tiebreak). */
+  private def lpaRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT u AS v, label FROM (
+       |    SELECT n.u, n.label, row_number() OVER (
+       |      PARTITION BY n.u ORDER BY n.c DESC, n.label) AS rk
+       |    FROM (SELECT a.u, l.label, count(*) AS c
+       |          FROM adj a JOIN $prev l ON a.v = l.v
+       |          GROUP BY a.u, l.label) n) t
+       |  WHERE rk = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_graph_community" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |e AS (
+         |  SELECT DISTINCT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT u AS v, u AS label FROM adj),
+         |${(1 to CommunityIters).map(i => lpaRoundSql(s"l${i - 1}", s"l$i"))
+             .mkString(",\n")},
+         |sizes AS (SELECT label, count(*) AS n_members
+         |          FROM l$CommunityIters GROUP BY label)
+         |SELECT l.v, CAST(l.label AS BIGINT) AS community,
+         |  CAST(s.n_members AS BIGINT) AS n_members
+         |FROM l$CommunityIters l JOIN sizes s ON l.label = s.label
+         |ORDER BY v""".stripMargin,
     "q_graph_linkpred" ->
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk

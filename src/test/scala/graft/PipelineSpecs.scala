@@ -1675,6 +1675,30 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(rv - er) < 2e-6, s"node $node: $rv vs $er")
     }
   }
+
+  test("synchronous label propagation equals the in-memory replay") {
+    val e = operators.Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).map {
+      case (u, vs) => u -> vs.map(_._2)
+    }
+    var label = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to operators.Graph.CommunityIters) {
+      label = adj.map { case (u, nbrs) =>
+        val counts = nbrs.groupBy(label).map { case (l, xs) => (l, xs.length) }
+        // plurality label, count DESC then label ASC — the query's
+        // (and the oracle's) exact tiebreak
+        u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = label.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val want = label.toSeq.sortBy(_._1)
+      .map { case (v, l) => (v, l, sizes(l).toLong) }
+    val got = run("q_graph_community").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
 }
 
 /** Hard-negative mining contract: the result is the brute-force
