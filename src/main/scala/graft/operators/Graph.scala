@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * broadcast 1-row aggregate, so the only driver-visible rows are
   * the final top-20 implied by the bench sink.
   *
-  * Rows-only by contract (fixed-point iteration in IEEE doubles is
-  * not SQL-expressible in the oracle's dialect); GraphSpec replays
-  * the identical iteration in plain Scala over the collected edge
-  * list and pins every node's rank to 1e-9, rank-mass conservation
-  * (Σrank = 1), and the top-20 ordering.
+  * Fully oracled (round 12): the bounded damping loop unrolls into
+  * PrIters CTEs of plain join+sum arithmetic — the q_graph_community
+  * technique on an FP iterate. Both engines run the identical IEEE
+  * double ops; only cross-row summation order differs (~1e-15
+  * relative per round), absorbed by the published 6-decimal rounding
+  * with ~9 orders of margin. GraphSpec additionally replays the
+  * iteration in plain Scala and pins every node's rank to 1e-9,
+  * rank-mass conservation (Σrank = 1), and the top-20 ordering.
   */
 object Graph {
 
@@ -326,8 +329,11 @@ object Graph {
     // the same as the classical L2 form). Same per-iteration shuffle
     // profile as PageRank: one equi-join of the thin edge list
     // against the score table + one map-combined sum, bounded
-    // iterations, lineage checkpointed. Rows-only; GraphSpec replays
-    // the iterate in plain Scala to 1e-9.
+    // iterations, lineage checkpointed. Fully oracled (round 12) via
+    // the same CTE unrolling as PageRank — the deferred-normalization
+    // form is linear, so the oracle defers identically and the final
+    // scalar divide + 9-decimal rounding absorbs summation-order
+    // noise; GraphSpec additionally replays the iterate to 1e-9.
     "q_graph_hits" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // the directed (hub, auth) edge set IS the written pair layout.
@@ -475,6 +481,33 @@ object Graph {
     })
   )
 
+  /** One unrolled PageRank damping round as SQL — the exact per-node
+    * arithmetic the Spark iterate performs (base + d·Σ rank/outdeg
+    * over incoming edges, LEFT join so message-less nodes keep base).
+    * The ops are the same IEEE doubles in both engines; only cross-row
+    * summation order differs (relative ~1e-15 per round), which the
+    * published 6-decimal rounding absorbs with ~9 orders of margin. */
+  private def prRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node, n.outdeg, n.base,
+       |    n.base + $Damping * coalesce(m.m, 0.0) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, sum(p.rank / p.outdeg) AS m
+       |    FROM edges e JOIN $prev p ON e.src = p.node
+       |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+
+  /** One unrolled HITS mutual-recursion round as SQL: a = Eᵀh then
+    * h = Ea, both plain sums over the directed edge list (the Spark
+    * iterate's deferred-normalization form). */
+  private def hitsRoundSql(prev: String, aOut: String, hOut: String): String =
+    s"""$aOut AS (
+       |  SELECT e.auth, sum(h.hs) AS as_
+       |  FROM edges e JOIN $prev h ON e.hub = h.hub GROUP BY e.auth),
+       |$hOut AS (
+       |  SELECT e.hub, sum(a.as_) AS hs
+       |  FROM edges e JOIN $aOut a ON e.auth = a.auth GROUP BY e.hub)"""
+      .stripMargin
+
   /** One unrolled synchronous-LPA round as SQL: node u adopts the
     * plurality label of its neighbors in `prev` (count DESC, label ASC
     * — the exact Spark tiebreak). */
@@ -489,6 +522,58 @@ object Graph {
        |  WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The q_graph_community unrolling technique applied to the FP
+    // iterates: a bounded damping loop is plain arithmetic over an
+    // equi-join, so PrIters rounds unroll into PrIters CTEs. 1 << 40
+    // = 1099511627776 is the CustTag high-bit (kept literal — DuckDB
+    // and Spark agree on BIGINT `|`).
+    "q_graph_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey AS a,
+         |    o_custkey | 1099511627776 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs),
+         |outd AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+         |         FROM edges GROUP BY src),
+         |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM outd),
+         |nodes AS (SELECT node, outdeg, 1.0 / n AS rank,
+         |            ${1.0 - Damping} / n AS base
+         |          FROM outd, nv),
+         |r0 AS (SELECT node, outdeg, base, rank FROM nodes),
+         |${(1 to PrIters).map(i => prRoundSql(s"r${i - 1}", s"r$i"))
+             .mkString(",\n")},
+         |top AS (
+         |  SELECT node, round(rank, 6) AS rank FROM r$PrIters
+         |  ORDER BY round(rank, 6) DESC, node LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY rank DESC, node)
+         |    AS BIGINT) AS rnk,
+         |  node, rank
+         |FROM top ORDER BY rnk""".stripMargin,
+    "q_graph_hits" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey AS a,
+         |    o_custkey | 1099511627776 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT a AS hub, b AS auth FROM pairs),
+         |h0 AS (SELECT DISTINCT hub, 1.0 AS hs FROM edges),
+         |${(1 to PrIters).map(i =>
+             hitsRoundSql(s"h${i - 1}", s"a$i", s"h$i")).mkString(",\n")},
+         |htot AS (SELECT sum(hs) AS tot FROM h$PrIters),
+         |atot AS (SELECT sum(as_) AS tot FROM a$PrIters),
+         |scored AS (
+         |  SELECT h.hub AS node, 'hub' AS role,
+         |    round(h.hs / t.tot, 9) AS score
+         |  FROM h$PrIters h, htot t
+         |  UNION ALL
+         |  SELECT a.auth, 'auth', round(a.as_ / t.tot, 9)
+         |  FROM a$PrIters a, atot t),
+         |top AS (SELECT * FROM scored ORDER BY score DESC, node LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, node)
+         |    AS BIGINT) AS rnk,
+         |  role, node, score
+         |FROM top ORDER BY rnk""".stripMargin,
     "q_graph_community" ->
       s"""WITH li AS (
          |  SELECT l_orderkey AS ok, l_partkey AS pk
