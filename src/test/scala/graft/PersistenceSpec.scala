@@ -287,15 +287,20 @@ class Round14PersistenceSpec extends SparkSpec {
     run("q_ivf_refit").collect()
     val wh = java.nio.file.Paths.get(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    val dir = wh.resolve(s"ivf_refit_${sources.Layouts.sfSuffix(sf)}")
-    assert(Files.exists(dir.resolve("_SUCCESS")))
-    val files = Files.walk(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    assert(files.nonEmpty)
-    val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
-    run("q_ivf_refit").collect()
-    assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
-      "ivf_refit rebuilt")
+    // both the refreshed index AND the round-12 drift-report layout
+    // (the before/after assignment table) must re-attach: a second
+    // report invocation reads thin written rows, never an embedding
+    Seq("ivf_refit", "ivf_refit_assign").foreach { n =>
+      val dir = wh.resolve(s"${n}_${sources.Layouts.sfSuffix(sf)}")
+      assert(Files.exists(dir.resolve("_SUCCESS")), n)
+      val files = Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, n)
+      val mtimes = files.map(f => f -> Files.getLastModifiedTime(f)).toMap
+      run("q_ivf_refit").collect()
+      assert(files.forall(f => Files.getLastModifiedTime(f) == mtimes(f)),
+        s"$n rebuilt")
+    }
   }
 
   test("wrapped train-shard layout re-attaches un-rebuilt") {
