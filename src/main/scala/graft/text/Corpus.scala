@@ -108,6 +108,30 @@ object Corpus {
           .cast("long"), lit(nShards.toLong)))
       .repartition(nShards, col("shard"))
 
+  /** The shard-count law (⌈corpus tokens / ShardTokenBudget⌉, floored
+    * at 1) as a broadcast 1-row aggregate over any token-count column
+    * — the Graph.scala pagerank 1/n pattern (round-12 verdict item 5):
+    * the count joins back as a COLUMN, so shard assignment is one
+    * dataflow with no driver-side action. `repartition(col("shard"))`
+    * hash-partitions on the shard VALUE, so every shard still lands
+    * wholly in one task and the partitioned write keeps the
+    * one-file-per-occupied-shard law (ShardExportSpec pins it) without
+    * the partition COUNT ever surfacing on the driver.
+    */
+  private def withDerivedShard(rows: DataFrame, tokenCol: String,
+      tokenSource: DataFrame): DataFrame = {
+    val nsh = tokenSource.agg(greatest(lit(1L),
+      expr(s"(sum($tokenCol) + ${ShardTokenBudget - 1}) div " +
+        s"$ShardTokenBudget")).as("nsh"))
+    rows.crossJoin(broadcast(nsh))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(col("source"), lit(":"),
+            col("bin").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long"), col("nsh")))
+      .drop("nsh")
+      .repartition(col("shard"))
+  }
+
   /** The write-once training-shard layout, partitioned by shard —
     * the artifact a training job's data loader consumes. The shard
     * count derives from corpus tokens at build time (one 1-row
@@ -118,10 +142,8 @@ object Corpus {
   private[graft] def shardLayout(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "train_shards",
         partitionCols = Seq("shard")) {
-      val totTok = seqPacked(s, d).agg(sum(col("n_tok"))).head.getLong(0)
-      val nsh = ((totTok + ShardTokenBudget - 1) / ShardTokenBudget)
-        .toInt.max(1)
-      shardAssigned(s, d, nsh)
+      val packed = seqPacked(s, d)
+      withDerivedShard(packed, "n_tok", packed)
     }
 
   /** The wrapped-packing segment table (doc_id, source, bin, seg_off,
@@ -168,15 +190,11 @@ object Corpus {
   private[graft] def wrapShardLayout(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "train_shards_wrapped",
         partitionCols = Seq("shard")) {
-      val totTok = seqPacked(s, d).agg(sum(col("n_tok"))).head.getLong(0)
-      val nsh = ((totTok + ShardTokenBudget - 1) / ShardTokenBudget)
-        .toInt.max(1)
-      wrapPacked(s, d)
-        .withColumn("shard",
-          pmod(conv(substring(md5(concat(col("source"), lit(":"),
-              col("bin").cast("string")).cast("binary")), 1, 12), 16, 10)
-            .cast("long"), lit(nsh.toLong)))
-        .repartition(nsh, col("shard"))
+      // wrapped packing conserves tokens (Σ seg_tokens = Σ n_tok), so
+      // the derived count — and with it every shard assignment — is
+      // identical to the flat exporter's
+      val wp = wrapPacked(s, d)
+      withDerivedShard(wp, "seg_tokens", wp)
     }
 
   /** FIM apply rate (per mille): ~half the corpus is transformed —
