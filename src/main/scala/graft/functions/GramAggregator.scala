@@ -30,7 +30,12 @@ class GramAggregator(dim: Int)
 
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     val (acc, n) = b
-    val m = math.min(dim, v.length)
+    // fail fast on width drift: silently zero-padding/truncating a
+    // malformed embedding would skew the covariance (and the PCA
+    // basis) with no signal at all
+    require(v.length == dim,
+      s"embedding width ${v.length} != aggregator dim $dim")
+    val m = dim
     var i = 0
     while (i < m) {
       val xi = v(i).toDouble

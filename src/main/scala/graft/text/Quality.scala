@@ -379,11 +379,14 @@ object Quality {
     // mode comes from a sort_array + runtime aggregate() fold over
     // runs (the Viterbi-fold discipline), NOT a per-gram explode, so
     // the operator is ZERO-shuffle at any corpus size and no gram
-    // string ever leaves its row. All-integer per-mille; thresholds
-    // are the published Gopher cuts (dup lines ≤ 30%, top 2-gram
-    // ≤ 20%, dup 5-grams ≤ 15%). Fully oracled (the DuckDB side may
-    // use the simpler unnest+group form — the values are definitionally
-    // equal).
+    // string ever leaves its row. All-integer per-mille. The line
+    // cuts are Rae et al.'s published fractions (dup lines ≤ 30%,
+    // dup line CHARS ≤ 20%); the gram cuts (top 2-gram ≤ 20%, dup
+    // 5-grams ≤ 15%) use gram COUNTS where the paper uses gram
+    // CHARACTER fractions — count-based per-mille approximations of
+    // the same rules, kept integer so both engines agree exactly.
+    // Fully oracled (the DuckDB side may use the simpler unnest+group
+    // form — the values are definitionally equal).
     "q_quality_repetition" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -428,8 +431,8 @@ object Quality {
           expr("CASE WHEN n_5 > 0 THEN (n_5 - d_5) * 1000 div n_5 ELSE 0L END")
             .as("dup5_pm"))
         .withColumn("keep",
-          col("dup_line_pm") <= 300L && col("top2_pm") <= 200L &&
-            col("dup5_pm") <= 150L)
+          col("dup_line_pm") <= 300L && col("dup_line_chars_pm") <= 200L &&
+            col("top2_pm") <= 200L && col("dup5_pm") <= 150L)
         .orderBy(col("doc_id")))
   )
 
@@ -530,7 +533,8 @@ object Quality {
         |  CAST(dup_line_chars_pm AS BIGINT) AS dup_line_chars_pm,
         |  CAST(top2_pm AS BIGINT) AS top2_pm,
         |  CAST(dup5_pm AS BIGINT) AS dup5_pm,
-        |  (dup_line_pm <= 300 AND top2_pm <= 200 AND dup5_pm <= 150) AS keep
+        |  (dup_line_pm <= 300 AND dup_line_chars_pm <= 200
+        |    AND top2_pm <= 200 AND dup5_pm <= 150) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_datasheet" ->
       s"""WITH base AS (

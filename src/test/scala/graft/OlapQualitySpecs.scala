@@ -1237,8 +1237,9 @@ class RepetitionSpec extends SparkSpec {
     docs.foreach { case (id, text) =>
       val exp = metrics(text)
       assert(got(id)._1 == exp, s"doc $id: ${got(id)._1} vs $exp")
-      val (_, dl, _, t2, d5) = exp
-      assert(got(id)._2 == (dl <= 300 && t2 <= 200 && d5 <= 150), s"doc $id keep")
+      val (_, dl, dlc, t2, d5) = exp
+      assert(got(id)._2 == (dl <= 300 && dlc <= 200 && t2 <= 200 && d5 <= 150),
+        s"doc $id keep")
     }
     // the corpus genuinely exercises the bigram mode (some repetition)
     assert(got.values.exists(_._1._4 > 0))

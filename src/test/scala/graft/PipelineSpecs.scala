@@ -2542,7 +2542,12 @@ class PcaEvalSpec extends SparkSpec {
         val qp = proj(qv)
         qid -> vecs.filter(_._1 != qid)
           .map { case (nid, nv) =>
-            (math.rint(cos(qp, proj(nv)) * 1e9) / 1e9, nid) }
+            // BigDecimal HALF_UP mirrors Spark's round() exactly (the
+            // MrlSpec discipline); math.rint is half-to-even and could
+            // diverge on an exact half at the 9th decimal
+            (BigDecimal(cos(qp, proj(nv)))
+              .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, nid) }
           .sortBy { case (c, nid) => (-c, nid) }
           .take(5).map(_._2).toSet
       }.toMap
