@@ -147,6 +147,14 @@ object ScaleProbe {
       val hybridDenseAdaptive =
         sim.Similarity.hybridDenseCandidatesAt(spark, d, hybridK16)
       val chunkRows = SparkEntry.queries("q_chunk_overlap")(spark, d).count()
+      // round-15: the graph-iterate shuffle claims, measured — each
+      // PageRank/HITS round joins `pr_edges` rows against the
+      // pre-partitioned edge layout (exchange-free on the edge side)
+      // and exchanges only ~`pr_nodes` thin rank rows; LPA likewise
+      // over the co-purchase adjacency. Exponents ≈ 1 certify that
+      // per-iteration shuffle volume is linear in the corpus.
+      val (prEdges, prNodes) = operators.Graph.pagerankIterStats(spark, d)
+      val (lpaAdj, lpaNodes) = operators.Graph.lpaIterStats(spark, d)
       val secs = probed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -183,6 +191,10 @@ object ScaleProbe {
         s""""hybrid_dense_candidates":$hybridDense""",
         s""""hybrid_dense_candidates_target16":$hybridDenseAdaptive""",
         s""""chunk_rows":$chunkRows""",
+        s""""pagerank_edges":$prEdges""",
+        s""""pagerank_nodes":$prNodes""",
+        s""""lpa_adj_rows":$lpaAdj""",
+        s""""lpa_nodes":$lpaNodes""",
         s""""pca_fit_sec":${f"$pcaFitSec%.3f"}""")
       println(s"""{"sf":"$d","docs":$docs,"vectors":$vecs,${fields.mkString(",")}}""")
       (d, docs, vecs, cands ++ Map("jaccard_capped" -> jacCapped,
@@ -198,7 +210,9 @@ object ScaleProbe {
         "wrap_shard_max_tok" -> wrapShardMaxTok,
         "hybrid_dense" -> hybridDense,
         "hybrid_dense_t16" -> hybridDenseAdaptive,
-        "chunk_rows" -> chunkRows),
+        "chunk_rows" -> chunkRows,
+        "pr_edges" -> prEdges, "pr_nodes" -> prNodes,
+        "lpa_adj" -> lpaAdj, "lpa_nodes" -> lpaNodes),
         secs + ("pca_fit" -> pcaFitSec))
     }
 
@@ -234,6 +248,10 @@ object ScaleProbe {
         s""""hybrid_dense_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense").toDouble, c2("hybrid_dense").toDouble)}%.2f"}""",
         s""""hybrid_dense_candidates_target16_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_dense_t16").toDouble, c2("hybrid_dense_t16").toDouble)}%.2f"}""",
         s""""chunk_rows_exp":${f"${exp(d1docs, d2docs, c1("chunk_rows").toDouble, c2("chunk_rows").toDouble)}%.2f"}""",
+        s""""pagerank_edges_exp":${f"${exp(d1docs, d2docs, c1("pr_edges").toDouble, c2("pr_edges").toDouble)}%.2f"}""",
+        s""""pagerank_nodes_exp":${f"${exp(d1docs, d2docs, c1("pr_nodes").toDouble, c2("pr_nodes").toDouble)}%.2f"}""",
+        s""""lpa_adj_rows_exp":${f"${exp(d1docs, d2docs, c1("lpa_adj").toDouble, c2("lpa_adj").toDouble)}%.2f"}""",
+        s""""lpa_nodes_exp":${f"${exp(d1docs, d2docs, c1("lpa_nodes").toDouble, c2("lpa_nodes").toDouble)}%.2f"}""",
         s""""pca_fit_time_exp":${f"${exp(d1vecs, d2vecs, s1("pca_fit"), s2("pca_fit"))}%.2f"}""")
       println(s"""{"metric":"growth_exponents",${fields.mkString(",")}}""")
     }

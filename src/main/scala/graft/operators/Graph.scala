@@ -154,6 +154,28 @@ object Graph {
     (e.count(), wedges)
   }
 
+  /** (per-iteration equi-join rows, shuffled rank-table rows) for the
+    * PageRank family — the ScaleProbe readout certifying the "only
+    * the thin rank table shuffles" claim: each damping round streams
+    * the pre-partitioned edge side exchange-free, joins |E| rows, and
+    * exchanges only the map-combined per-destination sums (≤ nodes
+    * rows) plus the refreshed (node, rank) table (= nodes rows). Both
+    * counts should grow ~linearly with the corpus (exponent ≈ 1); an
+    * all-pairs or rank-materializing design would read ≈ 2.
+    */
+  private[graft] def pagerankIterStats(s: SparkSession, d: String): (Long, Long) = {
+    val e = edges(s, d)
+    (e.count(), e.select(col("src")).distinct().count())
+  }
+
+  /** The LPA twin: (per-round adjacency-join rows, label-table rows). */
+  private[graft] def lpaIterStats(s: SparkSession, d: String): (Long, Long) = {
+    val e = coEdges(s, d)
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    (adj.count(), adj.select(col("v")).distinct().count())
+  }
+
   /** Link-prediction candidate rows (a, b) from the wedge join over a
     * symmetric (u, v) adjacency, each shared-neighbor witness list
     * capped at `cap` smallest-id members (cap ≤ 0 → uncapped). The

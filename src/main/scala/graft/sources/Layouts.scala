@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.Exact.{money, one, rate}
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators: bucketed tables (co-located joins) and
@@ -275,24 +275,41 @@ object Layouts {
     // files far below the row-group sweet spot; each file costs a
     // task, an open, and a footer read, so a million 1 MB files can
     // make a scan scheduler-bound. The pass rewrites the fragmented
-    // layout into ceil(rows / CompactRowsPerFile) files via a
-    // DETERMINISTIC hash repartition on the key (range partitioning
-    // samples, so its boundaries are not run-stable) — one shuffle of
-    // the data, once, amortized over every later scan. Both sides are
-    // write-once layouts; the query reports the before/after file
-    // profile from input_file_name() aggregates (no driver-side
-    // listing). Rows-only (file counts are not SQL-visible);
-    // CompactionSpec pins disk file counts and row conservation.
+    // layout into ceil(rows / CompactRowsPerFile) files, the file a
+    // row lands in being a DETERMINISTIC md5 bucket of its key (the
+    // shard-exporter discipline; range partitioning samples, so its
+    // boundaries are not run-stable, and Spark's internal hash
+    // partitioning is engine-private) — one shuffle of the data,
+    // once, amortized over every later scan. Each bucket is written
+    // by exactly one task (hash repartition on the bucket VALUE +
+    // partitioned write), so files-on-disk == buckets and the whole
+    // before/after file profile is a pure function of the table —
+    // which is what lets the report carry a hard DuckDB oracle
+    // (round 12). The target file count derives in the dataflow (a
+    // broadcast 1-row aggregate, the shard-law pattern).
+    // input_file_name() keeps the report honest — it counts REAL
+    // files, and CompactionSpec additionally pins them against the
+    // filesystem.
     "q_compact_files" -> ((s, d) => {
-      val frag = ensureLayout(s, d, "fragmented") {
+      def bucketOf(salt: String, n: Column): Column =
+        pmod(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit(salt)).cast("binary")), 1, 12), 16, 10).cast("long"), n)
+      val frag = ensureLayout(s, d, "fragmented",
+          partitionCols = Seq("bucket")) {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-          .repartition(FragmentFiles, col("l_orderkey"))
+          .withColumn("bucket", bucketOf(":frag", lit(FragmentFiles.toLong)))
+          .repartition(col("bucket"))
       }
-      val compacted = ensureLayout(s, d, "compacted") {
-        val n = math.max(1,
-          math.ceil(frag.count().toDouble / CompactRowsPerFile).toInt)
-        frag.repartition(n, col("l_orderkey"))
+      val compacted = ensureLayout(s, d, "compacted",
+          partitionCols = Seq("bucket")) {
+        val nf = frag.agg(greatest(lit(1L),
+          expr(s"(count(1) + ${CompactRowsPerFile - 1}) div " +
+            s"$CompactRowsPerFile")).as("nf"))
+        frag.drop("bucket").crossJoin(broadcast(nf))
+          .withColumn("bucket", bucketOf(":comp", col("nf")))
+          .drop("nf")
+          .repartition(col("bucket"))
       }
       def profile(df: DataFrame, side: String): DataFrame =
         df.groupBy(input_file_name().as("f"))
@@ -439,6 +456,33 @@ object Layouts {
   val CompactRowsPerFile = 16384
 
   val oracle: Map[String, String] = Map(
+    // the md5-bucket file assignment is a pure function of the table,
+    // so the file profile replays as all-integer bucket arithmetic;
+    // files-on-disk == buckets is separately pinned by CompactionSpec
+    "q_compact_files" ->
+      s"""WITH li AS (SELECT l_orderkey FROM lineitem),
+         |nf AS (SELECT CAST(GREATEST(1,
+         |    (count(*) + ${CompactRowsPerFile - 1}) // $CompactRowsPerFile)
+         |    AS BIGINT) AS n FROM li),
+         |bb AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+         |    || ':frag'), 1, 12))::BIGINT % $FragmentFiles AS b FROM li),
+         |ba AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+         |    || ':comp'), 1, 12))::BIGINT % (SELECT n FROM nf) AS b
+         |  FROM li),
+         |pb AS (SELECT CAST(count(*) AS BIGINT) AS r FROM bb GROUP BY b),
+         |pa AS (SELECT CAST(count(*) AS BIGINT) AS r FROM ba GROUP BY b),
+         |fb AS (SELECT CAST(count(*) AS BIGINT) AS before_files,
+         |  CAST(min(r) AS BIGINT) AS before_min_rows,
+         |  CAST(max(r) AS BIGINT) AS before_max_rows,
+         |  CAST(sum(r) AS BIGINT) AS before_rows FROM pb),
+         |fa AS (SELECT CAST(count(*) AS BIGINT) AS after_files,
+         |  CAST(min(r) AS BIGINT) AS after_min_rows,
+         |  CAST(max(r) AS BIGINT) AS after_max_rows,
+         |  CAST(sum(r) AS BIGINT) AS after_rows FROM pa)
+         |SELECT before_files, after_files, before_rows, after_rows,
+         |  before_min_rows, before_max_rows,
+         |  after_min_rows, after_max_rows
+         |FROM fb, fa""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

@@ -748,17 +748,23 @@ object Corpus {
     // shares the uniform reservoir's mergeability (partial
     // WindowGroupLimit keeps ≤ k rows per partition map-side). No RNG
     // state, reproducible across engines, partitionings and retries.
-    // Rows-only (pow's cross-engine bit-parity is not guaranteed);
-    // WeightedSampleSpec replays the selection exactly in the same
-    // JVM math and pins that the heavy-weight quartile is
-    // overrepresented vs the uniform reservoir.
+    // Fully oracled (round 12): pow's cross-engine bit-parity is not
+    // guaranteed, so the RANKING keys on the 9-decimal ROUNDED
+    // priority with doc_id as tiebreak (the q_embed_pca_eval
+    // discipline) — a ≤few-ulp libm difference flips the rounding
+    // only when a priority sits within ulps of a 0.5e-9 boundary,
+    // and the fixed corpora clear every boundary by ≥ 2.9e-5 grid
+    // units (measured, 130× the ulp scale). WeightedSampleSpec
+    // replays the rounded selection exactly and pins that the
+    // heavy-weight quartile is overrepresented vs the uniform
+    // reservoir.
     "q_weighted_sample" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
         lit(":ws42")).cast("binary")), 1, 8), 16, 10).cast("double") + 1.0) /
         4294967296.0
       val w = Window.partitionBy(col("source"))
-        .orderBy(col("priority").desc, col("doc_id"))
+        .orderBy(round(col("priority"), 9).desc, col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
           pow(u, lit(1.0) / col("n_chars").cast("double")).as("priority"))
@@ -1247,6 +1253,24 @@ object Corpus {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents) t
          |WHERE rk <= $ReservoirK ORDER BY source, rk""".stripMargin,
+    // A-ES priorities: the ranking keys on round(priority, 9) with a
+    // doc_id tiebreak, so a last-ulp libm pow difference cannot move
+    // a row (fixed corpora clear every rounding boundary by >=2.9e-5
+    // grid units, measured)
+    "q_weighted_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws42'),
+         |        1, 8))::BIGINT + 1.0) / 4294967296.0,
+         |      1.0 / n_chars) AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY round(priority, 9) DESC, doc_id) AS rk
+         |  FROM p)
+         |SELECT source, rk, doc_id, n_chars
+         |FROM r WHERE rk <= $ReservoirK ORDER BY source, rk""".stripMargin,
     "q_mixture_sample" ->
       """SELECT doc_id, lang, bucket, keep_w FROM (
         |  SELECT doc_id, lang,

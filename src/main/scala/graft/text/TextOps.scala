@@ -234,17 +234,26 @@ object TextOps {
     // shuffle. At 100 TB the exact groupBy exchanges every distinct
     // token; the sketch exchanges kilobytes per partition and is the
     // single-pass answer when the vocabulary outgrows the shuffle.
-    // Rows-only (sketch internals are engine-specific); a spec pins
-    // the sketch's top-k set equal to the exact q_vocab_topk head at
-    // test scale (the sketch is exact until it saturates).
-    "q_heavy_hitters" -> ((s, d) =>
+    // Published ranks come from a DETERMINISTIC re-rank of the
+    // sketch's items ((freq DESC, token) — the sketch's own emission
+    // order on count ties is engine internals), which is what lets
+    // the operator carry a hard oracle (round 12): in the sketch's
+    // exact regime (distinct tokens ≪ the 4096-slot map — the spec
+    // pins sketch == exact head at test scale) the estimates ARE the
+    // exact counts, so the DuckDB exact top-20 matches hash-for-hash.
+    "q_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("freq").desc, col("token"))
       Tables.documents(s, d)
         .select(explode(toks(col("text"))).as("token"))
         .agg(expr("approx_top_k(token, 20, 4096)").as("top"))
-        .select(posexplode(col("top")))
-        .select((col("pos") + 1).cast("long").as("rk"),
-          col("col.item").as("token"), col("col.count").cast("long").as("freq"))
-        .orderBy(col("rk"))),
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("token"),
+          col("e.count").cast("long").as("freq"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("token"), col("freq"))
+        .orderBy(col("rk"))
+    }),
 
     // Whitespace token counts (total + distinct) per document.
     "q_text_tokens" -> ((s, d) =>
@@ -332,8 +341,10 @@ object TextOps {
         .orderBy(col("doc_id"))),
 
     // Rolling-hash (Rabin-Karp) fingerprint over normalized text —
-    // order-sensitive, one kernel pass. Rows-only (the polynomial
-    // mod-2^64 fold has no tractable SQL mirror).
+    // order-sensitive, one kernel pass. Fully oracled (round 12): the
+    // polynomial mod-2^64 fold mirrors exactly in DuckDB as a HUGEINT
+    // list_reduce (all-integer, wrap made explicit), so the kernel's
+    // signed-long output round-trips hash-for-hash.
     "q_text_rollhash" -> ((s, d) => {
       graft.functions.HashFunctions.register(s)
       Tables.documents(s, d)
@@ -1068,6 +1079,39 @@ object TextOps {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact top-20: equal to the sketch's answer while the sketch is
+    // in its exact regime (spec-pinned at test scale); the re-ranked
+    // (freq DESC, token) publish order is shared by construction
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |      FROM t GROUP BY token),
+        |top AS (SELECT token, freq FROM c
+        |        ORDER BY freq DESC, token LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |    AS BIGINT) AS rk,
+        |  token, freq
+        |FROM top ORDER BY rk""".stripMargin,
+    // the kernel's h = h*B + byte fold mod 2^64, replayed over HUGEINT
+    // with an explicit wrap to the signed BIGINT the kernel returns;
+    // codepoints == UTF-8 bytes because the mirror runs on the same
+    // ASCII text the kernel consumed (lower() agrees byte-for-byte)
+    "q_text_rollhash" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808
+        |       THEN h - 18446744073709551616 ELSE h END AS BIGINT)
+        |    AS roll_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(range(1, strlen(lt) + 1),
+        |          i -> ord(substr(lt, i, 1))::HUGEINT)),
+        |      (acc, b) -> (acc * 1000000007 + b) % 18446744073709551616)
+        |      AS h
+        |  FROM (SELECT doc_id, lower(text) AS lt FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw, '[0-9]')) AS BIGINT) AS n_digits,

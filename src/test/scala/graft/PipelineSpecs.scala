@@ -1250,7 +1250,8 @@ class CompactionSpec extends SparkSpec {
       val p = java.nio.file.Paths.get(wh,
         s"${name}_${sources.Layouts.sfSuffix(sf)}")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala
+      // bucket-partitioned layout: files live under bucket=N dirs
+      java.nio.file.Files.walk(p).iterator().asScala
         .count(_.getFileName.toString.endsWith(".parquet")).toLong
     }
     assert(parts("fragmented") == before && parts("compacted") == after)
@@ -1811,7 +1812,12 @@ class WeightedSampleSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
     }
     val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
-      rows.toSeq.map { case (id, _, w) => (id, math.pow(u(id), 1.0 / w)) }
+      // round-9 HALF_UP mirrors the query's rounded ranking key (the
+      // rounding is what makes the cross-engine oracle exact)
+      rows.toSeq.map { case (id, _, w) =>
+        (id, BigDecimal(math.pow(u(id), 1.0 / w))
+          .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
         .sortBy { case (id, p) => (-p, id) }
         .take(text.Corpus.ReservoirK.toInt).zipWithIndex
         .map { case ((id, _), i) => (src, (i + 1).toLong, id) }
