@@ -104,8 +104,10 @@ object Core {
     // potpot's seeded xxHash64: the builtin (fixed seed 42) plus the
     // xxh64_seeded kernel with an explicit per-index seed — the
     // reference's hasher design (src/hashtable.rs:95-96); the slot is
-    // the seeded hash mod the 511-slot capacity. No DuckDB oracle (no
-    // xxhash64 there) → rows-only check.
+    // the seeded hash mod the 511-slot capacity. Fully oracled
+    // (round 12): DuckDB has no xxhash64, so the oracle GENERATES the
+    // algorithm — hashLong is a fixed ~12-step unsigned-64 fold that
+    // mirrors bit-exactly as a HUGEINT CTE chain (see xxh64Sql).
     "q_hash_xxh64" -> ((s, d) => {
       graft.functions.HashFunctions.register(s)
       Tables.orders(s, d)
@@ -118,6 +120,7 @@ object Core {
     }),
 
     // potpot's CRC32 page checksum — Spark built-in over record bytes.
+    // Fully oracled (round 12) as the table-driven byte fold in SQL.
     "q_hash_crc32" -> ((s, d) =>
       Tables.part(s, d)
         .select(col("p_partkey"),
@@ -125,7 +128,96 @@ object Core {
         .orderBy(col("p_partkey")))
   )
 
+  /** xxHash64 of one 8-byte block (Spark's `XXH64.hashLong`) as a
+    * generated DuckDB CTE chain — every step is unsigned-64 wrap
+    * arithmetic over HUGEINT (values live in [0, 2^64); mul splits
+    * the left operand in 32-bit halves so no product exceeds 2^97),
+    * so the mirror is bit-exact, not approximate. One CTE per fold
+    * step keeps each expression linear in size.
+    */
+  private def xxh64Sql(seed: Long, out: String, sfx: String): Seq[String] = {
+    val M = "18446744073709551616" // 2^64
+    val (p1, p2, p3, p4, p5) = ("11400714785074694791", // unsigned primes
+      "14029467366897019727", "1609587929392839161",
+      "9650029242287828579", "2870177450012600261")
+    def mul(a: String, b: String) =
+      s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * ($b) " +
+        s"% 4294967296) * 4294967296) % $M"
+    def rotl(x: String, r: Int) =
+      s"(($x) * ${BigInt(1) << r} + ($x) // ${BigInt(1) << (64 - r)}) % $M"
+    def shr(x: String, r: Int) = s"(($x) // ${BigInt(1) << r})"
+    Seq(
+      s"(($seed + $p5 + 8) % $M) AS h0$sfx",
+      s"(${mul("u", p2)}) AS k1a$sfx",
+      s"(${rotl(s"k1a$sfx", 31)}) AS k1b$sfx",
+      s"(${mul(s"k1b$sfx", p1)}) AS k1$sfx",
+      s"(xor(h0$sfx, k1$sfx)) AS h1$sfx",
+      s"(${rotl(s"h1$sfx", 27)}) AS h2$sfx",
+      s"((${mul(s"h2$sfx", p1)} + $p4) % $M) AS h3$sfx",
+      s"(xor(h3$sfx, ${shr(s"h3$sfx", 33)})) AS h4$sfx",
+      s"(${mul(s"h4$sfx", p2)}) AS h5$sfx",
+      s"(xor(h5$sfx, ${shr(s"h5$sfx", 29)})) AS h6$sfx",
+      s"(${mul(s"h6$sfx", p3)}) AS h7$sfx",
+      s"(xor(h7$sfx, ${shr(s"h7$sfx", 32)})) AS $out")
+  }
+
+  /** The IEEE CRC-32 byte table (reflected, poly 0xEDB88320) as a SQL
+    * list literal — the classic table-driven fold, generated rather
+    * than hand-typed.
+    */
+  private def crcTableSql: String =
+    (0 until 256).map { i =>
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) != 0L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+        k += 1
+      }
+      c
+    }.mkString("[", ",", "]")
+
+  private def xxh64OracleSql: String = {
+    val M = "18446744073709551616"
+    var ctes = Seq(
+      s"b0 AS (SELECT o_orderkey, ((o_orderkey % $M) + $M) % $M AS u " +
+        "FROM orders)")
+    var prev = "b0"
+    for ((steps, nm) <- Seq((xxh64Sql(42, "kh", "x"), "c42"),
+        (xxh64Sql(7, "khs", "y"), "c7"));
+        (stp, i) <- steps.zipWithIndex) {
+      val name = s"${nm}_$i"
+      ctes :+= s"$name AS (SELECT *, $stp FROM $prev)"
+      prev = name
+    }
+    def sig(v: String) =
+      s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $M " +
+        s"ELSE $v END AS BIGINT)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT o_orderkey, ${sig("kh")} AS key_hash,
+       |  CAST(7 AS BIGINT) AS seed,
+       |  ${sig("khs")} AS key_hash_seeded,
+       |  CAST(((${sig("khs")} % 511) + 511) % 511 AS BIGINT) AS slot
+       |FROM $prev ORDER BY o_orderkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the reference's two hash primitives, mirrored bit-exactly in
+    // SQL (round 12): xxHash64-of-long is a fixed ~12-step unsigned
+    // fold (generated CTE chain above); CRC32 is the table-driven
+    // byte fold with the table inlined as a literal
+    "q_hash_xxh64" -> xxh64OracleSql,
+    "q_hash_crc32" ->
+      s"""SELECT p_partkey, xor(crc, 4294967295) AS name_crc
+         |FROM (
+         |  SELECT p_partkey,
+         |    list_reduce(
+         |      list_prepend(4294967295::BIGINT,
+         |        list_transform(range(1, strlen(p_name) + 1),
+         |          i -> ord(substr(p_name, i, 1))::BIGINT)),
+         |      (crc, b) -> xor($crcTableSql[(xor(crc, b) & 255) + 1],
+         |        crc // 256)) AS crc
+         |  FROM part)
+         |ORDER BY p_partkey""".stripMargin,
     "q_point_get" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |       l_extendedprice, l_returnflag

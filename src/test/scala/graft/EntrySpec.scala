@@ -51,7 +51,7 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = qs -- os
     // rows-only set is exactly the hash/sketch/approx/state queries
     assert(rowsOnly == Set(
-      "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
+      "q_approx_distinct",
       "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
       "q_sim_ann_lsh", "q_sim_ann_ivf",
       "q_stream_watermark", "q_stream_stateful", "q_stream_stream_full",

@@ -32,7 +32,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # with no oracle entry that is NOT in this set is a missing/typo'd
 # oracle, not a pass.
 ROWS_ONLY = {
-    "q_hash_xxh64", "q_hash_crc32", "q_approx_distinct",
+    "q_approx_distinct",
     "q_approx_percentile", "q_dedup_minhash", "q_dedup_simhash",
     "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
