@@ -48,6 +48,7 @@ object SparkEntry {
       text.TextOps.queries ++
       text.Quality.queries ++
       text.Corpus.queries ++
+      text.Splits.queries ++
       text.Bpe.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       text.TextOps.oracle ++
       text.Quality.oracle ++
       text.Corpus.oracle ++
+      text.Splits.oracle ++
       text.Bpe.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

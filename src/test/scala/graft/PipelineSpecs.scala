@@ -2571,3 +2571,98 @@ class PcaEvalSpec extends SparkSpec {
     }
   }
 }
+
+/** Split-family contracts: deterministic md5 proportions, the
+  * leakage-safe invariant (no near-dup cluster straddles splits —
+  * while the naive per-doc split demonstrably would), and the
+  * k-anonymity law.
+  */
+class SplitSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("stratified split: proportions near 800/100/100 and full coverage") {
+    val rows = run("q_split_stratified").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    val total = rows.map(_._3).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // per-mille shares within a 4-sigma binomial band per source (a
+    // fixed band fails small strata: sd_pm = 1000*sqrt(p(1-p)/n))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val bySplit = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val n = rs.map(_._3).sum.toDouble
+      val trainPm = bySplit.getOrElse("train", 0L) * 1000 / n
+      val band = 4.0 * 1000.0 * math.sqrt(0.8 * 0.2 / n)
+      assert(math.abs(trainPm - 800.0) <= band,
+        s"$src train share $trainPm outside 800±$band (n=$n)")
+    }
+    // deterministic
+    assert(run("q_split_stratified").collect().map(_.toSeq).toSeq ==
+      rows.map(r => Seq(r._1, r._2, r._3, r._4)).toSeq)
+  }
+
+  test("leakage-safe split: zero straddling clusters, naive would leak") {
+    val rows = run("q_split_leakage_safe").collect()
+    assert(rows.length == 3)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0L, "a cluster straddles splits")
+      assert(r.getLong(5) > 0L,
+        "counterfactual broken: the naive split should straddle here")
+    }
+    // every near-dup cluster's members share one split — replayed from
+    // the written labels + the md5 law, independently of the query
+    val labels = dedup.Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:split42".getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    def split(k: Long): String = {
+      val b = bucket(k)
+      if (b < text.Splits.TrainPm) "train"
+      else if (b < text.Splits.ValPm) "val" else "test"
+    }
+    labels.groupBy(_._2).foreach { case (keeper, members) =>
+      val splits = members.keys.map(id => split(labels(id))).toSet
+      assert(splits == Set(split(keeper)), s"cluster $keeper split apart")
+    }
+  }
+
+  test("temporal split: boundary law, ordering, and conservation") {
+    import java.time.LocalDateTime
+    val rows = run("q_split_temporal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[LocalDateTime](3), r.getAs[LocalDateTime](4)))
+    assert(rows.map(_._1).toSet == Set("train", "eval"))
+    val total = rows.map(_._2).sum
+    assert(total == Tables.orders(spark, sf).count())
+    val train = rows.find(_._1 == "train").get
+    val eval0 = rows.find(_._1 == "eval").get
+    // strict temporal ordering: all of train precedes all of eval
+    assert(train._5.isBefore(eval0._4))
+    // boundary law: train is the largest date-closed prefix <= 80%
+    // (adding eval's first full date would overflow the budget)
+    val dates = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderdate")).collect()
+      .map(_.getAs[LocalDateTime](0))
+    val firstEvalDateCount = dates.count(_ == eval0._4).toLong
+    assert(train._2 * 1000 <= 800L * total)
+    assert((train._2 + firstEvalDateCount) * 1000 > 800L * total)
+  }
+
+  test("k-anonymity report: counts conserve and the k law holds") {
+    val rows = run("q_kanon_report").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._4).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (_, _, _, n, meets) =>
+      assert(meets == (n >= text.Splits.KAnon))
+    }
+    // the corpus genuinely exercises both sides of the threshold
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+}
