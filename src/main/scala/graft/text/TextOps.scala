@@ -353,6 +353,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CROSS-SOURCE content overlap — the corpus-composition question a
+    // mixture plan starts from ("how much of crawl source A is already
+    // inside source B?"): for each source pair, the distinct 3-grams
+    // they share, as per-mille containment in BOTH directions (overlap
+    // is asymmetric when sources differ in size). Shape: thin distinct
+    // (source, gram) rows; the pair join keys on the gram with ≤
+    // |sources|² fan-out per gram (sources are a catalog-bounded set,
+    // 20 here — never corpus-scale); per-source gram counts are a
+    // bounded broadcast. Fully oracled.
+    "q_source_overlap" -> ((s, d) => {
+      graft.functions.HashFunctions.register(s)
+      val g = Tables.documents(s, d)
+        .select(col("source"),
+          explode(expr("shingles3(split(text, ' '))")).as("gram"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      g.as("x").join(g.as("y"),
+          col("x.gram") === col("y.gram") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared_grams"),
+          expr("shared_grams * 1000 div n_a").as("a_in_b_pm"),
+          expr("shared_grams * 1000 div n_b").as("b_in_a_pm"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // BPE-ish regex tokenizer: letter runs / digit runs / single
     // punctuation, counted per document.
     "q_token_regex" -> ((s, d) =>
@@ -1112,6 +1144,30 @@ object TextOps {
         |      AS h
         |  FROM (SELECT doc_id, lower(text) AS lt FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH sets AS (
+         |  SELECT source, CASE WHEN len(l) >= 3
+         |      THEN list_distinct(list_transform(
+         |        generate_series(1, len(l) - 2),
+         |        i -> array_to_string(l[i:i+2], ' ')))
+         |      ELSE [array_to_string(l, ' ')] END AS sh
+         |  FROM (SELECT source, string_split(text, ' ') AS l
+         |        FROM documents) toks),
+         |g AS (SELECT DISTINCT source, unnest(sh) AS gram FROM sets),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |          FROM g GROUP BY source),
+         |shared AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT s.source_a, s.source_b, s.shared_grams,
+         |  CAST(s.shared_grams * 1000 // a.n AS BIGINT) AS a_in_b_pm,
+         |  CAST(s.shared_grams * 1000 // b.n AS BIGINT) AS b_in_a_pm
+         |FROM shared s
+         |JOIN sizes a ON s.source_a = a.source
+         |JOIN sizes b ON s.source_b = b.source
+         |ORDER BY s.source_a, s.source_b""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw, '[0-9]')) AS BIGINT) AS n_digits,

@@ -2666,3 +2666,36 @@ class SplitSpec extends SparkSpec {
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 }
+
+/** Cross-source overlap contract: exact Scala replay of the pairwise
+  * containment arithmetic from raw text.
+  */
+class NoveltyOverlapSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def shingles(text: String): Set[String] = {
+    val l = text.split(" ", -1)
+    if (l.length >= 3) l.sliding(3).map(_.mkString(" ")).toSet
+    else Set(l.mkString(" "))
+  }
+
+  test("source overlap: canonical pairs, symmetric shared counts, pm law") {
+    val rows = run("q_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, _, _, _) => assert(a < b) }
+    // replay from raw text
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    rows.foreach { case (a, b, shared, apm, bpm) =>
+      val inter = (bySource(a) & bySource(b)).size.toLong
+      assert(shared == inter, s"$a/$b shared")
+      assert(apm == shared * 1000 / bySource(a).size)
+      assert(bpm == shared * 1000 / bySource(b).size)
+    }
+  }
+}
