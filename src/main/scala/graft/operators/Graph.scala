@@ -383,15 +383,21 @@ object Graph {
       var h = eH.select(col("hub")).distinct()
         .select(col("hub"), lit(1.0).as("hs"))
         .localCheckpoint()
+      // a is NOT checkpointed inside the loop (round 15): each a feeds
+      // exactly one h update, so checkpointing it only added a full
+      // materialization of the auth table per iteration — the
+      // every-other-round h checkpoint already bounds lineage at ≤ 4
+      // join+agg levels. The final a IS checkpointed once because the
+      // output reads it twice (aTot + the normalized rows).
       var a: DataFrame = null
       for (it <- 1 to PrIters) {
         a = eH.join(h, "hub").groupBy(col("auth"))
           .agg(sum(col("hs")).as("as_"))
-          .localCheckpoint()
         h = eA.join(a, "auth").groupBy(col("hub"))
           .agg(sum(col("as_")).as("hs"))
         if (it % 2 == 0 || it == PrIters) h = h.localCheckpoint()
       }
+      a = a.localCheckpoint()
       val hTot = h.agg(sum(col("hs")).as("tot"))
       val aTot = a.agg(sum(col("as_")).as("tot"))
       val hn = h.crossJoin(broadcast(hTot))

@@ -835,6 +835,28 @@ object Streams {
       drain(s, classified, "append").orderBy(col("doc_id"))
     }),
 
+    // STREAMING leakage-safe split — the ingest-time form of
+    // q_split_leakage_safe: every arriving document stream-static
+    // LEFT-joins the written cluster-label layout and inherits its
+    // cluster keeper's split, so a late-arriving near-duplicate of a
+    // test document lands in test the moment it arrives — no
+    // restatement, no state (the join is stateless; split state lives
+    // in the warehouse layout, not the stream — the
+    // q_stream_dedup_registry memory discipline). Replayed over the
+    // 4-slice multi-batch fixture; the output set is batch-order
+    // INVARIANT (a pure function of (doc_id, labels)), so the
+    // streaming form shares the batch oracle ⇒ fully oracled.
+    "q_stream_split" -> ((s, d) => {
+      val labels = graft.dedup.Dedup.clusterLabels(s, d)
+      val assigned = docsStreamMulti(s, d)
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          graft.text.Splits.splitOf(
+            coalesce(col("cluster_keeper"), col("doc_id"))).as("split"))
+      drain(s, assigned, "append").orderBy(col("doc_id"))
+    }),
+
     // Stream-static join: the stream side joins a static dimension
     // (stateless — no watermark needed), then aggregates per segment.
     "q_stream_static_join" -> ((s, d) => {
@@ -935,6 +957,13 @@ object Streams {
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_stream_split" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes}
+         |SELECT d.doc_id,
+         |  ${graft.text.Splits.splitSql(
+             "coalesce(l.cluster_keeper, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_stream_dedup_registry" ->
       """WITH reg AS (
         |  SELECT md5(text) AS fp, min(doc_id) AS keeper

@@ -61,7 +61,7 @@ object Splits {
     pmod(conv(substring(md5(concat(key.cast("string"), lit(":split42"))
       .cast("binary")), 1, 12), 16, 10).cast("long"), lit(1000L))
 
-  private def splitOf(key: Column): Column =
+  private[graft] def splitOf(key: Column): Column =
     when(bucketOf(key) < TrainPm, "train")
       .when(bucketOf(key) < ValPm, "val")
       .otherwise("test")
@@ -159,7 +159,7 @@ object Splits {
     s"('0x' || substr(md5(CAST($key AS VARCHAR) || ':split42'), 1, 12))" +
       s"::BIGINT % 1000"
 
-  private def splitSql(key: String): String =
+  private[graft] def splitSql(key: String): String =
     s"""CASE WHEN ${bucketSql(key)} < $TrainPm THEN 'train'
        |     WHEN ${bucketSql(key)} < $ValPm THEN 'val'
        |     ELSE 'test' END""".stripMargin

@@ -2654,6 +2654,26 @@ class SplitSpec extends SparkSpec {
     assert((train._2 + firstEvalDateCount) * 1000 > 800L * total)
   }
 
+  test("streaming split equals the batch leakage-safe assignment per doc") {
+    val stream = run("q_stream_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stream.size == Tables.documents(spark, sf).count())
+    val labels = dedup.Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:split42".getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    stream.foreach { case (id, sp) =>
+      val b = bucket(labels.getOrElse(id, id))
+      val want = if (b < text.Splits.TrainPm) "train"
+        else if (b < text.Splits.ValPm) "val" else "test"
+      assert(sp == want, s"doc $id")
+    }
+  }
+
   test("k-anonymity report: counts conserve and the k law holds") {
     val rows = run("q_kanon_report").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

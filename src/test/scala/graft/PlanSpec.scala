@@ -877,3 +877,64 @@ class Round12PlanSpec extends SparkSpec {
     }
   }
 }
+
+/** Plan pins for the round-15 split family and overlap operators. */
+class Round15PlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  test("leakage-safe split never FORCES a broadcast of the labels layout") {
+    // cluster labels grow with the corpus (the q_dedup_soft rule): at
+    // test SF Catalyst may choose a broadcast join on measured size —
+    // that's the optimizer's call and reverses at scale — but the
+    // LOGICAL plan must carry no broadcast hint pinning an unbounded
+    // table to the driver at any scale. The bounded 1-row audit
+    // aggregates are the only hinted broadcasts.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val lp = run("q_split_leakage_safe").queryExecution.analyzed
+    val hinted = lp.collect { case h: ResolvedHint => h }
+    hinted.foreach { h =>
+      // every hinted subtree must be a bounded aggregate (≤ a few
+      // columns of global agg output), never the labels relation
+      assert(h.child.output.map(_.name).toSet
+        .subsetOf(Set("straddling_clusters", "naive_straddling_clusters",
+          "n_total")),
+        "forced broadcast of: " + h.child.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("stratified split never exchanges a text column") {
+    val p = run("q_split_stratified").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    p.collect { case n @ (_: Join | _: Aggregate) => n }.foreach { n =>
+      n.children.foreach(c =>
+        assert(!c.output.exists(_.name == "text"),
+          n.nodeName + " consumes text"))
+    }
+  }
+
+  test("source overlap exchanges only (source, gram) rows, never text") {
+    val p = run("q_source_overlap").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val shufflers = p.collect { case n @ (_: Join | _: Aggregate) => n }
+    assert(shufflers.nonEmpty)
+    shufflers.foreach { n =>
+      n.children.foreach(c =>
+        assert(!c.output.exists(_.name == "text"),
+          n.nodeName + " consumes: " + c.output.map(_.name).mkString(",")))
+    }
+  }
+
+  test("temporal split windows over the thin per-date table, not the facts") {
+    // the only Window in the plan must consume the per-date aggregate
+    // (o_orderdate + count), never a fact-width input
+    val p = run("q_split_temporal").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = p.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => w.children.foreach(c =>
+      assert(c.output.length <= 2,
+        "window consumes " + c.output.map(_.name).mkString(","))))
+  }
+}
