@@ -220,6 +220,32 @@ object Layouts {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Co-located join on bucketed tables: zero exchange before the
     // sort-merge join (both sides pre-hashed into matching buckets).
+    // Point GET through the bucketed layout — the sharpest Spark
+    // analog of the reference's single-page hash-index get
+    // (hashtable.rs:166-168 intends key → slot → one page read): the
+    // equality predicate on the bucket key lets Spark's bucket
+    // pruning read exactly ONE of the 8 bucket file groups
+    // (PlanSpec pins `SelectedBucketsCount: 1 out of 8`), so the
+    // lookup touches 1/8 of the table's files at any scale — plus
+    // min/max row-group skipping inside that bucket. q_point_get is
+    // the same semantics against the unbucketed table (full-scan +
+    // pushed filter); this pair IS the reference's seq-scan-vs-index
+    // trade, measurable. Fully oracled.
+    "q_point_get_indexed" -> ((s, d) => {
+      ensureBucketed(s, d)
+      // DisableUnnecessaryBucketedScan keeps bucketed reading only for
+      // operators that need the output PARTITIONING — it doesn't model
+      // bucket-filter pruning as a benefit, so a bare key filter would
+      // read all 8 buckets. Pin the conf off: bucketed scan + pruning
+      // is the point of this operator (1/8 of the files at any scale).
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      s.table(s"orders_b_${sfSuffix(d)}")
+        .filter(col("o_orderkey") === 42)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+    }),
+
     "q_bucketed_join" -> ((s, d) => {
       ensureBucketed(s, d)
       val suffix = sfSuffix(d)
@@ -483,6 +509,10 @@ object Layouts {
          |  before_min_rows, before_max_rows,
          |  after_min_rows, after_max_rows
          |FROM fb, fa""".stripMargin,
+    "q_point_get_indexed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

@@ -938,3 +938,14 @@ class Round15PlanSpec extends SparkSpec {
         "window consumes " + c.output.map(_.name).mkString(","))))
   }
 }
+
+/** The hash-index point-get analog: bucket pruning must fire. */
+class PointGetIndexedPlanSpec extends SparkSpec {
+  test("indexed point get reads exactly one bucket") {
+    val p = run("q_point_get_indexed").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
+    val rows = run("q_point_get_indexed").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) == 42L))
+  }
+}
