@@ -227,6 +227,35 @@ object VectorKernels {
     new GenericArrayData(sigs)
   }
 
+  /** Prefix cosines at each Matryoshka dimension budget in ONE fused
+    * pass: because the budgets nest (8 ⊂ 16 ⊂ 32 ⊂ 64 share their
+    * leading elements), a single running (dot, |a|², |b|²)
+    * accumulation snapshotted at each boundary IS the per-budget
+    * prefix fold — the same left-to-right adds an independent
+    * `aggregate(slice(v, 1, m), ...)` would do, so every cosine is
+    * bit-identical to the four-fold form while the loop touches each
+    * element exactly once. Budgets must be ascending; a budget past
+    * the vector length clamps (matching `slice` semantics).
+    */
+  def mrlCosines(a: ArrayData, b: ArrayData, dims: Array[Int]): ArrayData = {
+    val out = new Array[Double](dims.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0; var k = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (k < dims.length) {
+      val m = math.min(dims(k), n)
+      while (i < m) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      out(k) = dot / math.sqrt(na * nb)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Dense projection onto the first k planes, scaled 1/√k. The dot
     * is the same sequential left fold as `Planes.sqlDot`, and the
     * scale multiplies once at the end — one double op, mirrored
@@ -282,6 +311,48 @@ case class PlaneProject(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** `mrl_cosines(a, b, m1, m2, ...)`: prefix cosine at each ascending
+  * Matryoshka dimension budget, as one whole-stage-codegen'd kernel
+  * call per pair. This is the MRL-eval hot loop (|batch| × |corpus|
+  * pairs): the lambda-expression form (`zip_with` + four
+  * `aggregate(slice(...))` folds) allocates intermediate arrays and
+  * evaluates interpreted; this touches each element once and stays
+  * inside codegen. Values are bit-identical to the per-budget folds
+  * (see [[VectorKernels.mrlCosines]]).
+  */
+case class MrlCosines(left: Expression, right: Expression, dims: Seq[Int])
+    extends BinaryExpression {
+  require(dims.nonEmpty && dims == dims.sorted && dims.head > 0,
+    s"mrl_cosines: budgets must be ascending positive, got $dims")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mrl_cosines expects array<float> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.mrlCosines(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], dims.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.mrlCosines(" +
+        s"$a, $b, new int[]{${dims.mkString(", ")}});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `plane_sigs(vec, nPlanes, bandBits)`: array of per-band sign-LSH
   * signatures (whole-stage codegen; one kernel call per row).
   */
@@ -322,6 +393,9 @@ object VectorFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "inner_product", exprs => InnerProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mrl_cosines", exprs => MrlCosines(exprs(0), exprs(1),
+        exprs.drop(2).map(_.eval().asInstanceOf[Int])), "built-in")
   }
 
   /** Cosine similarity column over two array<float> columns. */
