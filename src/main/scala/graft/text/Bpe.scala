@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
   * documents scan — zero shuffle at any corpus size, the
   * decode-free analog of "tokenize with a broadcast vocabulary".
   *
-  * Both rows-only by contract (an iterative argmax loop is not
-  * SQL-expressible); BpeSpec replays the identical algorithms over
-  * the collected word counts / documents in plain Scala and pins
-  * every merge row and every per-document symbol count, plus the
-  * greedy left-to-right merge-pass semantics on adversarial symbol
-  * runs ("aaa" + (a,a) → [aa, a]).
+  * FULLY ORACLED: the DuckDB oracle GENERATES the training loop as an
+  * unrolled $Merges-step CTE chain (the q_doremi_weights technique) —
+  * per step one pair aggregate, one deterministic argmax, and the
+  * greedy merge pass expressed via run parity (see [[oracleStep]]) —
+  * so merges, BPE encode, and the WordPiece greedy scan (a recursive
+  * CTE) are all hash-checked end to end. BpeSpec additionally replays
+  * the algorithms in plain Scala and pins the greedy merge-pass
+  * semantics on adversarial symbol runs ("aaa" + (a,a) → [aa, a]).
   */
 object Bpe {
 
@@ -396,7 +398,130 @@ object Bpe {
     })
   )
 
+  /** DuckDB mirror of ONE BPE training iteration: pair statistics
+    * over the step-k word table, the deterministic argmax merge
+    * (count desc, left, right), and the greedy left-to-right merge
+    * pass. The pass is SQL-expressible without a sequential fold via
+    * RUN PARITY: a position fuses iff it matches (l, r) AND its
+    * offset inside the maximal run of consecutive matches containing
+    * it is even — consecutive matches are only possible when l == r
+    * (a match at i-1 forces syms[i] = r and a match at i forces
+    * syms[i] = l), and there the greedy pass fuses positions
+    * 0, 2, 4, ... of the run ("aaa" + (a,a) → [aa, a]); when l ≠ r
+    * every match is its own run and fuses unconditionally. The
+    * run-offset is i minus the last non-match position before i,
+    * itself a bounded list_max (words are short; the oracle runs at
+    * sf0.01 only).
+    */
+  private def oracleStep(k: Int): String = s"""
+     |p$k AS (
+     |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+     |  FROM (
+     |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+     |      i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+     |    FROM w$k WHERE len(syms) >= 2) t
+     |  GROUP BY pr.l, pr.r),
+     |m$k AS (SELECT l, r, pair_count FROM p$k
+     |        ORDER BY pair_count DESC, l, r LIMIT 1),
+     |w${k + 1} AS (
+     |  SELECT w, cnt, flatten(list_transform(generate_series(1, len(syms)),
+     |    p -> CASE WHEN p < len(syms) AND mg[p] THEN [syms[p] || syms[p+1]]
+     |              WHEN p > 1 AND mg[p-1] THEN []
+     |              ELSE [syms[p]] END)) AS syms
+     |  FROM (
+     |    SELECT w, cnt, syms,
+     |      list_transform(generate_series(1, len(syms) - 1), i ->
+     |        syms[i] = m.l AND syms[i+1] = m.r AND
+     |        ((i - coalesce(list_max(list_transform(generate_series(1, i),
+     |           j -> CASE WHEN NOT (syms[j] = m.l AND syms[j+1] = m.r)
+     |                THEN j ELSE 0 END)), 0)) % 2 = 1)) AS mg
+     |    FROM w$k, m$k m) s)""".stripMargin
+
+  /** wf + char-split w1 + the unrolled $Merges-step training chain —
+    * the shared prefix of all three tokenizer oracles (the DoReMi /
+    * hash-family precedent: the oracle GENERATES the algorithm as a
+    * CTE chain rather than asserting its outputs).
+    */
+  private def oracleChain: String = (s"""wf AS (
+     |  SELECT w, count(*) AS cnt FROM (
+     |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+     |    FROM documents) t
+     |  WHERE strlen(w) > 0 GROUP BY w),
+     |w1 AS (
+     |  SELECT w, cnt, list_transform(generate_series(1, strlen(w)),
+     |    i -> substr(w, i, 1)) AS syms
+     |  FROM wf)""".stripMargin +: (1 to Merges).map(oracleStep))
+    .mkString(",")
+
+  private def oracleAllM: String = "all_m AS (" +
+    (1 to Merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l, r, pair_count FROM m$k")
+      .mkString(" UNION ALL ") + ")"
+
+  private val oracleToks = """toks AS (
+     |  SELECT doc_id, w FROM (
+     |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+     |    FROM documents) t
+     |  WHERE strlen(w) > 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      s"""WITH $oracleChain,
+         |$oracleAllM
+         |SELECT step, l AS "left", r AS "right", pair_count
+         |FROM all_m ORDER BY step""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH $oracleChain,
+         |enc AS (SELECT w, CAST(strlen(w) AS BIGINT) AS wc,
+         |        CAST(len(syms) AS BIGINT) AS wb FROM w${Merges + 1}),
+         |$oracleToks,
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wc) AS BIGINT) AS n_chars,
+         |    CAST(sum(wb) AS BIGINT) AS n_bpe
+         |  FROM toks JOIN enc USING (w) GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, 0, 0, 0 FROM documents
+         |  WHERE len(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> strlen(x) > 0)) = 0)
+         |SELECT doc_id, n_words, n_chars, n_bpe,
+         |  CAST(CASE WHEN n_chars > 0 THEN n_bpe * 1000 // n_chars
+         |       ELSE 1000 END AS BIGINT) AS compression_pm
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // greedy longest-match-first scan as a RECURSIVE CTE: one row per
+    // (word, step), advancing by the longest vocabulary piece at the
+    // current position (single-char fallback), capped at
+    // least(wc, $WpScanCap) steps with the untokenized tail counted
+    // as single-char pieces — the exact Spark-side fold semantics.
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE $oracleChain,
+         |$oracleAllM,
+         |pieces AS (SELECT DISTINCT l || r AS piece FROM all_m),
+         |scan AS (
+         |  SELECT w, CAST(strlen(w) AS BIGINT) AS wc,
+         |    CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS wp,
+         |    CAST(0 AS BIGINT) AS k
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w, wc,
+         |    pos + coalesce((SELECT max(strlen(pc.piece)) FROM pieces pc
+         |      WHERE substr(s.w, CAST(s.pos AS INT), strlen(pc.piece))
+         |        = pc.piece), 1),
+         |    wp + 1, k + 1
+         |  FROM scan s WHERE pos <= wc AND k < least(wc, $WpScanCap)),
+         |fin AS (
+         |  SELECT w, wc,
+         |    CASE WHEN pos > wc THEN wp ELSE wp + (wc - pos + 1) END AS wp
+         |  FROM scan WHERE NOT (pos <= wc AND k < least(wc, $WpScanCap))),
+         |$oracleToks
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wc) AS BIGINT) AS n_chars,
+         |  CAST(sum(wp) AS BIGINT) AS n_wp,
+         |  CAST(sum(wp) * 100 // count(*) AS BIGINT) AS fertility_cpm
+         |FROM toks JOIN fin USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_unigram_train" ->
       s"""WITH wf AS (
          |  SELECT w, count(*) AS cnt FROM (
