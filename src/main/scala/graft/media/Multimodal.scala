@@ -321,9 +321,12 @@ object Multimodal {
     // exchange carries only (img_id, band, chunk) + the 8-byte hash;
     // payloads never shuffle. Fixture: every %11 image re-keyed past
     // max(doc_id) with its FIRST byte replaced — a length-preserving
-    // edit, the re-encode analog. Rows-only (per-byte kernel);
-    // MediaPhashSpec replays the hash + brute-force threshold pairs
-    // and pins set equality.
+    // edit, the re-encode analog. FULLY ORACLED: the DuckDB oracle
+    // generates dHash64 itself (integer stripe sums, IEEE-identical
+    // double means, signed-bit assembly) and brute-forces all pairs —
+    // equal to the banded answer because recall at Hamming ≤ 3 is
+    // exactly 1. MediaPhashSpec additionally replays the hash +
+    // brute-force threshold pairs and pins set equality.
     "q_media_phash_dedup" -> ((s, d) =>
       phashNearDupPairs(phashOf(s, imageVariantPool(s, d)))
         .orderBy(col("a_id"), col("b_id"))),
@@ -360,7 +363,9 @@ object Multimodal {
     // slices advancing every shotLen frames, so shots are runs of
     // identical frames with content jumps at boundaries — the replay
     // spec recomputes cuts from the payload bytes independently.
-    // Rows-only (per-byte kernel).
+    // FULLY ORACLED: frame slices are ≤ 64 bytes, so after the
+    // zero-pad every dHash stripe is ONE byte and the oracle's frame
+    // hash is pure integer compares — no FP at all.
     "q_media_scene_cut" -> ((s, d) =>
       sceneCutRows(s, d).orderBy(col("doc_id"), col("frame_idx"))),
 
@@ -482,7 +487,103 @@ object Multimodal {
     .map(k => s"ascii(substr(text, i*$VadWindowBytes + $k, 1))")
     .mkString(" + ")
 
+  /** Two's-complement value of bit 63 — the dHash oracle assembles the
+    * signed 64-bit hash as (bit-63 term) + (sum of bits 0..62), which
+    * is exactly how the JVM long lays the sign bit out.
+    */
+  private val Bit63 = "-9223372036854775808"
+
+  /** DuckDB mirror of [[dHash64]] over payload column `p` (with `len`
+    * = strlen(p) and `n` = greatest(len, 64) in scope): per stripe,
+    * the same integer byte sum (zero-padded past `len` — the <64-byte
+    * pad rule) divided as DOUBLE (both engines do one correctly-
+    * rounded IEEE division of exact integers, so the per-stripe means
+    * are bit-identical and the > compares agree), then the 64
+    * adjacent-stripe compares assemble the signed hash.
+    */
+  private val dhashAvgs = {
+    val byte = "CASE WHEN j <= len THEN ascii(substr(p, CAST(j AS INT), 1)) " +
+      "ELSE 0 END"
+    "list_transform(generate_series(0, 63), s -> " +
+      "CAST(list_sum(list_transform(" +
+      "generate_series(s*n//64 + 1, greatest(s*n//64 + 1, (s+1)*n//64)), " +
+      s"j -> $byte)) AS DOUBLE) " +
+      "/ (greatest(s*n//64 + 1, (s+1)*n//64) - s*n//64))"
+  }
+  private val dhashFromAvgs =
+    s"(CASE WHEN av[64] > av[1] THEN $Bit63 ELSE 0 END) + " +
+      "CAST(list_sum(list_transform(generate_series(0, 62), s -> " +
+      "CASE WHEN av[s+1] > av[s+2] THEN (CAST(1 AS BIGINT) << s) " +
+      "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** [[dHash64]] of one scene-cut frame: the frame slice is ≤ 64
+    * bytes, so after the zero-pad every stripe is a single byte and
+    * the stripe-mean compare degenerates to an exact byte compare —
+    * no sums, no division.
+    */
+  private def frameByte(i: String) =
+    s"CASE WHEN $i <= least(64, n - off) " +
+      s"THEN ascii(substr(text, CAST(off + $i AS INT), 1)) ELSE 0 END"
+  private val frameHash =
+    s"(CASE WHEN ${frameByte("64")} > ${frameByte("1")} THEN $Bit63 " +
+      "ELSE 0 END) + " +
+      "CAST(list_sum(list_transform(generate_series(0, 62), s -> " +
+      s"CASE WHEN (${frameByte("s+1")}) > (${frameByte("s+2")}) " +
+      "THEN (CAST(1 AS BIGINT) << s) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    // the oracle hashes every pool image with the generated dHash and
+    // brute-forces all pairs — legitimate as an ORACLE because the
+    // banded join's recall at Hamming ≤ 3 is exactly 1 (pigeonhole),
+    // so banded and brute-force answer sets are provably equal
+    "q_media_phash_dedup" ->
+      s"""WITH imgs0 AS (
+         |  SELECT doc_id, text AS p FROM documents WHERE source = 'src0'),
+         |o AS (SELECT max(doc_id) + 1 AS off FROM imgs0),
+         |pool AS (
+         |  SELECT doc_id, p FROM imgs0
+         |  UNION ALL
+         |  SELECT doc_id + off, 'Z' || substr(p, 2) FROM imgs0, o
+         |  WHERE doc_id % 11 = 0),
+         |pre AS (
+         |  SELECT doc_id, p, strlen(p) AS len,
+         |    greatest(strlen(p), 64) AS n FROM pool),
+         |hashes AS (
+         |  SELECT doc_id AS img_id, $dhashFromAvgs AS h FROM (
+         |    SELECT doc_id, $dhashAvgs AS av FROM pre) t)
+         |SELECT x.img_id AS a_id, y.img_id AS b_id,
+         |  CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+         |FROM hashes x JOIN hashes y ON x.img_id < y.img_id
+         |WHERE bit_count(xor(x.h, y.h)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_media_scene_cut" ->
+      s"""WITH vids AS (
+         |  SELECT doc_id, text, strlen(text) AS n FROM documents
+         |  WHERE source NOT IN ('src0', 'src1')),
+         |frames AS (
+         |  SELECT doc_id, text, n,
+         |    unnest(generate_series(0, n % 240)) AS f,
+         |    4 + n % 5 AS shotlen, greatest(1, n - 63) AS span
+         |  FROM vids),
+         |hashes AS (
+         |  SELECT doc_id, f, $frameHash AS h
+         |  FROM (SELECT doc_id, text, n, f,
+         |          ((f // shotlen) * 64) % span AS off
+         |        FROM frames) t),
+         |cuts AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN f > 0 AND bit_count(xor(h,
+         |      lag(h) OVER (PARTITION BY doc_id ORDER BY f))) > $CutThreshold
+         |    THEN 1 ELSE 0 END AS cut
+         |  FROM hashes)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(f * 40 AS BIGINT) AS ts_ms,
+         |  CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS scene_id
+         |FROM cuts ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_crossmodal_join" ->
       """WITH img AS (
         |  SELECT doc_id AS pair_id,
