@@ -557,6 +557,101 @@ object Multimodal {
          |WHERE bit_count(xor(x.h, y.h)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // every stage of the composed pipeline is now SQL-generable (the
+    // dHash, scene-cut, and VAD mirrors above), so the 4-row attrition
+    // card is hash-checked end to end: ingest pool ∪ variants → ≥64 B
+    // metadata gate → brute-force Hamming ≤ 3 drop set (≡ the banded
+    // join, recall exactly 1) → per-survivor segment rows
+    "q_media_pipeline" ->
+      s"""WITH imgs0 AS (
+         |  SELECT doc_id, text AS p FROM documents WHERE source = 'src0'),
+         |o AS (SELECT max(doc_id) + 1 AS off FROM imgs0),
+         |pool AS (
+         |  SELECT doc_id, p FROM imgs0
+         |  UNION ALL
+         |  SELECT doc_id + off, 'Z' || substr(p, 2) FROM imgs0, o
+         |  WHERE doc_id % 11 = 0),
+         |pre AS (
+         |  SELECT doc_id, p, strlen(p) AS len,
+         |    greatest(strlen(p), 64) AS n FROM pool),
+         |pool0 AS (
+         |  SELECT doc_id, strlen(text) AS len FROM documents
+         |  WHERE source <> 'src0'
+         |  UNION ALL SELECT doc_id, len FROM pre),
+         |s1 AS (SELECT doc_id, len FROM pool0 WHERE len >= $MetaGateBytes),
+         |hashes AS (
+         |  SELECT doc_id AS img_id, $dhashFromAvgs AS h FROM (
+         |    SELECT doc_id, $dhashAvgs AS av FROM pre
+         |    WHERE len >= $MetaGateBytes) t),
+         |drops AS (
+         |  SELECT DISTINCT y.img_id AS doc_id
+         |  FROM hashes x JOIN hashes y ON x.img_id < y.img_id
+         |  WHERE bit_count(xor(x.h, y.h)) <= 3),
+         |s2 AS (SELECT doc_id FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |s2img AS (SELECT doc_id FROM pre
+         |  WHERE len >= $MetaGateBytes
+         |    AND doc_id NOT IN (SELECT doc_id FROM drops)),
+         |vids AS (
+         |  SELECT doc_id, text, strlen(text) AS n FROM documents
+         |  WHERE source NOT IN ('src0', 'src1')),
+         |frames AS (
+         |  SELECT doc_id, text, n, unnest(generate_series(0, n % 240)) AS f,
+         |    4 + n % 5 AS shotlen, greatest(1, n - 63) AS span
+         |  FROM vids),
+         |fhashes AS (
+         |  SELECT doc_id, f, $frameHash AS h
+         |  FROM (SELECT doc_id, text, n, f,
+         |          ((f // shotlen) * 64) % span AS off
+         |        FROM frames) t),
+         |cuts AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN f > 0 AND bit_count(xor(h,
+         |      lag(h) OVER (PARTITION BY doc_id ORDER BY f))) > $CutThreshold
+         |    THEN 1 ELSE 0 END AS cut
+         |  FROM fhashes),
+         |sceneids AS (
+         |  SELECT DISTINCT doc_id, scene_id FROM (
+         |    SELECT doc_id, sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+         |    FROM cuts) x),
+         |aud AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE source = 'src1' AND strlen(text) >= $VadWindowBytes),
+         |wins AS (
+         |  SELECT doc_id, CAST(i AS INT) AS w,
+         |    ($vadEnergyTerms) / 16.0 AS energy
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(0,
+         |            strlen(text) // $VadWindowBytes - 1)) AS i
+         |        FROM aud) t),
+         |act AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, w, energy,
+         |      avg(energy) OVER (PARTITION BY doc_id) AS m FROM wins) x
+         |  WHERE energy > m),
+         |vbrk AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN w - lag(w) OVER (PARTITION BY doc_id ORDER BY w) > 1
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM act),
+         |vadsegs AS (
+         |  SELECT DISTINCT doc_id, seg FROM (
+         |    SELECT doc_id, sum(b) OVER (PARTITION BY doc_id ORDER BY w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |    FROM vbrk) x),
+         |s3 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id FROM sceneids
+         |    UNION ALL SELECT doc_id FROM vadsegs) u
+         |  WHERE doc_id IN (SELECT doc_id FROM s2)
+         |  UNION ALL SELECT doc_id FROM s2img)
+         |SELECT 's0_ingest' AS stage, count(*) AS n_rows FROM pool0
+         |UNION ALL SELECT 's1_meta', count(*) FROM s1
+         |UNION ALL SELECT 's2_phash', count(*) FROM s2
+         |UNION ALL SELECT 's3_segments', count(*) FROM s3
+         |ORDER BY stage""".stripMargin,
+
     "q_media_scene_cut" ->
       s"""WITH vids AS (
          |  SELECT doc_id, text, strlen(text) AS n FROM documents
