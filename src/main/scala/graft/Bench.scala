@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   *    (one per line); only those run. Used for the era-subset drift
   *    studies (e.g. re-running a previous round's exact query set on
   *    current code to separate new-head cost from ambient drift).
+  *  - SPARK_GRAFT_BENCH_COLD   "1" reports each query's FIRST trial
+  *    as its value instead of the min over trials. The min is the
+  *    steady-state plan cost; the first trial additionally pays
+  *    codegen compile, broadcast build, and any shuffle-reuse miss —
+  *    the cost a query pays ONCE per session at any scale. A
+  *    structural regression that hides behind warm-run reuse (the
+  *    round-12 q_embed_mrl_eval case: 6.9 s cold vs 1.0 s warm)
+  *    moves this number even when the min looks healthy.
   */
 object Bench {
 
@@ -58,6 +66,7 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").toSeq).getOrElse(Seq(""))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
 
     val nameSet: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_SET").map { p =>
@@ -115,7 +124,10 @@ object Bench {
       val secs0 = trials.map(_._1)
       if (runs > 1 && secs0.max / secs0.min > 2.0) trials :+= trial()
       val secs = trials.map(_._1)
-      (secs.min, secs.max / secs.min, trials.forall(_._2))
+      // cold mode: the first trial is the value (spread still min-based
+      // so cold/min reads directly as the session's one-time cost ratio)
+      (if (cold) secs.head else secs.min, secs.max / secs.min,
+        trials.forall(_._2))
     }
 
     val results: Seq[(String, Double, Double, Boolean)] = mode match {
@@ -147,6 +159,7 @@ object Bench {
         out
     }
 
+    val modeLabel = if (cold) mode + "+cold" else mode
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, sp, _) => "\"" + k + f"""\":$sp%.2f""" }
@@ -156,11 +169,11 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = if (failed.isEmpty) results.map(_._2).sum else -1.0
     val failedJson = failed.mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$mode","queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel","queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     // Short trailer with the headline total: the per-query line above
     // outgrew the driver's captured tail in rounds 2-4, losing the
     // total; this line is always last and always fits.
-    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$mode","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$modeLabel","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact per-query signal for the expensive head: the full
     // queries/spread dicts outgrew the driver's 2 KB captured tail in
     // round 7, leaving no per-query driver seconds at all. This line
@@ -169,6 +182,6 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, sp, _) => "\"" + k + f"""\":[$v%.3f,$sp%.2f]""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"top10_slowest","unit":"sec","mode":"$mode","slowest":$top10}""")
+    println(f"""{"metric":"top10_slowest","unit":"sec","mode":"$modeLabel","slowest":$top10}""")
   }
 }

@@ -937,6 +937,34 @@ class Round15PlanSpec extends SparkSpec {
       assert(c.output.length <= 2,
         "window consumes " + c.output.map(_.name).mkString(","))))
   }
+
+  test("global windows sit only over bounded inputs (aggregate or limit)") {
+    // a Window with an empty partitionSpec funnels its whole input
+    // through ONE task — survivable only when that input is already
+    // bounded: a calendar-bounded aggregate (the temporal split's
+    // per-date table) or a post-limit ranking (the graph top-20s).
+    // This pin walks each global window's child subtree and fails if
+    // any leaf scan is reachable WITHOUT an Aggregate or GlobalLimit
+    // in between — i.e. if a refactor ever points a global orderBy at
+    // a fact table, this fails at test time, not at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def boundedBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case leaf if leaf.children.isEmpty => false // raw scan reached
+      case other => other.children.forall(boundedBelow)
+    }
+    for (q <- Seq("q_split_temporal", "q_graph_pagerank", "q_graph_hits",
+        "q_graph_community")) {
+      val p = run(q).queryExecution.optimizedPlan
+      val globals = p.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(globals.nonEmpty, s"$q: expected a global window in the plan")
+      globals.foreach(w => assert(boundedBelow(w.child),
+        s"$q: global window over an unbounded input:\n${w.child}"))
+    }
+  }
 }
 
 /** The hash-index point-get analog: bucket pruning must fire. */
