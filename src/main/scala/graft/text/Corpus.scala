@@ -424,10 +424,12 @@ object Corpus {
     // corpus NEVER self-joins and no document text enters the
     // candidate exchange. Each candidate is then verified with exact
     // Jaccard from the full shingle-set layout (fetch-join per pair),
-    // keeping pairs ≥ 0.5 — the output is exactly verified; only
-    // candidate RECALL is LSH-approximate, so the query is rows-only
-    // by contract and FuzzyDecontamSpec pins the pair set against the
-    // brute-force bench×corpus threshold answer at test scale. The
+    // keeping pairs ≥ 0.5 — the output is exactly verified, and since
+    // round 13 the LSH-approximate candidate stage is itself
+    // hash-checked: the DuckDB oracle GENERATES both sides' banded
+    // MinHash signatures (graft.functions.XXH64Sql), so the query is
+    // FULLY ORACLED; FuzzyDecontamSpec additionally pins the pair set
+    // against the brute-force bench×corpus threshold answer. The
     // benchmark fixture is lightly-paraphrased corpus docs (`benchSets`
     // — leading token dropped), i.e. exactly the pairs a byte-exact
     // or whole-document-hash check misses; the corpus's own %97 split
@@ -941,6 +943,40 @@ object Corpus {
        |FROM hits GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // cross-corpus fuzzy decontamination with the MinHash candidate
+    // stage GENERATED in SQL (graft.functions.XXH64Sql — the
+    // q_dedup_minhash machinery): corpus-side and bench-side banded
+    // signatures, band-collision candidates, exact-Jaccard verify.
+    // The bench side mirrors benchSets (every %83==7 doc with its
+    // leading token dropped); jaccard ships UNROUNDED — one exact
+    // integer division per pair, identical IEEE doubles both engines.
+    "q_decontaminate_fuzzy" ->
+      s"""WITH sets AS MATERIALIZED (${graft.dedup.Dedup.shingleSetsSql}),
+         |bsets AS MATERIALIZED (
+         |  SELECT doc_id AS bdoc, CASE WHEN len(l) >= 3
+         |    THEN list_distinct(list_transform(generate_series(1, len(l) - 2),
+         |         i -> array_to_string(l[i:i+2], ' ')))
+         |    ELSE [array_to_string(l, ' ')] END AS sh
+         |  FROM (SELECT doc_id, (string_split(text, ' '))[2:] AS l
+         |        FROM documents WHERE doc_id % 83 = 7) t),
+         |${graft.functions.XXH64Sql.bandSigCtes("mc_", "sets", "doc_id", 4, 4)},
+         |${graft.functions.XXH64Sql.bandSigCtes("mb_", "bsets", "bdoc", 4, 4)},
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT c.doc_id, b.bdoc
+         |  FROM mc_bsig c JOIN mb_bsig b
+         |    ON c.band = b.band AND c.sig = b.sig),
+         |jac AS (
+         |  SELECT cand.doc_id, cand.bdoc,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         |    CAST(len(sa.sh) + len(sb.sh)
+         |      - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
+         |  FROM cand JOIN sets sa ON cand.doc_id = sa.doc_id
+         |  JOIN bsets sb ON cand.bdoc = sb.bdoc)
+         |SELECT doc_id, bdoc, inter, n_union,
+         |  inter::DOUBLE / n_union AS jaccard
+         |FROM jac WHERE inter::DOUBLE / n_union >= 0.5
+         |ORDER BY doc_id, bdoc""".stripMargin,
+
     "q_corpus_pipeline" ->
       s"""WITH s1 AS (SELECT doc_id FROM (${Quality.gopherSql}) g WHERE keep),
          |fp AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
