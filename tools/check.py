@@ -77,9 +77,17 @@ def driver_sort(df):
 
 
 def main(sf_dir, out_dir, only=None):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # fresh connection per N queries: the generated-hash oracles
+    # (XXH64Sql lane chains at sf0.1) leave DuckDB's buffer pool at
+    # its high-water mark, and one shared connection OOM'd the whole
+    # sweep after ~4 heavy queries — reconnecting bounds the resident
+    # set at one query's working set
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+    con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
@@ -105,12 +113,21 @@ def main(sf_dir, out_dir, only=None):
             results[name] = (f"rows_only({len(got)})" if name in ROWS_ONLY
                              else "MISSING_ORACLE (not in rows-only allowlist)")
             continue
+        class _RelCols:
+            def __init__(self, cols, types):
+                self.columns, self.types = cols, types
         try:
             rel = con.sql(oracle[name])
             exp = rel.df()
+            rel = _RelCols(list(rel.columns), list(rel.types))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            con.close()
+            con = fresh_con()
             continue
+        if len(oracle[name]) > 20000:  # generated-hash oracle: reset buffers
+            con.close()
+            con = fresh_con()
         issues = lint(name, rel, got)
         if issues:
             results[name] = "LINT " + "; ".join(issues)
