@@ -962,8 +962,11 @@ object Similarity {
     // scale-friendly shape. L and the bit width trade recall against
     // candidate count; the width is corpus-adaptive (`adaptiveBits`),
     // growing with log2(n) so bucket occupancy stays flat at scale.
-    // Rows-only (approximate by design); a spec pins recall ≥ 0.8 vs
-    // q_sim_topk.
+    // FULLY ORACLED (round 13): given the seeded planes the index's
+    // answer is deterministic, and the oracle generates the banded
+    // signatures + multi-probe flips per plausible adaptive width —
+    // recall vs brute force stays approximate, the ANSWER does not; a
+    // spec additionally pins recall ≥ 0.8 vs q_sim_topk.
     "q_sim_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       VectorFunctions.register(s)
@@ -1012,8 +1015,10 @@ object Similarity {
     // plans and joins their bounded (qid, nid) lists — the eval
     // itself costs two |queries|·k thin joins regardless of corpus
     // size; the measured quantity is the same one RecallProbe pins
-    // offline, here surfaced as a pipeline operator. Rows-only
-    // (LSH-approximate by construction); the spec floors mean recall.
+    // offline, here surfaced as a pipeline operator. FULLY ORACLED
+    // (round 13: both the exact and LSH sides generate in SQL, so the
+    // monitoring metric itself is hash-checked); the spec addition-
+    // ally floors mean recall.
     "q_ann_recall_eval" -> ((s, d) => {
       val exact = Similarity.queries("q_sim_topk")(s, d)
         .select(col("qid"), col("rk").as("erk"), col("nid"))
@@ -1039,9 +1044,10 @@ object Similarity {
     // reduced per node with the bounded-heap TopKAggregator. The
     // graph is a WRITE-ONCE LAYOUT (knnGraphLayout): reads re-attach
     // to the written parquet — the LSH build cost is paid once per
-    // corpus, not per consumer. Rows-only (LSH-approximate);
-    // KnnGraphSpec pins recall vs the brute-force graph,
-    // PersistenceSpec pins re-attach-not-rebuild.
+    // corpus, not per consumer. FULLY ORACLED (round 13, the
+    // per-width variant generation); KnnGraphSpec additionally pins
+    // recall vs the brute-force graph, PersistenceSpec pins
+    // re-attach-not-rebuild.
     "q_sim_knn_graph" -> ((s, d) =>
       knnGraphLayout(s, d).orderBy(col("vid"), col("rk"))),
 
@@ -1058,8 +1064,9 @@ object Similarity {
     // at the same (vid, rk) — `agrees` is the per-run witness of that
     // identity (a real deployment appends NEW ids; the audit form is
     // what makes the equality testable). Only thin (id, band, sig)
-    // and (id, rk, nid, score) rows move. Rows-only; KnnAppendSpec
-    // pins agrees ≡ true and row-count parity with the graph.
+    // and (id, rk, nid, score) rows move. FULLY ORACLED (round 13);
+    // KnnAppendSpec additionally pins agrees ≡ true and row-count
+    // parity with the graph.
     "q_sim_knn_append" -> ((s, d) => {
       val g = knnGraphLayout(s, d)
       val delta = Tables.embeddings(s, d)
@@ -1465,7 +1472,164 @@ object Similarity {
     })
   )
 
+  /** Sign-LSH oracle fragments for ONE adaptive bit width `b`: the
+    * banded plane signatures (Planes.sqlBandSigs — the same seeded
+    * plane constants the JVM kernel folds, dot-for-dot), the
+    * query-batch multi-probe expansion (2-bit flips on every band —
+    * the q_sim_ann_lsh scheme), the self-join probe expansion (2-bit
+    * flips on band 0, 1-bit elsewhere — the knnCandidates scheme),
+    * and the %17 delta probe set. Each variant's source filter
+    * `(SELECT b FROM lshbits) = b` gates the whole chain, so only the
+    * width matching the corpus count evaluates — this is how ONE
+    * static oracle string serves every test SF despite `adaptiveBits`
+    * being corpus-dependent (bits = smallest k ≥ 6 with n ≤ 8·2^k,
+    * a pure integer restatement of max(6, ceil(log2(n/8)))).
+    */
+  private def lshVariantCtes(b: Int): String = {
+    val nPlanes = AnnTables * b
+    val sigsArr = graft.functions.Planes.sqlBandSigs("embedding", nPlanes, b)
+      .mkString("[", ", ", "]")
+    val flips1 = 0 +: (0 until b).map(1 << _)
+    val flips2 = for { i <- 0 until b; j <- i + 1 until b }
+      yield (1 << i) | (1 << j)
+    val p1 = flips1.mkString("[", ", ", "]")
+    val p2 = (flips1 ++ flips2).mkString("[", ", ", "]")
+    s"""corp$b AS (
+       |  SELECT vec_id, band, sig FROM (
+       |    SELECT vec_id, unnest(list_transform(generate_series(1, $AnnTables),
+       |      i -> {'band': i - 1, 'sig': sigs[i]}), recursive := true)
+       |    FROM (SELECT vec_id, $sigsArr AS sigs FROM embeddings
+       |          WHERE (SELECT b FROM lshbits) = $b) s) u),
+       |qp$b AS (
+       |  SELECT vec_id AS qid, band, unnest(list_transform($p2,
+       |    m -> xor(sig, m::BIGINT))) AS qsig
+       |  FROM corp$b WHERE vec_id < $QueryBatch),
+       |qcand$b AS (
+       |  SELECT DISTINCT q.qid, c.vec_id AS nid
+       |  FROM corp$b c JOIN qp$b q ON c.band = q.band AND c.sig = q.qsig
+       |  WHERE c.vec_id != q.qid),
+       |kp$b AS (
+       |  SELECT vec_id AS pid, band, unnest(list_transform(
+       |    CASE WHEN band = 0 THEN $p2 ELSE $p1 END,
+       |    m -> xor(sig, m::BIGINT))) AS psig
+       |  FROM corp$b),
+       |kcand$b AS (
+       |  SELECT DISTINCT c.vec_id AS vid, p.pid AS nid
+       |  FROM corp$b c JOIN kp$b p ON c.band = p.band AND c.sig = p.psig
+       |  WHERE c.vec_id != p.pid),
+       |dp$b AS (
+       |  SELECT vec_id AS pid, band, unnest(list_transform(
+       |    CASE WHEN band = 0 THEN $p2 ELSE $p1 END,
+       |    m -> xor(sig, m::BIGINT))) AS psig
+       |  FROM corp$b WHERE vec_id % 17 = 3),
+       |dcand$b AS (
+       |  SELECT DISTINCT p.pid AS vid, c.vec_id AS nid
+       |  FROM corp$b c JOIN dp$b p ON c.band = p.band AND c.sig = p.psig
+       |  WHERE c.vec_id != p.pid)""".stripMargin
+  }
+
+  /** bits CTE + the three width variants (6/7/8 cover every test SF:
+    * n ≤ 2048; a larger corpus hits the -1 sentinel and fails loudly).
+    */
+  private def lshCtes: String =
+    s"""lshbits AS (
+       |  SELECT CASE WHEN n <= 512 THEN 6 WHEN n <= 1024 THEN 7
+       |              WHEN n <= 2048 THEN 8 ELSE -1 END AS b
+       |  FROM (SELECT count(*) AS n FROM embeddings) t),
+       |${lshVariantCtes(6)},
+       |${lshVariantCtes(7)},
+       |${lshVariantCtes(8)},
+       |qcand AS (SELECT * FROM qcand6 UNION ALL SELECT * FROM qcand7
+       |          UNION ALL SELECT * FROM qcand8),
+       |kcand AS (SELECT * FROM kcand6 UNION ALL SELECT * FROM kcand7
+       |          UNION ALL SELECT * FROM kcand8),
+       |dcand AS (SELECT * FROM dcand6 UNION ALL SELECT * FROM dcand7
+       |          UNION ALL SELECT * FROM dcand8)""".stripMargin
+
+  /** Cosine-rank a candidate pair CTE (idCol, nid): the q_sim_topk
+    * cosine mirror + (cos desc, nid) row_number.
+    */
+  private def lshRankedSql(candCte: String, idCol: String): String =
+    s"""SELECT $idCol, nid, cos_sim,
+       |  row_number() OVER (PARTITION BY $idCol
+       |    ORDER BY cos_sim DESC, nid) AS rk
+       |FROM (
+       |  SELECT t.$idCol, t.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(q.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |      * list_sum(list_transform(e.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+       |  FROM $candCte t JOIN embeddings q ON q.vec_id = t.$idCol
+       |  JOIN embeddings e ON e.vec_id = t.nid) s""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the sign-LSH ANN path GENERATED in SQL (round 13): seeded-plane
+    // band signatures, multi-probe flips, candidate join, exact
+    // cosine rank — the approximate index's ANSWER is deterministic
+    // given the seeded planes, so it is hash-checkable even though
+    // its recall vs brute force is < 1
+    "q_sim_ann_lsh" ->
+      s"""WITH $lshCtes,
+         |ranked AS (${lshRankedSql("qcand", "qid")})
+         |SELECT qid, rk, nid, round(cos_sim, 6) AS cos_sim
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "q_sim_knn_graph" ->
+      s"""WITH $lshCtes,
+         |ranked AS (${lshRankedSql("kcand", "vid")})
+         |SELECT vid, rk, nid, round(cos_sim, 6) AS cos_sim
+         |FROM ranked WHERE rk <= 5 ORDER BY vid, rk""".stripMargin,
+
+    // incremental append: delta probes against the corpus index; the
+    // audit column certifies inc ≡ the written graph's rows for the
+    // delta ids (the XOR-symmetry identity)
+    "q_sim_knn_append" ->
+      s"""WITH $lshCtes,
+         |inc AS (SELECT * FROM (${lshRankedSql("dcand", "vid")}) i
+         |        WHERE rk <= 5),
+         |g AS (SELECT * FROM (${lshRankedSql("kcand", "vid")}) k
+         |      WHERE rk <= 5)
+         |SELECT i.vid, i.rk, i.nid, round(i.cos_sim, 6) AS cos_sim,
+         |  coalesce(i.nid = g.nid
+         |    AND round(i.cos_sim, 6) = round(g.cos_sim, 6), false) AS agrees
+         |FROM inc i LEFT JOIN g ON g.vid = i.vid AND g.rk = i.rk
+         |ORDER BY i.vid, i.rk""".stripMargin,
+
+    // recall@5 + reciprocal rank of the LSH path vs exact top-5 —
+    // both sides generated, so the monitoring metric itself is
+    // hash-checked
+    "q_ann_recall_eval" ->
+      s"""WITH $lshCtes,
+         |aranked AS (${lshRankedSql("qcand", "qid")}),
+         |approx AS (SELECT qid, rk AS ark, nid FROM aranked WHERE rk <= 5),
+         |exact AS (
+         |  SELECT qid, rk AS erk, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |        / sqrt(list_sum(list_transform(q.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |          * list_sum(list_transform(e.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+         |        e.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         |    WHERE q.vec_id < $QueryBatch) r WHERE rk <= 5),
+         |hits AS (
+         |  SELECT x.qid, x.erk, a.ark FROM exact x
+         |  LEFT JOIN approx a ON a.qid = x.qid AND a.nid = x.nid),
+         |perq AS (
+         |  SELECT qid, CAST(sum(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits
+         |  FROM hits GROUP BY qid),
+         |rr AS (
+         |  SELECT qid, coalesce(1000 // ark, 0) AS rr_pm
+         |  FROM hits WHERE erk = 1)
+         |SELECT perq.qid, n_hits, n_hits * 200 AS recall_pm, rr_pm
+         |FROM perq JOIN rr ON rr.qid = perq.qid ORDER BY perq.qid""".stripMargin,
+
     // Parity discipline: per-dimension means round to 4 decimals first
     // (the q_embed_centroid interchange rule), the cosine is the same
     // sequential left-fold both engines perform (list_sum ≡ aggregate),

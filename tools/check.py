@@ -32,17 +32,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # with no oracle entry that is NOT in this set is a missing/typo'd
 # oracle, not a pass.
 ROWS_ONLY = {
-    "q_approx_distinct", "q_approx_percentile", "q_sim_ann_lsh",
-    "q_sim_ann_ivf", "q_stream_watermark", "q_stream_stateful",
-    "q_stream_stream_left", "q_stream_stream_full", "q_sim_knn_graph",
-    "q_sim_knn_append", "q_stream_gap_timers", "q_profile_table_approx",
+    "q_approx_distinct", "q_approx_percentile", "q_sim_ann_ivf",
+    "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
+    "q_stream_stream_full", "q_stream_gap_timers", "q_profile_table_approx",
     "q_dedup_semantic", "q_sim_ivf_append", "q_sim_ann_ivf_pq",
     "q_layout_vacuum", "q_hll_partial_union", "q_unigram_encode",
     "q_diversity_sample", "q_diversity_sample2", "q_ivf_health",
     "q_ivf_refit", "q_hybrid_rrf_ann", "q_datasheet_partials",
     "q_stream_datasheet", "q_embed_outliers", "q_join_card_est",
-    "q_sim_ann_ivf2", "q_ann_recall_eval", "q_quantile_partial_union",
-    "q_hll_intersection", "q_embed_pca", "q_embed_pca_eval",
+    "q_sim_ann_ivf2", "q_quantile_partial_union", "q_hll_intersection",
+    "q_embed_pca", "q_embed_pca_eval",
 }
 
 
