@@ -955,8 +955,7 @@ class Round15PlanSpec extends SparkSpec {
       case leaf if leaf.children.isEmpty => false // raw scan reached
       case other => other.children.forall(boundedBelow)
     }
-    for (q <- Seq("q_split_temporal", "q_graph_pagerank", "q_graph_hits",
-        "q_graph_community")) {
+    for (q <- Seq("q_split_temporal", "q_graph_pagerank", "q_graph_hits")) {
       val p = run(q).queryExecution.optimizedPlan
       val globals = p.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w }
