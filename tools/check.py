@@ -25,6 +25,11 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 
+# --heavy / --light: split a long sweep into the generated-hash oracle
+# set (>20k chars of SQL) and everything else, so each half runs in its
+# own process with a bounded resident set.
+HEAVY_CHARS = 20000
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -82,14 +87,27 @@ def main(sf_dir, out_dir, only=None):
     # sweep after ~4 heavy queries — reconnecting bounds the resident
     # set at one query's working set
     def fresh_con():
+        import gc
+        gc.collect()
         c = duckdb.connect()
+        # bound the pool: the generated-hash oracles otherwise grow the
+        # process to the machine limit across a 263-query sweep
+        c.sql("SET memory_limit='24GB'")
+        c.sql("SET threads=16")
         for t in TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
     con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    last_printed = [0]
+    def flush_progress():
+        items = sorted(results.items())
+        for k, v in items[last_printed[0]:]:
+            print(f"[progress] {k}: {v}", file=sys.stderr, flush=True)
+        last_printed[0] = len(items)
     for name in sorted(os.listdir(out_dir)):
+        flush_progress()
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir) or (only and name not in only):
             continue
@@ -193,6 +211,18 @@ def main(sf_dir, out_dir, only=None):
     return 0 if n_ok == len(results) else 1
 
 
+def split_names(sf_dir, out_dir, heavy):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = [n for n in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, n))]
+    return {n for n in names
+            if (len(oracle.get(n, "")) > HEAVY_CHARS) == heavy}
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  set(sys.argv[3:]) or None))
+    args = sys.argv[3:]
+    if args and args[0] in ("--heavy", "--light"):
+        only = split_names(sys.argv[1], sys.argv[2], args[0] == "--heavy")
+    else:
+        only = set(args) or None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
