@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   *    (one per line); only those run. Used for the era-subset drift
   *    studies (e.g. re-running a previous round's exact query set on
   *    current code to separate new-head cost from ambient drift).
+  *  - SPARK_GRAFT_BENCH_OUT    path to ALSO write the full per-query
+  *    JSON line to (atomically, via a temp file + rename). The
+  *    driver's captured tail keeps only the compact trailer lines
+  *    (total_only + top10_slowest), so sub-top-10 regressions were
+  *    invisible round-over-round; a committed copy of this file at
+  *    round close (`bench_close.json`) makes every query's min/spread
+  *    diffable against the previous round's.
   *  - SPARK_GRAFT_BENCH_COLD   "1" reports each query's FIRST trial
   *    as its value instead of the min over trials. The min is the
   *    steady-state plan cost; the first trial additionally pays
@@ -169,7 +176,16 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = if (failed.isEmpty) results.map(_._2).sum else -1.0
     val failedJson = failed.mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel","queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel","queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val target = java.nio.file.Paths.get(p)
+      val tmp = java.nio.file.Paths.get(p + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // Short trailer with the headline total: the per-query line above
     // outgrew the driver's captured tail in rounds 2-4, losing the
     // total; this line is always last and always fits.

@@ -390,16 +390,20 @@ object Layouts {
     // is given up; every snapshot at or above it stays byte-complete).
     // Resolution is pure metadata: reclaimable = remove-actions ≤
     // horizon (their adds are strictly older), live = adds ≤ horizon
-    // minus those removes — the data files are never opened, and the
-    // only driver-side work is the KB-scale path list (the same
-    // budget as snapshot()). Published as the AUDIT manifest
-    // (category, file count, bytes); the physical delete is a trivial
-    // rm over the reclaim list, withheld here so earlier versions
-    // stay readable for q_time_travel in the same warehouse.
-    // Rows-only (file counts depend on write parallelism);
-    // VacuumSpec pins the partition: reclaimable ∪ live = all
-    // referenced files, reclaimable ∩ snapshot(horizon) = ∅, and
-    // snapshot(0) is the one that needs the reclaimed bytes.
+    // minus those removes — the data files are never opened to DECIDE,
+    // and the only driver-side work is the KB-scale path list (the
+    // same budget as snapshot()). Published as the AUDIT manifest with
+    // TABLE semantics per category — the row count and money total of
+    // the data each category's file set carries — by actually scanning
+    // the two file sets, so the audit proves what a vacuum would
+    // discard (all of v0's 1995 partition: every 1995 order) and what
+    // the horizon keeps (everything else, plus 1995's non-F rewrite).
+    // Those are pure functions of the metadata log over the orders
+    // table, hence fully ORACLED; the physical half (file counts,
+    // on-disk bytes, reclaim ∩ snapshot = ∅) depends on write
+    // parallelism and lives in VacuumSpec. The physical delete is a
+    // trivial rm over the reclaim list, withheld here so earlier
+    // versions stay readable for q_time_travel in the same warehouse.
     "q_layout_vacuum" -> ((s, d) => {
       val dir = ensureTimeTravel(s, d)
       val log = s.read.parquet(s"$dir/_log")
@@ -412,9 +416,10 @@ object Layouts {
         .select(col("path")).except(removed)
       def summarize(df: DataFrame, label: String): DataFrame = {
         val paths = df.collect().map(_.getString(0).stripPrefix("file:"))
-        val bytes = paths.map(p => new java.io.File(p).length()).sum
-        s.createDataFrame(Seq((label, paths.length.toLong, bytes)))
-          .toDF("category", "n_files", "bytes")
+        s.read.parquet(paths.toIndexedSeq: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            graft.Exact.sumMoney(col("o_totalprice")).as("total"))
+          .select(lit(label).as("category"), col("n_rows"), col("total"))
       }
       summarize(removed, "reclaimable").unionAll(summarize(live, "live"))
         .orderBy(col("category"))
@@ -547,6 +552,21 @@ object Layouts {
         |WHERE NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
         |GROUP BY 2
         |ORDER BY version, o_orderstatus""".stripMargin,
+    // vacuum's category partition restated as table semantics:
+    // reclaimable = v0's o_year=1995 files (every 1995 order, any
+    // status — the copy-on-write delete removed those files whole);
+    // live = adds ≤ horizon minus removes = non-1995 v0 files plus the
+    // v1 rewrite (1995 minus status 'F')
+    "q_layout_vacuum" ->
+      """SELECT 'live' AS category, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'reclaimable', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY category""".stripMargin,
     "q_zorder_skipping" ->
       """WITH base AS (
         |  SELECT l_orderkey AS a, l_partkey AS b,

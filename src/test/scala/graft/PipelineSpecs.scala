@@ -337,16 +337,26 @@ class VacuumSpec extends SparkSpec {
     assert(removed.nonEmpty && live.nonEmpty)
     assert(removed.subsetOf(v0Files), "reclaim must only hurt pre-horizon versions")
     assert(removed.intersect(live).isEmpty)
+    // physical half (file counts / on-disk bytes depend on write
+    // parallelism, so they live here, not in the oracled query): every
+    // file the log names exists with real bytes behind it
+    (removed ++ live).foreach { p =>
+      assert(new java.io.File(p.stripPrefix("file:")).length() > 0,
+        s"log names a missing/empty file: $p")
+    }
+    // log-derived half: the query's per-category row counts must equal
+    // a direct scan of each category's file set
     val rows = run("q_layout_vacuum").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rows("reclaimable")._1 == removed.size)
-    assert(rows("live")._1 == live.size)
-    assert(rows("reclaimable")._2 > 0 && rows("live")._2 > 0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reclaimRows = spark.read
+      .parquet(removed.toSeq.map(_.stripPrefix("file:")): _*).count()
+    assert(rows("reclaimable") == reclaimRows)
     // the horizon snapshot reads exactly the live set — so a vacuum
     // that deletes the reclaim list cannot touch it
     val snap1 = sources.Layouts.snapshot(spark, sf, 1L).count()
     val fromLive = spark.read.parquet(live.toSeq.map(_.stripPrefix("file:")): _*).count()
     assert(snap1 == fromLive)
+    assert(rows("live") == fromLive)
   }
 }
 

@@ -41,7 +41,7 @@ ROWS_ONLY = {
     "q_stream_watermark", "q_stream_stateful", "q_stream_stream_left",
     "q_stream_stream_full", "q_stream_gap_timers", "q_profile_table_approx",
     "q_dedup_semantic", "q_sim_ivf_append", "q_sim_ann_ivf_pq",
-    "q_layout_vacuum", "q_hll_partial_union", "q_unigram_encode",
+    "q_hll_partial_union", "q_unigram_encode",
     "q_diversity_sample", "q_diversity_sample2", "q_ivf_health",
     "q_ivf_refit", "q_hybrid_rrf_ann", "q_datasheet_partials",
     "q_stream_datasheet", "q_embed_outliers", "q_join_card_est",
