@@ -153,11 +153,15 @@ case class InnerProduct(left: Expression, right: Expression)
   */
 object Planes {
   val Dim = 64
-  val MaxPlanes = 64 // first 16 feed the oracle-mirrored embed dedup;
-                     // 48 = 8 ANN tables × 6 bits; 64 lets the scale
-                     // probe run 8 tables × 8 bits (generation is
-                     // row-major from one seeded stream, so growing the
-                     // pool never changes earlier planes)
+  val MaxPlanes = 128 // first 16 feed the oracle-mirrored embed dedup;
+                      // 48 = 8 ANN tables × 6 bits; 64 = 8 × 8 bits
+                      // (the sf0.1 adaptive width); 128 lets the
+                      // second-decade scale probe run 8 × up-to-16
+                      // bits, i.e. the adaptive law out to ~500k
+                      // vectors (generation is row-major from one
+                      // seeded stream, so growing the pool never
+                      // changes earlier planes — every committed
+                      // oracle keeps its exact plane literals)
 
   /** First `n` of the fixed seed-42 gaussian plane set. */
   val all: Array[Array[Double]] = {

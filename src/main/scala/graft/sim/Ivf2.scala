@@ -118,10 +118,17 @@ object Ivf2 {
     * where the canonical target leaves kf floored.
     */
   private[graft] def fineCentroidsFor(s: SparkSession, d: String,
+      target: Int): DataFrame =
+    fineCentroidsOf(s, Similarity.ivfIndex(s, d), target)
+
+  /** The same fit over ANY (vec_id, embedding, cell) table — exposed
+    * so the partitioning-invariance spec can feed a repartitioned
+    * copy of the index and assert identical centroids.
+    */
+  private[graft] def fineCentroidsOf(s: SparkSession, idx: DataFrame,
       target: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val idx = Similarity.ivfIndex(s, d)
       val counts = idx.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
       val wc = Window.partitionBy(col("cell"))
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -138,13 +145,18 @@ object Ivf2 {
         .withColumn("rn", row_number().over(wc))
         .filter(col("rn") <= col("cap"))
       sample
-        .select(col("cell"), col("kf"),
+        // rn is the per-cell rank under the (xxhash64, vec_id) total
+        // order; sorting the group on it before the fit makes the
+        // Lloyd input order — and so its seeded init and FP fold —
+        // independent of how the shuffle happened to deliver rows
+        // (partitioning-invariance, pinned by KmeansInvarianceSpec)
+        .select(col("cell"), col("kf"), col("rn"),
           col("embedding").cast("array<double>").as("e"))
-        .as[(Int, Int, Array[Double])]
+        .as[(Int, Int, Int, Array[Double])]
         .groupByKey(_._1)
         .flatMapGroups { (cell, rows0) =>
-          val rows = rows0.toArray
-          val cents = lloyd(rows.map(_._3), rows.head._2)
+          val rows = rows0.toArray.sortBy(_._3)
+          val cents = lloyd(rows.map(_._4), rows.head._2)
           cents.iterator.zipWithIndex.map { case (cv, i) => (cell, i, cv) }
         }
         .toDF("cell", "fine", "fcentroid")

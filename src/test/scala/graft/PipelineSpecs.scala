@@ -1173,6 +1173,47 @@ class KnnGraphSpec extends SparkSpec {
   * accumulation order as the CosineSim kernel), and kept + dropped
   * must partition the corpus.
   */
+/** Partitioning-invariance of the k-means lineage: every rows-only
+  * query in the IVF family (semantic dedup, ANN/IVF/PQ/2-level,
+  * append, health, refit, diversity sampling) descends from two fits —
+  * the coarse sample-fit quantizer and the per-cell fine Lloyd. At
+  * cluster scale the input's physical partitioning is an accident of
+  * the previous job, so both fits must produce IDENTICAL output no
+  * matter how rows are distributed: the coarse fit because its sample
+  * is a total-order truncation (TakeOrderedAndProject) fed to a seeded
+  * fit, the fine fit because each group sorts on the carried per-cell
+  * rank before the Lloyd fold. This spec feeds deliberately
+  * re-partitioned inputs through both and asserts bit-identical
+  * results.
+  */
+class KmeansInvarianceSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("coarse IVF assignment is invariant to input partitioning") {
+    val k = sim.Similarity.adaptiveIvfK(spark, sf)
+    val canon = sim.Similarity.ivfAssign(spark, sf, k)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val alt = sim.Similarity
+      .ivfAssignOf(Tables.embeddings(spark, sf).repartition(13), k)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(canon.nonEmpty && canon == alt)
+  }
+
+  test("fine Lloyd centroids are invariant to index partitioning") {
+    val idx = sim.Similarity.ivfIndex(spark, sf)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      sim.Ivf2.fineCentroidsOf(spark, df, sim.Ivf2.FineCellTarget)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toVector)
+        .toMap
+    val canon = cents(idx)
+    val alt = cents(idx.repartition(17))
+    assert(canon.nonEmpty && canon == alt)
+  }
+}
+
 class SemanticDedupSpec extends SparkSpec {
   test("semantic dedup kept set equals the brute-force per-cell answer") {
     val idx = sim.Similarity.ivfIndex(spark, sf)
