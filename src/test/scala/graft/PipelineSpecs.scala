@@ -2770,3 +2770,70 @@ class NoveltyOverlapSpec extends SparkSpec {
     }
   }
 }
+
+/** Contract of the second-decade derived corpus (ScaleProbe2): the
+  * fixture must be byte-deterministic (no RNG — a wiped rebuild yields
+  * the identical corpus), schema-faithful to the driver tables, exact
+  * in its row multiplicity, and isometric per embedding copy (a
+  * dimension rotation preserves every norm, so within-copy geometry —
+  * and with it all kNN/IVF structure — is exactly the base corpus's).
+  * These are the properties that make the measured second-decade
+  * exponents attributable to the ENGINE, not to fixture drift.
+  */
+class ScaleFixtureSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def wipe(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): Long =
+    df.select((hash(df.columns.map(col).toIndexedSeq: _*)).cast("long").as("h"))
+      .agg(sum(col("h"))).head.getLong(0)
+
+  test("derived corpus is deterministic, schema-faithful, and copy-isometric") {
+    val base = "/root/testdata/sf0.001"
+    val factor = 3
+    val dir = s"/tmp/graft_scale${factor}x_${Tables.cacheKey(base)}"
+    wipe(dir)
+    val d1 = ScaleProbe2.ensureScaled(spark, base, factor)
+    val docs1 = checksum(spark.read.parquet(s"$d1/documents.parquet"))
+    val vecs1 = checksum(spark.read.parquet(s"$d1/embeddings.parquet"))
+    wipe(dir)
+    val d2 = ScaleProbe2.ensureScaled(spark, base, factor)
+    assert(checksum(spark.read.parquet(s"$d2/documents.parquet")) == docs1)
+    assert(checksum(spark.read.parquet(s"$d2/embeddings.parquet")) == vecs1)
+
+    val bd = Tables.documents(spark, base)
+    val dd = Tables.documents(spark, d2)
+    assert(dd.schema == bd.schema)
+    assert(dd.count() == factor * bd.count())
+    assert(dd.select("doc_id").distinct().count() == dd.count())
+    // copy 0 is the base corpus verbatim
+    assert(checksum(dd.filter(col("doc_id") < 10000000L)) == checksum(bd))
+
+    val bv = Tables.embeddings(spark, base)
+    val dv = Tables.embeddings(spark, d2)
+    assert(dv.schema == bv.schema)
+    assert(dv.count() == factor * bv.count())
+    // rotation isometry: every copy's norm multiset equals the base's
+    def norms(df: org.apache.spark.sql.DataFrame) =
+      df.select(round(expr(
+        """aggregate(embedding, cast(0.0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double))"""
+          .stripMargin), 6).as("n2"))
+        .groupBy("n2").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val baseNorms = norms(bv)
+    (0 until factor).foreach { k =>
+      val copy = dv.filter(col("vec_id") >= k * 10000000L &&
+        col("vec_id") < (k + 1) * 10000000L)
+      assert(norms(copy) == baseNorms, s"copy $k norms differ")
+    }
+  }
+}
