@@ -506,13 +506,18 @@ class Round9PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), p)
   }
 
-  test("vacuum publishes from collected metadata — no data file in the final plan") {
-    // the log resolve runs eagerly at build time (KB-scale path
-    // lists); the published manifest must be a local relation that
-    // never scans the versioned data files
+  test("vacuum resolves from the log, scans ONLY the named file sets, aggregates map-side") {
+    // the DECISION is still metadata-only (the log resolve collects
+    // KB-scale path lists at build time); the published audit now
+    // scans exactly the two resolved file sets to state their table
+    // semantics — so the plan must hold file-list Parquet scans (the
+    // timetravel warehouse dirs, never the base orders table) with
+    // map-combined aggregates on top
     val p = plan("q_layout_vacuum")
-    assert(p.contains("LocalTableScan"), p)
-    assert(!p.contains("FileScan"), p)
+    assert(p.contains("FileScan parquet"), p)
+    assert(p.contains("timetravel_"), p)
+    assert(!p.contains("orders.parquet"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
   test("bm25 never shuffle-joins the corpus: stats broadcast, top-k is a bounded head") {
