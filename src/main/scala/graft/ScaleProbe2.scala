@@ -48,11 +48,21 @@ object ScaleProbe2 {
   /** Build (once) the ×`factor` derived corpus for `baseDir`; returns
     * its directory. Write-once with a `_SUCCESS` marker; a
     * half-written dir (killed build) is cleared and rebuilt.
+    *
+    * `vecsOnly`: scale ONLY the embeddings (documents symlink to the
+    * base like the other tables). The dimension-rotation construction
+    * supports factors up to 64 (one distinct rotation per copy of a
+    * 64-dim vector), so the vector families can be probed a further
+    * decade than the ×10 text corpus — the third measured decade for
+    * the ANN/IVF adaptive laws.
     */
   private[graft] def ensureScaled(s: SparkSession, baseDir: String,
-      factor: Int): String = {
+      factor: Int, vecsOnly: Boolean = false): String = {
+    require(!vecsOnly || factor <= 64,
+      s"vecsOnly factor $factor exceeds the 64 distinct dimension rotations")
+    val tag = if (vecsOnly) "xv" else "x"
     val dir = java.nio.file.Paths.get(
-      s"/tmp/graft_scale${factor}x_${Tables.cacheKey(baseDir)}")
+      s"/tmp/graft_scale$factor${tag}_${Tables.cacheKey(baseDir)}")
     synchronized {
       if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
         if (java.nio.file.Files.exists(dir)) {
@@ -61,23 +71,25 @@ object ScaleProbe2 {
             .foreach(java.nio.file.Files.delete)
         }
         java.nio.file.Files.createDirectories(dir)
-        val docs = Tables.documents(s, baseDir)
-          .select("doc_id", "text", "lang", "source", "n_chars")
-        val docCopies = (0 until factor).map { k =>
-          if (k == 0) docs
-          else {
-            val m = 3 + ((k - 1) % 8)
-            val off = k % m
-            docs.select(
-              (col("doc_id") + lit(k * IdStride)).as("doc_id"),
-              array_join(filter(split(col("text"), " "),
-                (_, i) => (i + lit(off)) % m =!= 0), " ").as("text"),
-              col("lang"), col("source"))
-              .withColumn("n_chars", length(col("text")).cast("long"))
+        if (!vecsOnly) {
+          val docs = Tables.documents(s, baseDir)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+          val docCopies = (0 until factor).map { k =>
+            if (k == 0) docs
+            else {
+              val m = 3 + ((k - 1) % 8)
+              val off = k % m
+              docs.select(
+                (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+                array_join(filter(split(col("text"), " "),
+                  (_, i) => (i + lit(off)) % m =!= 0), " ").as("text"),
+                col("lang"), col("source"))
+                .withColumn("n_chars", length(col("text")).cast("long"))
+            }
           }
+          docCopies.reduce(_ unionAll _).repartition(32)
+            .write.parquet(s"$dir/documents.parquet")
         }
-        docCopies.reduce(_ unionAll _).repartition(32)
-          .write.parquet(s"$dir/documents.parquet")
         val vecs = Tables.embeddings(s, baseDir)
           .select("vec_id", "embedding", "label")
         val vecCopies = (0 until factor).map { k =>
@@ -90,7 +102,8 @@ object ScaleProbe2 {
         }
         vecCopies.reduce(_ unionAll _).repartition(32)
           .write.parquet(s"$dir/embeddings.parquet")
-        Tables.names.filterNot(n => n == "documents" || n == "embeddings")
+        Tables.names
+          .filterNot(n => n == "embeddings" || (n == "documents" && !vecsOnly))
           .foreach { n =>
             java.nio.file.Files.createSymbolicLink(
               dir.resolve(s"$n.parquet"),
@@ -115,14 +128,21 @@ object ScaleProbe2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = ensureScaled(spark, baseDir, factor)
+    // "vecs" mode: scale ONLY the embeddings (the rotation fixture
+    // supports factors up to 64, past the ×10 the text corpus allows)
+    // and probe only the vector families — the THIRD measured decade
+    // for the ANN/IVF adaptive laws
+    val vecsMode = args.length > 2 && args(2) == "vecs"
+    val scaled = ensureScaled(spark, baseDir, factor, vecsMode)
     val dirs = Seq(baseDir, scaled)
 
     // the six families the one-decade probe left extrapolated: the
     // four canonical candidate generators, SemDeDup, and the IVF path
-    val timed = Seq(
-      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_fuzzy_edit",
-      "q_sim_knn_graph", "q_dedup_semantic", "q_sim_ann_ivf")
+    val timed =
+      if (vecsMode) Seq("q_sim_knn_graph", "q_dedup_semantic", "q_sim_ann_ivf")
+      else Seq(
+        "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_fuzzy_edit",
+        "q_sim_knn_graph", "q_dedup_semantic", "q_sim_ann_ivf")
 
     def bestOf2(f: => Unit): Double = {
       def once: Double = {
@@ -138,22 +158,27 @@ object ScaleProbe2 {
       // the DF cap binds at the scaled dir (witness printed), so the
       // canonical jaccard exponent here measures the CAPPED regime —
       // the regime 100 TB actually runs in
-      val cands = Map(
+      val cands = (if (vecsMode) Map.empty[String, Long] else Map(
         "q_dedup_ngram_jaccard" -> dedup.Dedup.jaccardCandidates(spark, d).count(),
         "q_dedup_minhash" -> dedup.Dedup.minhashCandidates(spark, d).count(),
-        "q_dedup_fuzzy_edit" -> dedup.Dedup.fuzzyCandidates(spark, d).count(),
-        "q_sim_knn_graph" -> sim.Similarity.knnCandidates(spark, d).count())
-      val overCap = dedup.Dedup.shinglesOverCap(spark, d,
+        "q_dedup_fuzzy_edit" -> dedup.Dedup.fuzzyCandidates(spark, d).count())) ++
+        Map("q_sim_knn_graph" -> sim.Similarity.knnCandidates(spark, d).count())
+      val overCap = if (vecsMode) -1L else dedup.Dedup.shinglesOverCap(spark, d,
         dedup.Dedup.ShingleDfCap)
       // the established capped-regime methodology (round-7): probe
       // with a cap that BINDS at both dirs, so the flattening the cap
       // provides is measured in-regime, not mid-transition
       val probeCap = 6
-      val jacCapped = dedup.Dedup.jaccardCandidates(spark, d,
-        cap = probeCap).count()
-      val overCap6 = dedup.Dedup.shinglesOverCap(spark, d, probeCap)
-      val knnFixed6 = sim.Similarity.knnCandidates(spark, d,
-        tables = 8, bits = 6).count()
+      val jacCapped = if (vecsMode) -1L
+        else dedup.Dedup.jaccardCandidates(spark, d, cap = probeCap).count()
+      val overCap6 = if (vecsMode) -1L
+        else dedup.Dedup.shinglesOverCap(spark, d, probeCap)
+      // the frozen-width counterfactual is exactly quadratic (measured
+      // 2.00 at the ×10 decade); materializing it past ~30k vectors
+      // would count billions of pairs — the loud −1 sentinel marks it
+      // deliberately skipped, the linkpred-uncapped precedent
+      val knnFixed6 = if (vecs > 30000) -1L
+        else sim.Similarity.knnCandidates(spark, d, tables = 8, bits = 6).count()
       val annBits = sim.Similarity.adaptiveBits(spark, d)
       // SemDeDup: the adaptive cell-count law with the floor lifted
       // (k tracks ceil(n/128)) — per-cell occupancy should stay flat
@@ -169,7 +194,8 @@ object ScaleProbe2 {
       val hybridK16 = math.max(8, ((vecs + 15) / 16).toInt)
       val hybridT16 =
         sim.Similarity.hybridDenseCandidatesAt(spark, d, hybridK16)
-      val decontamCands = text.Corpus.decontamFuzzyCandidates(spark, d).count()
+      val decontamCands = if (vecsMode) -1L
+        else text.Corpus.decontamFuzzyCandidates(spark, d).count()
       val secs = timed.map { q =>
         q -> bestOf2(SparkEntry.queries(q)(spark, d)
           .write.format("noop").mode("overwrite").save())
@@ -204,22 +230,28 @@ object ScaleProbe2 {
     def exp(n1: Long, n2: Long, y1: Double, y2: Double): Double =
       if (y1 <= 0 || n2 == n1) Double.NaN
       else math.log(y2 / y1) / math.log(n2.toDouble / n1)
-    def isVec(q: String): Boolean = q.startsWith("q_sim")
+    // semantic dedup is embeddings-based despite the q_dedup_ prefix
+    def isVec(q: String): Boolean =
+      q.startsWith("q_sim") || q == "q_dedup_semantic"
     val fields = timed.map { q =>
       val (n1, n2) = if (isVec(q)) (d1vecs, d2vecs) else (d1docs, d2docs)
       val ce = c1.get(q).map(v =>
         s""""candidate_exp":${f"${exp(n1, n2, v.toDouble, c2(q).toDouble)}%.2f"},""").getOrElse("")
       val te = exp(n1, n2, s1(q), s2(q))
       s""""$q":{$ce"time_exp":${f"$te%.2f"}}"""
-    } ++ Seq(
+    } ++ (if (vecsMode) Seq.empty[String] else Seq(
       s""""jaccard_capped_exp":${f"${exp(d1docs, d2docs, c1("jaccard_capped").toDouble, c2("jaccard_capped").toDouble)}%.2f"}""",
-      s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""",
+      s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""")
+    ) ++ (if (c1("knn_fixed6") < 0 || c2("knn_fixed6") < 0) Seq.empty[String]
+      else Seq(
+        s""""knn_fixed6_exp":${f"${exp(d1vecs, d2vecs, c1("knn_fixed6").toDouble, c2("knn_fixed6").toDouble)}%.2f"}""")
+    ) ++ Seq(
       s""""semdedup_adaptive_exp":${f"${exp(d1vecs, d2vecs, c1("sem_scaled").toDouble, c2("sem_scaled").toDouble)}%.2f"}""",
       s""""ivf2_candidates_exp":${f"${exp(d1vecs, d2vecs, c1("ivf2_cands").toDouble, c2("ivf2_cands").toDouble)}%.2f"}""",
       s""""diversity2_max_stratum_target8_exp":${f"${exp(d1vecs, d2vecs, c1("div2_max_t8").toDouble, c2("div2_max_t8").toDouble)}%.2f"}""",
-      s""""hybrid_dense_candidates_target16_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_t16").toDouble, c2("hybrid_t16").toDouble)}%.2f"}""",
-      s""""decontam_fuzzy_exp":${f"${exp(d1docs, d2docs, c1("decontam_fuzzy").toDouble, c2("decontam_fuzzy").toDouble)}%.2f"}""")
-    println(s"""{"metric":"growth_exponents_decade2",${fields.mkString(",")}}""")
+      s""""hybrid_dense_candidates_target16_exp":${f"${exp(d1vecs, d2vecs, c1("hybrid_t16").toDouble, c2("hybrid_t16").toDouble)}%.2f"}""")
+    val label = if (vecsMode) "growth_exponents_vecs" else "growth_exponents_decade2"
+    println(s"""{"metric":"$label",${fields.mkString(",")}}""")
     spark.stop()
   }
 }
