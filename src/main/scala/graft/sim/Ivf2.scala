@@ -209,6 +209,8 @@ object Ivf2 {
             |  f.fine AS fine)))""".stripMargin))
         .select(col("vec_id"), col("embedding"), col("cell"),
           col("best.fine").as("fine"))
+        // one file per (cell, fine) stratum — see Similarity.ivfIndex
+        .repartition(col("cell"), col("fine"))
     }
 
   /** Probe set over both levels: the coarse probes (IvfNProbe cells,

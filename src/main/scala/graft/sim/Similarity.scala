@@ -222,7 +222,14 @@ object Similarity {
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.ensureLayout(s, d, "ivf_index",
         partitionCols = Seq("cell")) {
-      ivfAssign(s, d, adaptiveIvfK(s, d))
+      // one hash repartition on the partition key before the write, so
+      // each cell directory holds ONE file instead of one per writing
+      // task (measured at 100k vectors / 782 cells: 23,575 files
+      // without it — enough to evict the partition-metadata cache and
+      // triple probe walls; cells are ~128 rows by the adaptive-k law,
+      // so a one-file cell is also the right physical unit at 100 TB).
+      // IvfLayoutFilesSpec pins files-on-disk == cells.
+      ivfAssign(s, d, adaptiveIvfK(s, d)).repartition(col("cell"))
     }
 
   /** KMeans fit-on-a-bounded-sample + distributed label pass at an
@@ -322,7 +329,8 @@ object Similarity {
     graft.sources.Layouts.ensureLayout(s, d, "ivf_refit",
         partitionCols = Seq("cell")) {
       val cur = refitCorpus(s, d)
-      ivfAssignOf(cur, ivfKFor(cur.count()))
+      // one file per cell — see ivfIndex
+      ivfAssignOf(cur, ivfKFor(cur.count())).repartition(col("cell"))
     }
 
   /** The refit's DRIFT-REPORT inputs as their own write-once layout,

@@ -1173,6 +1173,29 @@ class KnnGraphSpec extends SparkSpec {
   * accumulation order as the CosineSim kernel), and kept + dropped
   * must partition the corpus.
   */
+/** Physical shape of the written vector layouts: ONE file per
+  * partition directory. Without the pre-write hash repartition each
+  * writing task emits a file into every cell it touches — measured at
+  * 100k vectors / 782 cells: 23,575 files, enough to evict Spark's
+  * partition-metadata cache and triple probe walls. Cells are ~128
+  * rows under the adaptive-k law, so one file per cell is also the
+  * right physical unit at 100 TB (same discipline ShardExportSpec pins
+  * for the training shards).
+  */
+class IvfLayoutFilesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def files(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name().as("f")).distinct().count()
+
+  test("ivf layout: one parquet file per cell; ivf2: one per (cell, fine)") {
+    val ivf = sim.Similarity.ivfIndex(spark, sf)
+    assert(files(ivf) == ivf.select("cell").distinct().count())
+    val ivf2 = sim.Ivf2.ivf2Index(spark, sf)
+    assert(files(ivf2) == ivf2.select("cell", "fine").distinct().count())
+  }
+}
+
 /** Partitioning-invariance of the k-means lineage: every rows-only
   * query in the IVF family (semantic dedup, ANN/IVF/PQ/2-level,
   * append, health, refit, diversity sampling) descends from two fits —
