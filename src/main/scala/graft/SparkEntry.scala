@@ -49,6 +49,7 @@ object SparkEntry {
       text.Quality.queries ++
       text.Corpus.queries ++
       text.Splits.queries ++
+      text.Sft.queries ++
       text.Bpe.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
       text.Quality.oracle ++
       text.Corpus.oracle ++
       text.Splits.oracle ++
+      text.Sft.oracle ++
       text.Bpe.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

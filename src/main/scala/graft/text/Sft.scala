@@ -1,0 +1,287 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / post-training data assembly — the fine-tuning half of the
+  * corpus pipeline, downstream of the pretraining operators in
+  * `text.Corpus`: raw interaction logs become chat-format training
+  * sequences (render), per-token loss masks (mask accounting),
+  * prompt-level dedup, and preference-pair mining for DPO/RLHF.
+  *
+  * The reference engine (jcdyer/potpot) stores rows and fetches them
+  * back (`query.rs:3-9`); this family is the corpus-assembly layer a
+  * fine-tuning run puts on top of that storage. Conversations are
+  * modeled on the `events` table: conversation = `user_id`, turn
+  * order = (`ts`, `event_id`), roles alternate user/assistant from
+  * the first turn, turn content = `event_type || ' ' || props` — a
+  * deterministic stand-in for real dialogue text that keeps every
+  * operator's PLUMBING (ordering, grouping, template rendering, mask
+  * boundaries, dedup keys, pair selection) real and hash-oracleable,
+  * the `media.Multimodal` fake-decode discipline applied to dialogue.
+  *
+  * Scale shape shared by the family: ONE hash exchange on the
+  * conversation key (the only data-moving step), per-conversation
+  * state bounded by conversation length (KB — the documents
+  * discipline; a conversation is a document, not a corpus), and
+  * published outputs are fingerprints + integer accounting, never the
+  * rendered text (the shard-export discipline: 16-byte hashes leave
+  * the aggregate, payloads don't move twice). Nothing downstream of
+  * the per-conversation aggregate scales with the event count.
+  */
+object Sft {
+
+  /** Chat-template sentinels (the ChatML shape most open SFT stacks
+    * render: im_start + role + newline + content + im_end).
+    */
+  private val TStart = "<|im_start|>"
+  private val TEnd   = "<|im_end|>"
+
+  /** Shared turn derivation: one window pass on the conversation key
+    * assigns turn numbers; role alternates from the first turn (the
+    * user speaks first). `row_number` over (ts, event_id) is total —
+    * event_id breaks timestamp ties deterministically.
+    */
+  private[graft] def turns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id").as("conv_id"), col("ts"), col("event_id"),
+        concat(col("event_type"), lit(" "), col("props")).as("content"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("role",
+        when(col("rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CHAT-TEMPLATE rendering — the serialization step every SFT run
+    // starts with: each conversation's turns render, in order, as
+    // <|im_start|>role\ncontent<|im_end|>\n and concatenate into one
+    // training sequence. The ordered concat is
+    // array_sort(collect_list(struct(rn, turn))) inside the ONE
+    // conversation-key aggregate — collect_list order is
+    // shuffle-dependent, the sort on the unique turn number makes the
+    // render a pure function of the data (stable under repartition
+    // and retries, pinned by SftSpec). Published as fingerprint +
+    // integer accounting; the rendered text stays inside the
+    // aggregate. Fully oracled (DuckDB string_agg ORDER BY rn).
+    "q_sft_render" -> ((s, d) =>
+      turns(s, d)
+        .withColumn("turn", concat(lit(TStart), col("role"), lit("\n"),
+          col("content"), lit(TEnd), lit("\n")))
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L))
+            .as("n_assistant"),
+          concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
+            .as("render"))
+        .select(col("conv_id"), col("n_turns"), col("n_user"),
+          col("n_assistant"),
+          length(col("render")).cast("long").as("render_chars"),
+          md5(col("render").cast("binary")).as("render_fp"))
+        .orderBy(col("conv_id"))),
+
+    // LOSS-MASK accounting — the step that decides which tokens train:
+    // assistant turns contribute to the loss, user turns (and the
+    // role headers) are masked. Convention (one whitespace-token per
+    // content word): a turn costs content_tokens + 2 sentinels
+    // (header, im_end); an assistant turn trains on content + im_end
+    // (content_tokens + 1), a user turn trains on nothing. The
+    // per-conversation integer totals — and the trainable share in
+    // per-mille — are what a packing run needs to budget sequences
+    // (the q_token_budget discipline: plan on integers, not floats).
+    // Pure map + one conversation-key aggregate; fully oracled.
+    "q_sft_mask" -> ((s, d) =>
+      turns(s, d)
+        .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("n_tok") + lit(2L)).as("total_tokens"),
+          sum(when(col("role") === "assistant", col("n_tok") + lit(1L))
+            .otherwise(0L)).as("trainable_tokens"))
+        .select(col("conv_id"), col("n_turns"), col("total_tokens"),
+          col("trainable_tokens"),
+          expr("trainable_tokens * 1000 div total_tokens").as("mask_pm"))
+        .orderBy(col("conv_id"))),
+
+    // PROMPT-LEVEL dedup — the SFT hygiene pass (OpenAssistant/LMSYS
+    // releases dedup by first user message): conversations sharing an
+    // identical opening prompt collapse to one kept conversation —
+    // the longest (most turns of signal), ties broken by smallest
+    // conv_id. Exact-dup semantics on the prompt fingerprint, NOT the
+    // whole conversation (q_dedup_exact's whole-doc key would keep
+    // both of two conversations that diverge after turn 1 — here
+    // that's the duplicate being removed). Thin (conv, fp, n_turns)
+    // rows into one fingerprint-key window: nothing after the first
+    // per-conversation aggregate scales with event count. Fully
+    // oracled.
+    "q_sft_prompt_dedup" -> ((s, d) => {
+      val convs = turns(s, d)
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          max(when(col("rn") === 1, md5(col("content").cast("binary"))))
+            .as("prompt_fp"))
+      val pick = Window.partitionBy(col("prompt_fp"))
+        .orderBy(col("n_turns").desc, col("conv_id"))
+      convs
+        .withColumn("pick", row_number().over(pick))
+        .withColumn("n_convs",
+          count(lit(1)).over(Window.partitionBy(col("prompt_fp"))))
+        .filter(col("pick") === 1)
+        .select(col("prompt_fp"), col("n_convs"),
+          col("conv_id").as("kept_conv"), col("n_turns").as("kept_turns"),
+          (col("n_convs") - lit(1L)).as("n_dropped"))
+        .orderBy(col("prompt_fp"))
+    }),
+
+    // PREFERENCE-PAIR mining — DPO/RLHF pair construction: within
+    // each comparison group, the best- and worst-scoring documents
+    // under the q_quality_logistic model become (chosen, rejected).
+    // Group key = (lang, source) — the stand-in for "responses to the
+    // same prompt"; swapping in a prompt-cluster key (q_dedup_clusters)
+    // changes one column. Selection ranks on the 9-decimal-rounded
+    // score (the q_dedup_embed lesson: a last-ulp exp divergence must
+    // not flip a pair) with doc_id tiebreaks chosen so the two ranks
+    // pick DISTINCT rows even in an all-tied group (best: id asc,
+    // worst: id desc); singleton groups can't form a pair and drop.
+    // Score is computed map-side (zero-shuffle kernel projection);
+    // only thin (group, doc_id, score) rows enter the ONE group-key
+    // exchange — at 100 TB the window state is one group's rows, KB
+    // by the grouping's construction. Fully oracled.
+    "q_pref_pairs" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val z = lit(1.3) + lit(3.0) * col("stop_ratio") +
+        lit(0.15) * col("avg_len") - lit(4.0) * col("dup_ratio")
+      val grp = Window.partitionBy(col("lang"), col("source"))
+      val best = grp.orderBy(col("s9").desc, col("doc_id"))
+      val worst = grp.orderBy(col("s9").asc, col("doc_id").desc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("text_stats(split(text, ' '))").as("st"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("st.n_stop").cast("double") / col("st.n_tokens"))
+            .as("stop_ratio"),
+          (col("st.char_sum").cast("double") / col("st.n_tokens"))
+            .as("avg_len"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("st.n_tokens"))
+            .as("dup_ratio"))
+        .withColumn("s9", round(lit(1.0) / (lit(1.0) + exp(-z)), 9))
+        .withColumn("n_docs", count(lit(1)).over(grp))
+        .withColumn("rb", row_number().over(best))
+        .withColumn("rw", row_number().over(worst))
+        .filter(col("n_docs") >= 2)
+        .groupBy(col("lang"), col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(when(col("rb") === 1, col("doc_id"))).as("chosen_doc"),
+          max(when(col("rb") === 1, col("s9"))).as("cs"),
+          max(when(col("rw") === 1, col("doc_id"))).as("rejected_doc"),
+          max(when(col("rw") === 1, col("s9"))).as("rs"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("chosen_doc"), round(col("cs"), 6).as("chosen_score"),
+          col("rejected_doc"), round(col("rs"), 6).as("rejected_score"),
+          round(col("cs") - col("rs"), 6).as("margin"))
+        .orderBy(col("lang"), col("source"))
+    }))
+
+  private val stopSql =
+    graft.functions.GraftText.Stopwords.toSeq
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared turn CTE for the DuckDB oracles (mirrors `turns`). */
+  private val turnsSql =
+    """t AS (
+      |  SELECT user_id AS conv_id, event_id,
+      |    event_type || ' ' || props AS content,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT conv_id, rn, content,
+      |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM t)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_sft_render" ->
+      s"""WITH $turnsSql,
+         |a AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_user,
+         |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_assistant,
+         |    string_agg('<|im_start|>' || role || chr(10) || content
+         |      || '<|im_end|>' || chr(10), '' ORDER BY rn) AS render
+         |  FROM r GROUP BY conv_id)
+         |SELECT conv_id, n_turns, n_user, n_assistant,
+         |  CAST(strlen(render) AS BIGINT) AS render_chars,
+         |  md5(render) AS render_fp
+         |FROM a ORDER BY conv_id""".stripMargin,
+    "q_sft_mask" ->
+      s"""WITH $turnsSql,
+         |k AS (
+         |  SELECT conv_id, role,
+         |    CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tok
+         |  FROM r)
+         |SELECT conv_id, count(*) AS n_turns,
+         |  CAST(sum(n_tok + 2) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN role = 'assistant' THEN n_tok + 1 ELSE 0 END)
+         |    AS BIGINT) AS trainable_tokens,
+         |  CAST(sum(CASE WHEN role = 'assistant' THEN n_tok + 1 ELSE 0 END)
+         |    * 1000 // sum(n_tok + 2) AS BIGINT) AS mask_pm
+         |FROM k GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    "q_sft_prompt_dedup" ->
+      s"""WITH $turnsSql,
+         |c AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    max(CASE WHEN rn = 1 THEN md5(content) END) AS prompt_fp
+         |  FROM r GROUP BY conv_id),
+         |p AS (
+         |  SELECT prompt_fp, conv_id, n_turns,
+         |    row_number() OVER (PARTITION BY prompt_fp
+         |      ORDER BY n_turns DESC, conv_id) AS pick,
+         |    count(*) OVER (PARTITION BY prompt_fp) AS n_convs
+         |  FROM c)
+         |SELECT prompt_fp, n_convs, conv_id AS kept_conv,
+         |  n_turns AS kept_turns, n_convs - 1 AS n_dropped
+         |FROM p WHERE pick = 1 ORDER BY prompt_fp""".stripMargin,
+    "q_pref_pairs" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(list_filter(tk, x -> list_contains($stopSql, x)))
+         |      AS DOUBLE) / len(tk) AS stop_ratio,
+         |    CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+         |      / len(tk) AS avg_len,
+         |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         |      AS dup_ratio
+         |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+         |        FROM documents) d),
+         |s AS (
+         |  SELECT doc_id, lang, source,
+         |    round(1.0 / (1.0 + exp(-(1.3 + 3.0 * stop_ratio
+         |      + 0.15 * avg_len - 4.0 * dup_ratio))), 9) AS s9
+         |  FROM f),
+         |w AS (
+         |  SELECT lang, source, doc_id, s9,
+         |    count(*) OVER (PARTITION BY lang, source) AS n_docs,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY s9 DESC, doc_id) AS rb,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY s9 ASC, doc_id DESC) AS rw
+         |  FROM s)
+         |SELECT lang, source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_doc,
+         |  round(max(CASE WHEN rb = 1 THEN s9 END), 6) AS chosen_score,
+         |  max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_doc,
+         |  round(max(CASE WHEN rw = 1 THEN s9 END), 6) AS rejected_score,
+         |  round(max(CASE WHEN rb = 1 THEN s9 END)
+         |    - max(CASE WHEN rw = 1 THEN s9 END), 6) AS margin
+         |FROM w WHERE n_docs >= 2
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+}

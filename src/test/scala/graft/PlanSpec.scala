@@ -981,3 +981,43 @@ class PointGetIndexedPlanSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getLong(0) == 42L))
   }
 }
+
+class SftPlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(SimpleMode)
+
+  test("sft render/mask move text through ONE conversation-key exchange") {
+    // the window (turn numbering) and the per-conversation aggregate
+    // share the conv_id partitioning: a refactor that keys them
+    // differently doubles the text movement and fails here
+    for (q <- Seq("q_sft_render", "q_sft_mask")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: ${p.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+      assert(p.contains("hashpartitioning(conv_id"), p)
+    }
+  }
+
+  test("sft prompt dedup: the fingerprint exchange never carries content") {
+    val p = run("q_sft_prompt_dedup").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val fpWindows = p.collect {
+      case w: Window if w.partitionSpec.exists(
+        _.references.exists(_.name == "prompt_fp")) => w }
+    assert(fpWindows.nonEmpty)
+    fpWindows.foreach(w => assert(
+      !w.child.output.exists(_.name == "content"),
+      "prompt window consumes: " + w.child.output.map(_.name).mkString(",")))
+  }
+
+  test("pref pairs: score computes map-side, one group-key exchange, no text above it") {
+    val p = plan("q_pref_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    val o = run("q_pref_pairs").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    o.collect { case n @ (_: Window | _: Aggregate) => n }.foreach(n =>
+      n.children.foreach(c => assert(!c.output.exists(_.name == "text"),
+        n.nodeName + " consumes text")))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SFT / post-training assembly family (text.Sft). The DuckDB oracle
+  * hash-checks all four queries end to end; these specs pin the
+  * properties the oracle can't state: shuffle-order independence of
+  * the ordered render, the mask-accounting identities, the dedup
+  * keep-law, and the pair-selection law.
+  */
+class SftSpec extends SparkSpec {
+
+  test("render: role alternation + template accounting identities") {
+    val r = run("q_sft_render").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nt, nu, na) = (row.getAs[Long]("n_turns"),
+        row.getAs[Long]("n_user"), row.getAs[Long]("n_assistant"))
+      assert(nt == nu + na)
+      // user speaks first, roles alternate: user count leads by 0 or 1
+      assert(nu - na == nt % 2)
+    }
+  }
+
+  test("render chars decompose per-turn: 24 + role + content chars") {
+    // independent recompute off the turn table — catches a template
+    // drift (sentinel, separator, ordering) the alternation test misses
+    val expected = text.Sft.turns(spark, sf)
+      .groupBy(col("conv_id"))
+      .agg(sum(length(col("content")) + length(col("role")) + lit(24))
+        .as("chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("q_sft_render").collect().foreach { row =>
+      assert(row.getAs[Long]("render_chars") ==
+        expected(row.getAs[Long]("conv_id")))
+    }
+  }
+
+  test("render fingerprint is shuffle-order independent") {
+    // the ordered-concat is array_sort(collect_list(...)) — this is
+    // the pin that a refactor to a bare collect_list (order =
+    // whatever the shuffle delivered) fails
+    val base = run("q_sft_render").collect()
+      .map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("render_fp"))
+      .toMap
+    val alt = text.Sft.turns(spark, sf).repartition(13)
+      .withColumn("turn", concat(lit("<|im_start|>"), col("role"),
+        lit("\n"), col("content"), lit("<|im_end|>"), lit("\n")))
+      .groupBy(col("conv_id"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
+        .as("render"))
+      .select(col("conv_id"), md5(col("render").cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(alt == base)
+  }
+
+  test("mask: trainable strictly inside total, per-mille bounded") {
+    val r = run("q_sft_mask").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (tot, tr, pm) = (row.getAs[Long]("total_tokens"),
+        row.getAs[Long]("trainable_tokens"), row.getAs[Long]("mask_pm"))
+      assert(tr > 0 && tr < tot, "role headers are never trainable")
+      assert(pm == tr * 1000 / tot && pm > 0 && pm < 1000)
+      // turn sentinels: total >= 3 tokens/turn (1 content + 2 markers)
+      assert(tot >= 3 * row.getAs[Long]("n_turns"))
+    }
+  }
+
+  test("prompt dedup: groups partition the conversations; kept = max turns") {
+    val out = run("q_sft_prompt_dedup").collect()
+    val nConvs = text.Sft.turns(spark, sf)
+      .select(col("conv_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_convs")).sum == nConvs,
+      "every conversation lands in exactly one prompt group")
+    // keep-law: no conversation in the group has more turns than the
+    // kept one, and equal-turn ties resolve to the smallest conv_id
+    val turnsOf = text.Sft.turns(spark, sf)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n"), max(when(col("rn") === 1,
+        md5(col("content").cast("binary")))).as("fp"))
+      .collect()
+      .groupBy(_.getAs[String]("fp"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("conv_id"), r.getAs[Long]("n")))).toMap
+    out.foreach { row =>
+      val members = turnsOf(row.getAs[String]("prompt_fp"))
+      val kept = (row.getAs[Long]("kept_turns"), row.getAs[Long]("kept_conv"))
+      assert(members.map(m => (m._2, m._1)).max(
+        Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse)) ==
+        (kept._1, kept._2))
+      assert(row.getAs[Long]("n_dropped") == members.size - 1)
+    }
+  }
+
+  test("pref pairs: chosen beats rejected, rows distinct, groups >= 2") {
+    val r = run("q_pref_pairs").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("chosen_doc") != row.getAs[Long]("rejected_doc"))
+      assert(row.getAs[Double]("chosen_score") >=
+        row.getAs[Double]("rejected_score"))
+      assert(row.getAs[Double]("margin") >= 0.0)
+      assert(row.getAs[Long]("n_docs") >= 2)
+    }
+    // pair count = number of (lang, source) cells with >= 2 docs
+    val cells = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count()
+      .filter(col("count") >= 2).count()
+    assert(r.length == cells)
+  }
+}
