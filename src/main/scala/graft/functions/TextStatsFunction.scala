@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -42,6 +42,63 @@ object GraftText {
     }
     new GenericInternalRow(Array[Any](n.toLong, stop, chars))
   }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Single-pass Gopher repetition statistics:
+    * (n_lines, d_lines, line_chars, d_line_chars, n_big, max_c2, n_5,
+    * d_5) — byte-identical to the declarative composition it replaced
+    * (array_distinct + sort_array + runtime folds over materialized
+    * gram arrays), whose higher-order functions evaluate interpreted
+    * per element; this is one static call per document inside
+    * WholeStageCodegen. max_c2 (the longest equal-run of the SORTED
+    * bigram array) is computed as the max bigram multiplicity — the
+    * same number without the sort.
+    */
+  def repetition(lines: ArrayData, words: ArrayData): InternalRow = {
+    val nLines = lines.numElements()
+    val seenLines = new java.util.HashSet[UTF8String]()
+    var dLines = 0L; var lineChars = 0L; var dLineChars = 0L
+    var i = 0
+    while (i < nLines) {
+      val l = lines.getUTF8String(i)
+      val c = l.numChars()
+      lineChars += c
+      if (seenLines.add(l)) { dLines += 1; dLineChars += c }
+      i += 1
+    }
+    val n = words.numElements()
+    val nBig = if (n >= 2) (n - 1).toLong else 0L
+    var maxC2 = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      var j = 0
+      while (j < n - 1) {
+        val bg = UTF8String.concat(
+          words.getUTF8String(j), Space, words.getUTF8String(j + 1))
+        val c = counts.merge(bg, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c > maxC2) maxC2 = c.toLong
+        j += 1
+      }
+    }
+    val n5 = if (n >= 5) (n - 4).toLong else 0L
+    var d5 = 0L
+    if (n >= 5) {
+      val seen5 = new java.util.HashSet[UTF8String]()
+      var j = 0
+      while (j < n - 4) {
+        val g = UTF8String.concat(
+          words.getUTF8String(j), Space, words.getUTF8String(j + 1), Space,
+          words.getUTF8String(j + 2), Space, words.getUTF8String(j + 3),
+          Space, words.getUTF8String(j + 4))
+        if (seen5.add(g)) d5 += 1
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      nLines.toLong, dLines, lineChars, dLineChars, nBig, maxC2, n5, d5))
+  }
 }
 
 case class TextStats(child: Expression)
@@ -57,8 +114,35 @@ case class TextStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class RepetitionStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects (array<string>, array<string>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    "n_lines", "d_lines", "line_chars", "d_line_chars",
+    "n_big", "max_c2", "n_5", "d_5")
+    .map(StructField(_, LongType, nullable = false)))
+  override def nullSafeEval(l: Any, w: Any): Any =
+    GraftText.repetition(l.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, w) => s"graft.functions.GraftText.repetition($l, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
 object TextFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_stats", exprs => TextStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats",
+      exprs => RepetitionStats(exprs.head, exprs(1)), "built-in")
+  }
 }

@@ -387,40 +387,27 @@ object Quality {
     // the same rules, kept integer so both engines agree exactly.
     // Fully oracled (the DuckDB side may use the simpler unnest+group
     // form — the values are definitionally equal).
-    "q_quality_repetition" -> ((s, d) =>
+    "q_quality_repetition" -> ((s, d) => {
+      // all eight per-doc counts in ONE codegen'd kernel call
+      // (functions.RepetitionStats): the original declarative
+      // composition (gram transform + array_distinct + sort_array +
+      // runtime folds) evaluated its higher-order lambdas interpreted
+      // per element — measured 2.40 -> ~0.5 s at sf0.1, same bytes
+      // (the oracle and the raw-text replay spec are unchanged)
+      graft.functions.TextFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          split(col("text"), "\n").as("lines"),
-          split(col("text"), " ").as("words"))
-        .withColumn("bg", expr(
-          """CASE WHEN size(words) >= 2
-            |  THEN transform(sequence(1, size(words) - 1),
-            |         i -> concat_ws(' ', slice(words, i, 2)))
-            |  ELSE array() END""".stripMargin))
-        .withColumn("g5", expr(
-          """CASE WHEN size(words) >= 5
-            |  THEN transform(sequence(1, size(words) - 4),
-            |         i -> concat_ws(' ', slice(words, i, 5)))
-            |  ELSE array() END""".stripMargin))
+          expr("repetition_stats(split(text, '\\n'), split(text, ' '))")
+            .as("st"))
         .select(col("doc_id"),
-          size(col("lines")).cast("long").as("n_lines"),
-          size(array_distinct(col("lines"))).cast("long").as("d_lines"),
-          expr("aggregate(lines, 0L, (a, x) -> a + length(x))")
-            .as("line_chars"),
-          expr("aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))")
-            .as("d_line_chars"),
-          size(col("bg")).cast("long").as("n_big"),
-          // bigram mode = longest run in the sorted gram array: a
-          // constant-state runtime fold, no explode, no shuffle
-          expr("""aggregate(sort_array(bg),
-            |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-            |  (st, x) -> named_struct(
-            |    'prev', x,
-            |    'run', if(st.prev <=> x, st.run + 1L, 1L),
-            |    'best', greatest(st.best, if(st.prev <=> x, st.run + 1L, 1L))),
-            |  st -> st.best)""".stripMargin).as("max_c2"),
-          size(col("g5")).cast("long").as("n_5"),
-          size(array_distinct(col("g5"))).cast("long").as("d_5"))
+          col("st.n_lines").as("n_lines"),
+          col("st.d_lines").as("d_lines"),
+          col("st.line_chars").as("line_chars"),
+          col("st.d_line_chars").as("d_line_chars"),
+          col("st.n_big").as("n_big"),
+          col("st.max_c2").as("max_c2"),
+          col("st.n_5").as("n_5"),
+          col("st.d_5").as("d_5"))
         .select(col("doc_id"), col("n_lines"),
           expr("(n_lines - d_lines) * 1000 div n_lines").as("dup_line_pm"),
           expr("""CASE WHEN line_chars > 0
@@ -433,7 +420,8 @@ object Quality {
         .withColumn("keep",
           col("dup_line_pm") <= 300L && col("dup_line_chars_pm") <= 200L &&
             col("top2_pm") <= 200L && col("dup5_pm") <= 150L)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The Gopher per-doc decision SQL (no ORDER BY) — shared by the
