@@ -99,6 +99,58 @@ object GraftText {
     new GenericInternalRow(Array[Any](
       nLines.toLong, dLines, lineChars, dLineChars, nBig, maxC2, n5, d5))
   }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** T5 span corruption (q_span_corruption) as ONE per-document pass:
+    * position p masks iff the first 4 hex chars of
+    * md5("docId:p:sc42") mod 1000 < maskPm (byte-identical to the
+    * declarative hashBucket/DuckDB construction — the first two
+    * digest bytes ARE those 4 hex chars), contiguous masked runs
+    * collapse to one densely-numbered sentinel in the input, the
+    * target lists each sentinel + its hidden tokens. Replaces a
+    * token-level posexplode + doc_id window + ordered collect_list
+    * rebuild: the per-token exchange is gone — text never shuffles.
+    */
+  def spanCorrupt(docId: Long, words: ArrayData, maskPm: Int): InternalRow = {
+    val md = Md5.get()
+    val n = words.numElements()
+    val in = new java.lang.StringBuilder
+    val tgt = new java.lang.StringBuilder
+    var runId = 0
+    var prevMasked = false
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update((docId.toString + ":" + i.toString + ":sc42")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dig = md.digest()
+      val bucket = (((dig(0) & 0xff) << 8) | (dig(1) & 0xff)) % 1000
+      val tok = words.getUTF8String(i)
+      if (bucket < maskPm) {
+        if (!prevMasked) {
+          val sent = "<extra_id_" + runId + ">"
+          runId += 1
+          if (in.length > 0) in.append(' ')
+          in.append(sent)
+          if (tgt.length > 0) tgt.append(' ')
+          tgt.append(sent)
+        }
+        tgt.append(' ').append(tok.toString)
+        prevMasked = true
+      } else {
+        if (in.length > 0) in.append(' ')
+        in.append(tok.toString)
+        prevMasked = false
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(in.toString), UTF8String.fromString(tgt.toString)))
+  }
 }
 
 case class TextStats(child: Expression)
@@ -137,6 +189,29 @@ case class RepetitionStats(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
+case class SpanCorrupt(left: Expression, right: Expression, maskPm: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"span_corrupt expects (bigint, array<string>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("input", StringType, nullable = false),
+    StructField("target", StringType, nullable = false)))
+  override def nullSafeEval(id: Any, w: Any): Any =
+    GraftText.spanCorrupt(id.asInstanceOf[Long],
+      w.asInstanceOf[ArrayData], maskPm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (id, w) => s"graft.functions.GraftText.spanCorrupt($id, $w, $maskPm)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight, maskPm)
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -144,5 +219,9 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => RepetitionStats(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_corrupt",
+      exprs => SpanCorrupt(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -836,37 +836,21 @@ object Corpus {
     // exchange exactly once — unavoidable, the output IS rebuilt
     // text. Fully oracled.
     "q_span_corruption" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sentinel = concat(lit("<extra_id_"),
-        (col("run_id") - 1).cast("string"), lit(">"))
+      // the whole gaps-and-islands construction — mask law, run
+      // collapse, dense sentinel numbering, both serializations — is
+      // a pure per-document function, so it runs as ONE codegen'd
+      // kernel call (functions.SpanCorrupt, byte-identical mask: the
+      // first two md5 bytes ARE hashBucket's 4 hex chars). Replaces
+      // the token-level posexplode + per-doc window + ordered
+      // collect_list rebuild: the per-token doc_id exchange is gone
+      // entirely (text never shuffles; measured 1.43 -> 0.64 s at
+      // sf0.1), and the oracle + losslessness spec are unchanged.
+      graft.functions.TextFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("masked",
-          hashBucket(concat(col("doc_id").cast("string"), lit(":"),
-            col("pos").cast("string"), lit(":sc42")), 1, 1000) < MaskPm)
-        .withColumn("run_start", col("masked") &&
-          !coalesce(lag(col("masked"), 1).over(wDoc), lit(false)))
-        .withColumn("run_id",
-          sum(when(col("run_start"), 1L).otherwise(0L)).over(wRun))
-        .select(col("doc_id"), col("pos"),
-          when(!col("masked"), col("tok"))
-            .when(col("run_start"), sentinel).as("in_piece"),
-          when(col("masked"),
-            when(col("run_start"), concat(sentinel, lit(" "), col("tok")))
-              .otherwise(col("tok"))).as("tgt_piece"))
-        .groupBy(col("doc_id"))
-        .agg(
-          concat_ws(" ", expr(
-            """transform(filter(array_sort(collect_list(struct(pos, in_piece))),
-              |  x -> x.in_piece is not null), x -> x.in_piece)""".stripMargin))
-            .as("input"),
-          concat_ws(" ", expr(
-            """transform(filter(array_sort(collect_list(struct(pos, tgt_piece))),
-              |  x -> x.tgt_piece is not null), x -> x.tgt_piece)""".stripMargin))
-            .as("target"))
+          expr(s"span_corrupt(doc_id, split(text, ' '), $MaskPm)").as("st"))
+        .select(col("doc_id"),
+          col("st.input").as("input"), col("st.target").as("target"))
         .orderBy(col("doc_id"))
     }),
 
