@@ -151,6 +151,49 @@ object GraftText {
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(in.toString), UTF8String.fromString(tgt.toString)))
   }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** DISTINCT md5-hex digests of the document's n-token windows
+    * (q_ngram_novelty's map side) in one pass: replaces an
+    * interpreted transform(sequence, i -> md5(concat_ws(slice))) plus
+    * a DataFrame-level distinct — emitting the per-document set here
+    * makes (doc_id, gh) unique by construction, so the distinct's
+    * hash exchange disappears from the plan entirely.
+    */
+  def gramDigests(tokens: ArrayData, n: Int): ArrayData = {
+    val md = Md5.get()
+    val total = tokens.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (total >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
+        md.reset()
+        md.update(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        val dig = md.digest()
+        val hex = new Array[Char](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = HexDigits((dig(k) >> 4) & 0xf)
+          hex(2 * k + 1) = HexDigits(dig(k) & 0xf)
+          k += 1
+        }
+        out.add(UTF8String.fromString(new String(hex)))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
 }
 
 case class TextStats(child: Expression)
@@ -212,10 +255,26 @@ case class SpanCorrupt(left: Expression, right: Expression, maskPm: Int)
     copy(newLeft, newRight, maskPm)
 }
 
+case class GramDigests(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftText.gramDigests(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftText.gramDigests($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c, n)
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_stats", exprs => TextStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_digests",
+      exprs => GramDigests(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => RepetitionStats(exprs.head, exprs(1)), "built-in")

@@ -659,18 +659,20 @@ object TextOps {
     // counts are one map-combined aggregate, novelty is a thin
     // semi-aggregate per doc, integer per-mille. Fully oracled.
     "q_ngram_novelty" -> ((s, d) => {
+      graft.functions.TextFunctions.register(s)
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("l"))
         .filter(size(col("l")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(l) - 7),
-            |  i -> md5(cast(concat_ws(' ', slice(l, i, 8)) as binary)))"""
-            .stripMargin)).as("gh"))
-        .distinct()
-        // localCheckpoint: the distinct (doc_id, gh) table feeds both
-        // the per-gram doc counts and the per-doc join — without the
-        // barrier the distinct SHUFFLE (the query's heaviest exchange)
-        // would run twice
+        // one codegen'd kernel call emits the per-document DISTINCT
+        // digest set (functions.GramDigests), so (doc_id, gh) is
+        // unique by construction — the round-14 rewrite removed both
+        // the interpreted per-window md5 transform and the
+        // DataFrame-level distinct's hash exchange (1.93 -> 1.33 s at
+        // sf0.1; the digests are byte-identical, oracle unchanged)
+        .select(col("doc_id"), explode(expr("gram_digests(l, 8)")).as("gh"))
+        // localCheckpoint: the (doc_id, gh) table feeds both the
+        // per-gram doc counts and the per-doc join — the barrier
+        // materializes the digest table once for both consumers
         .localCheckpoint()
       val docsPerGram = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("n_docs"))
