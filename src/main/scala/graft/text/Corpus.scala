@@ -854,6 +854,86 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // IN-CONTEXT-PRETRAINING ordering (Shi et al. 2023's ICLM recipe):
+    // order the corpus so RELATED documents land in the same training
+    // window — the pretraining-side complement of retrieval
+    // augmentation. Relatedness = the connected near-dup clusters the
+    // engine already labels (q_dedup_clusters' written layout; the
+    // semantic-cluster swap is one column). Ordering law: shard =
+    // md5 bucket of the GROUP key (a cluster's members can never
+    // split across shards), within-shard order = (grp, content-hash)
+    // — cluster-major, deterministic, no RNG state. The published
+    // artifact is the ADJACENCY EVAL against the hash-shuffled twin
+    // (q_corpus_shuffle's order): share of consecutive doc pairs
+    // sharing a group, and the ICLM payoff metric — related pairs
+    // that also share a 2048-token window under contiguous
+    // pack-wrap serialization. Shape per branch: thin (doc_id,
+    // n_tok, grp) rows through ONE shard exchange; the per-shard
+    // window, the shard aggregate, and the window-count law reuse
+    // that partitioning; text never moves. IcpShards = 64 here;
+    // at cluster scale the shard count is task-parallelism-sized
+    // (each window partition is corpus/shards). Fully oracled
+    // (composes the recursive-CTE cluster labels with the same
+    // window arithmetic).
+    "q_icp_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = graft.dedup.Dedup.clusterLabels(s, d)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("cluster_keeper"), col("doc_id")).as("grp"))
+      def hex3mod64(c: Column): Column =
+        pmod(conv(substring(c, 1, 3), 16, 10).cast("long"), lit(64L))
+      val icp = base
+        .withColumn("shard", hex3mod64(md5(concat(
+          col("grp").cast("string"), lit(":icps")).cast("binary"))))
+        .withColumn("sk", md5(concat(col("grp").cast("string"), lit(":"),
+          col("doc_id").cast("string"), lit(":icp")).cast("binary")))
+      val shf = base
+        .withColumn("sk", md5(concat(
+          col("doc_id").cast("string"), lit(":icsh")).cast("binary")))
+        .withColumn("shard", hex3mod64(col("sk")))
+      def stats(kind: String, df: org.apache.spark.sql.DataFrame,
+          sort: Seq[Column]): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("shard")).orderBy(sort: _*)
+        df.withColumn("s0", coalesce(sum(col("n_tok"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("prev_grp", lag(col("grp"), 1).over(w))
+          .groupBy(col("shard"))
+          .agg(max(col("s0") + col("n_tok")).as("tok"),
+            count(lit(1)).as("nd"),
+            sum(when(col("prev_grp").isNotNull, 1L).otherwise(0L)).as("adj"),
+            sum(when(col("prev_grp") === col("grp"), 1L).otherwise(0L))
+              .as("rel"),
+            sum(when(col("prev_grp").isNotNull && col("s0") % 2048 =!= 0, 1L)
+              .otherwise(0L)).as("wp"),
+            sum(when(col("prev_grp") === col("grp") && col("s0") % 2048 =!= 0,
+              1L).otherwise(0L)).as("rwp"))
+          .agg(sum(col("nd")).as("n_docs"),
+            count(lit(1)).as("n_shards"),
+            sum(expr("(tok + 2047) div 2048")).as("n_windows"),
+            sum(col("adj")).as("adj_pairs"),
+            sum(col("rel")).as("related_pairs"),
+            sum(col("wp")).as("window_pairs"),
+            sum(col("rwp")).as("related_window_pairs"))
+          .select(lit(kind).as("order_kind"), col("n_docs"), col("n_shards"),
+            col("n_windows"), col("adj_pairs"), col("related_pairs"),
+            expr("""CASE WHEN adj_pairs > 0
+              |  THEN related_pairs * 1000 div adj_pairs
+              |  ELSE CAST(0 AS BIGINT) END""".stripMargin).as("related_pm"),
+            col("window_pairs"), col("related_window_pairs"),
+            expr("""CASE WHEN adj_pairs > 0
+              |  THEN related_window_pairs * 1000 div adj_pairs
+              |  ELSE CAST(0 AS BIGINT) END""".stripMargin)
+              .as("related_window_pm"))
+      }
+      stats("icp", icp, Seq(col("grp"), col("sk"), col("doc_id")))
+        .unionAll(stats("shuffled", shf, Seq(col("sk"), col("doc_id"))))
+        .orderBy(col("order_kind"))
+    }),
+
     // Length histogram: fixed-width n_chars buckets per language —
     // the corpus-profiling pass that drives chunking and filter
     // thresholds. Bounded output (langs × 10 buckets); map-side
@@ -927,6 +1007,83 @@ object Corpus {
        |FROM hits GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_icp_order" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes},
+         |g AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |    coalesce(l.cluster_keeper, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |icp AS (
+         |  SELECT doc_id, n_tok, grp,
+         |    ('0x' || substr(md5(grp || ':icps'), 1, 3))::BIGINT % 64 AS shard,
+         |    md5(grp || ':' || doc_id || ':icp') AS sk
+         |  FROM g),
+         |shf AS (
+         |  SELECT doc_id, n_tok, grp,
+         |    ('0x' || substr(md5(doc_id || ':icsh'), 1, 3))::BIGINT % 64
+         |      AS shard,
+         |    md5(doc_id || ':icsh') AS sk
+         |  FROM g),
+         |wi AS (
+         |  SELECT shard, grp, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY grp, sk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
+         |    lag(grp) OVER (PARTITION BY shard ORDER BY grp, sk, doc_id)
+         |      AS prev_grp
+         |  FROM icp),
+         |ws AS (
+         |  SELECT shard, grp, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY sk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
+         |    lag(grp) OVER (PARTITION BY shard ORDER BY sk, doc_id)
+         |      AS prev_grp
+         |  FROM shf),
+         |pi AS (
+         |  SELECT shard, max(s0 + n_tok) AS tok, count(*) AS nd,
+         |    count(prev_grp) AS adj,
+         |    sum(CASE WHEN prev_grp = grp THEN 1 ELSE 0 END) AS rel,
+         |    sum(CASE WHEN prev_grp IS NOT NULL AND s0 % 2048 <> 0
+         |        THEN 1 ELSE 0 END) AS wp,
+         |    sum(CASE WHEN prev_grp = grp AND s0 % 2048 <> 0
+         |        THEN 1 ELSE 0 END) AS rwp
+         |  FROM wi GROUP BY shard),
+         |ps AS (
+         |  SELECT shard, max(s0 + n_tok) AS tok, count(*) AS nd,
+         |    count(prev_grp) AS adj,
+         |    sum(CASE WHEN prev_grp = grp THEN 1 ELSE 0 END) AS rel,
+         |    sum(CASE WHEN prev_grp IS NOT NULL AND s0 % 2048 <> 0
+         |        THEN 1 ELSE 0 END) AS wp,
+         |    sum(CASE WHEN prev_grp = grp AND s0 % 2048 <> 0
+         |        THEN 1 ELSE 0 END) AS rwp
+         |  FROM ws GROUP BY shard),
+         |a AS (
+         |  SELECT 'icp' AS order_kind, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    count(*) AS n_shards,
+         |    CAST(sum((tok + 2047) // 2048) AS BIGINT) AS n_windows,
+         |    CAST(sum(adj) AS BIGINT) AS adj_pairs,
+         |    CAST(sum(rel) AS BIGINT) AS related_pairs,
+         |    CAST(sum(wp) AS BIGINT) AS window_pairs,
+         |    CAST(sum(rwp) AS BIGINT) AS related_window_pairs
+         |  FROM pi
+         |  UNION ALL
+         |  SELECT 'shuffled', CAST(sum(nd) AS BIGINT), count(*),
+         |    CAST(sum((tok + 2047) // 2048) AS BIGINT),
+         |    CAST(sum(adj) AS BIGINT), CAST(sum(rel) AS BIGINT),
+         |    CAST(sum(wp) AS BIGINT), CAST(sum(rwp) AS BIGINT)
+         |  FROM ps)
+         |SELECT order_kind, n_docs, n_shards, n_windows, adj_pairs,
+         |  related_pairs,
+         |  CAST(CASE WHEN adj_pairs > 0
+         |    THEN related_pairs * 1000 // adj_pairs ELSE 0 END AS BIGINT)
+         |    AS related_pm,
+         |  window_pairs, related_window_pairs,
+         |  CAST(CASE WHEN adj_pairs > 0
+         |    THEN related_window_pairs * 1000 // adj_pairs ELSE 0 END
+         |    AS BIGINT) AS related_window_pm
+         |FROM a ORDER BY order_kind""".stripMargin,
     // cross-corpus fuzzy decontamination with the MinHash candidate
     // stage GENERATED in SQL (graft.functions.XXH64Sql — the
     // q_dedup_minhash machinery): corpus-side and bench-side banded

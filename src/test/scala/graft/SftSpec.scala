@@ -111,3 +111,37 @@ class SftSpec extends SparkSpec {
     assert(r.length == cells)
   }
 }
+
+/** In-context-pretraining ordering (q_icp_order): the cluster-major
+  * order must realize EXACTLY its adjacency law, and beat the
+  * shuffled twin.
+  */
+class IcpOrderSpec extends SparkSpec {
+
+  test("icp adjacency law: related pairs = docs minus groups; beats shuffled") {
+    val rows = run("q_icp_order").collect()
+      .map(r => r.getAs[String]("order_kind") -> r).toMap
+    val icp = rows("icp"); val shf = rows("shuffled")
+    // shard = f(grp) and within-shard order is grp-major, so every
+    // group's members are contiguous: related adjacencies = n_docs −
+    // distinct groups, exactly
+    val labels = dedup.Dedup.clusterLabels(spark, sf)
+    val nGroups = Tables.documents(spark, sf).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_keeper"), col("doc_id")).as("grp"))
+      .distinct().count()
+    assert(icp.getAs[Long]("related_pairs") ==
+      icp.getAs[Long]("n_docs") - nGroups)
+    assert(icp.getAs[Long]("related_pm") > shf.getAs[Long]("related_pm"),
+      s"icp ${icp.getAs[Long]("related_pm")} vs shuffled " +
+        s"${shf.getAs[Long]("related_pm")}")
+    // both orders serialize the same corpus: doc/token accounting equal
+    assert(icp.getAs[Long]("n_docs") == shf.getAs[Long]("n_docs"))
+    // pair sanity: related-and-co-windowed never exceeds related
+    Seq(icp, shf).foreach { r =>
+      assert(r.getAs[Long]("related_window_pairs") <=
+        r.getAs[Long]("related_pairs"))
+      assert(r.getAs[Long]("window_pairs") <= r.getAs[Long]("adj_pairs"))
+    }
+  }
+}
