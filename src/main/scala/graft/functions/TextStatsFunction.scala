@@ -234,6 +234,7 @@ case class RepetitionStats(left: Expression, right: Expression)
 
 case class SpanCorrupt(left: Expression, right: Expression, maskPm: Int)
     extends BinaryExpression {
+  override def prettyName: String = "span_corrupt"
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, ArrayType(StringType, _)) =>
