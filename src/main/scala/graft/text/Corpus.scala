@@ -878,12 +878,16 @@ object Corpus {
     "q_icp_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val labels = graft.dedup.Dedup.clusterLabels(s, d)
+      // localCheckpoint: the thin (doc_id, n_tok, grp) table feeds
+      // BOTH order branches — materialize the tokenize + label join
+      // once (the q_ngram_novelty discipline)
       val base = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
           coalesce(col("cluster_keeper"), col("doc_id")).as("grp"))
+        .localCheckpoint()
       def hex3mod64(c: Column): Column =
         pmod(conv(substring(c, 1, 3), 16, 10).cast("long"), lit(64L))
       val icp = base

@@ -154,25 +154,13 @@ object Sft {
     // exchange — at 100 TB the window state is one group's rows, KB
     // by the grouping's construction. Fully oracled.
     "q_pref_pairs" -> ((s, d) => {
-      graft.functions.TextFunctions.register(s)
-      val z = lit(1.3) + lit(3.0) * col("stop_ratio") +
-        lit(0.15) * col("avg_len") - lit(4.0) * col("dup_ratio")
       val grp = Window.partitionBy(col("lang"), col("source"))
       val best = grp.orderBy(col("s9").desc, col("doc_id"))
       val worst = grp.orderBy(col("s9").asc, col("doc_id").desc)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          expr("text_stats(split(text, ' '))").as("st"),
-          size(array_distinct(split(col("text"), " "))).cast("long")
-            .as("n_distinct"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          (col("st.n_stop").cast("double") / col("st.n_tokens"))
-            .as("stop_ratio"),
-          (col("st.char_sum").cast("double") / col("st.n_tokens"))
-            .as("avg_len"),
-          (lit(1.0) - col("n_distinct").cast("double") / col("st.n_tokens"))
-            .as("dup_ratio"))
-        .withColumn("s9", round(lit(1.0) / (lit(1.0) + exp(-z)), 9))
+      // the model (weights + features) lives in TextOps.qualityScored —
+      // a retune there re-ranks the pairs here, by construction
+      TextOps.qualityScored(s, d)
+        .withColumn("s9", round(col("score"), 9))
         .withColumn("n_docs", count(lit(1)).over(grp))
         .withColumn("rb", row_number().over(best))
         .withColumn("rw", row_number().over(worst))
@@ -189,10 +177,6 @@ object Sft {
           round(col("cs") - col("rs"), 6).as("margin"))
         .orderBy(col("lang"), col("source"))
     }))
-
-  private val stopSql =
-    graft.functions.GraftText.Stopwords.toSeq
-      .map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Shared turn CTE for the DuckDB oracles (mirrors `turns`). */
   private val turnsSql =
@@ -220,7 +204,7 @@ object Sft {
          |      || '<|im_end|>' || chr(10), '' ORDER BY rn) AS render
          |  FROM r GROUP BY conv_id)
          |SELECT conv_id, n_turns, n_user, n_assistant,
-         |  CAST(strlen(render) AS BIGINT) AS render_chars,
+         |  CAST(length(render) AS BIGINT) AS render_chars,
          |  md5(render) AS render_fp
          |FROM a ORDER BY conv_id""".stripMargin,
     "q_sft_mask" ->
@@ -252,21 +236,9 @@ object Sft {
          |  n_turns AS kept_turns, n_convs - 1 AS n_dropped
          |FROM p WHERE pick = 1 ORDER BY prompt_fp""".stripMargin,
     "q_pref_pairs" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(len(list_filter(tk, x -> list_contains($stopSql, x)))
-         |      AS DOUBLE) / len(tk) AS stop_ratio,
-         |    CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
-         |      / len(tk) AS avg_len,
-         |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-         |      AS dup_ratio
-         |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
-         |        FROM documents) d),
-         |s AS (
-         |  SELECT doc_id, lang, source,
-         |    round(1.0 / (1.0 + exp(-(1.3 + 3.0 * stop_ratio
-         |      + 0.15 * avg_len - 4.0 * dup_ratio))), 9) AS s9
-         |  FROM f),
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source, round(score, 9) AS s9
+         |  FROM (${TextOps.qualityScoredSql}) q),
          |w AS (
          |  SELECT lang, source, doc_id, s9,
          |    count(*) OVER (PARTITION BY lang, source) AS n_docs,

@@ -17,6 +17,32 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** The fixed-weight logistic quality MODEL — weights and feature
+    * formulas live here only, shared by `q_quality_logistic` (the
+    * filter) and `Sft.q_pref_pairs` (the preference-pair miner): one
+    * codegen'd projection per row producing (doc_id, lang, source,
+    * stop_ratio, avg_len, dup_ratio, score). The sigmoid is one exp +
+    * divide mirrored operand-for-operand by [[qualityScoredSql]].
+    */
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    val z = lit(1.3) + lit(3.0) * col("stop_ratio") +
+      lit(0.15) * col("avg_len") - lit(4.0) * col("dup_ratio")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("text_stats(split(text, ' '))").as("st"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("st.n_stop").cast("double") / col("st.n_tokens"))
+          .as("stop_ratio"),
+        (col("st.char_sum").cast("double") / col("st.n_tokens"))
+          .as("avg_len"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("st.n_tokens"))
+          .as("dup_ratio"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
   /** Tokens present in a tiny English function-word list — the signal
     * for both the quality score and the language-ID heuristic (single
     * source of truth in graft.functions.GraftText).
@@ -290,23 +316,8 @@ object TextOps {
     // thresholds the ROUND-9 score (the q_dedup_embed lesson: a
     // last-ulp exp divergence must not flip a boundary label) —
     // fully oracled.
-    "q_quality_logistic" -> ((s, d) => {
-      graft.functions.TextFunctions.register(s)
-      val z = lit(1.3) + lit(3.0) * col("stop_ratio") +
-        lit(0.15) * col("avg_len") - lit(4.0) * col("dup_ratio")
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("text_stats(split(text, ' '))").as("st"),
-          size(array_distinct(split(col("text"), " "))).cast("long")
-            .as("n_distinct"))
-        .select(col("doc_id"),
-          (col("st.n_stop").cast("double") / col("st.n_tokens"))
-            .as("stop_ratio"),
-          (col("st.char_sum").cast("double") / col("st.n_tokens"))
-            .as("avg_len"),
-          (lit(1.0) - col("n_distinct").cast("double") / col("st.n_tokens"))
-            .as("dup_ratio"))
-        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+    "q_quality_logistic" -> ((s, d) =>
+      qualityScored(s, d)
         .select(col("doc_id"),
           round(col("stop_ratio"), 6).as("stop_ratio"),
           round(col("avg_len"), 6).as("avg_len"),
@@ -314,8 +325,7 @@ object TextOps {
           round(col("score"), 6).as("score"),
           when(round(col("score"), 9) >= 0.5, "keep").otherwise("drop")
             .as("label"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Language-ID heuristic: function-word density → 'en-like' vs
     // 'unknown'. (The corpus `lang` column is the labeled comparison.)
@@ -998,6 +1008,31 @@ object TextOps {
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB mirror of [[qualityScored]] — the single SQL home of the
+    * model's weights and feature formulas (operand-for-operand the
+    * Spark expressions above). Yields
+    * (doc_id, lang, source, stop_ratio, avg_len, dup_ratio, score).
+    */
+  private[graft] lazy val qualityScoredSql: String =
+    s"""SELECT doc_id, lang, source, stop_ratio, avg_len, dup_ratio,
+       |  1.0 / (1.0 + exp(-(1.3 + 3.0 * stop_ratio
+       |    + 0.15 * avg_len - 4.0 * dup_ratio))) AS score
+       |FROM (SELECT doc_id, lang, source,
+       |        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |        CAST(char_sum AS DOUBLE) / n_tokens AS avg_len,
+       |        1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio
+       |      FROM (SELECT doc_id, lang, source,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT)
+       |                AS n_tokens,
+       |              CAST(len(list_filter(string_split(text, ' '),
+       |                x -> list_contains($stopSql, x))) AS BIGINT)
+       |                AS n_stop,
+       |              CAST(list_sum(list_transform(string_split(text, ' '),
+       |                x -> len(x))) AS BIGINT) AS char_sum,
+       |              CAST(len(list_distinct(string_split(text, ' ')))
+       |                AS BIGINT) AS n_distinct
+       |            FROM documents) f) feats""".stripMargin
+
   private val bm25TermSql = Bm25Terms.map { t =>
     // Per-term factors mirror the Spark column expressions token for
     // token: linear idf × saturated tf × length norm, left-assoc. The
@@ -1230,24 +1265,7 @@ object TextOps {
          |  round(avg_len, 6) AS avg_len, round(dup_ratio, 6) AS dup_ratio,
          |  round(score, 6) AS score,
          |  CASE WHEN round(score, 9) >= 0.5 THEN 'keep' ELSE 'drop' END AS label
-         |FROM (SELECT doc_id, stop_ratio, avg_len, dup_ratio,
-         |        1.0 / (1.0 + exp(-(1.3 + 3.0 * stop_ratio
-         |          + 0.15 * avg_len - 4.0 * dup_ratio))) AS score
-         |      FROM (SELECT doc_id,
-         |              CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |              CAST(char_sum AS DOUBLE) / n_tokens AS avg_len,
-         |              1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio
-         |            FROM (SELECT doc_id,
-         |                    CAST(len(string_split(text, ' ')) AS BIGINT)
-         |                      AS n_tokens,
-         |                    CAST(len(list_filter(string_split(text, ' '),
-         |                      x -> list_contains($stopSql, x))) AS BIGINT)
-         |                      AS n_stop,
-         |                    CAST(list_sum(list_transform(string_split(text, ' '),
-         |                      x -> len(x))) AS BIGINT) AS char_sum,
-         |                    CAST(len(list_distinct(string_split(text, ' ')))
-         |                      AS BIGINT) AS n_distinct
-         |                  FROM documents) f) feats) scored
+         |FROM ($qualityScoredSql) scored
          |ORDER BY doc_id""".stripMargin,
     "q_doremi_weights" -> s"$doremiSql\nORDER BY source",
     "q_mixture_plan" ->

@@ -61,8 +61,11 @@ class SftSpec extends SparkSpec {
     r.foreach { row =>
       val (tot, tr, pm) = (row.getAs[Long]("total_tokens"),
         row.getAs[Long]("trainable_tokens"), row.getAs[Long]("mask_pm"))
-      assert(tr > 0 && tr < tot, "role headers are never trainable")
-      assert(pm == tr * 1000 / tot && pm > 0 && pm < 1000)
+      assert(tr < tot, "role headers are never trainable")
+      assert(pm == tr * 1000 / tot && pm < 1000)
+      // a conversation with an assistant turn has trainable tokens; a
+      // single-turn (user-only) conversation legitimately has zero
+      if (row.getAs[Long]("n_turns") >= 2) assert(tr > 0 && pm > 0)
       // turn sentinels: total >= 3 tokens/turn (1 content + 2 markers)
       assert(tot >= 3 * row.getAs[Long]("n_turns"))
     }
