@@ -73,6 +73,9 @@ object XXH64Sql {
     * previous aliases.
     */
   private def hashBytesLayers(p: String): Seq[(String, String)] = Seq(
+    // BYTES-intended strlen: hashUnsafeBytes folds UTF-8 bytes and
+    // adds the BYTE length into the hash (see header for the ASCII
+    // byte≡char identity the ord(substr) byte reads rely on)
     "hl" -> s"strlen($p)::HUGEINT",
     "hw" -> "hl // 8",
     "hla" -> "hw * 8",

@@ -531,6 +531,16 @@ object Multimodal {
       s"CASE WHEN (${frameByte("s+1")}) > (${frameByte("s+2")}) " +
       "THEN (CAST(1 AS BIGINT) << s) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
 
+  // Chars-vs-bytes classification (round-15 sweep): every `strlen` in
+  // these oracles is BYTES-INTENDED — the Spark side treats `text` as
+  // an opaque binary payload (octet_length / Array[Byte].length), so
+  // DuckDB's byte-counting strlen is the correct mirror. The byte
+  // READS (`ascii(substr(text, i, 1))`) index by character, which
+  // equals byte position only while payloads are single-byte — the
+  // same documented ASCII byte≡char identity every byte-level oracle
+  // here relies on (XXH64Sql.scala header). The one CHARS-intended
+  // length in this file (q_crossmodal_join's caption cap_len, Spark
+  // `length()`) uses DuckDB `length()` accordingly.
   val oracle: Map[String, String] = Map(
     // the oracle hashes every pool image with the generated dHash and
     // brute-forces all pairs — legitimate as an ORACLE because the
@@ -687,7 +697,7 @@ object Multimodal {
         |  FROM documents WHERE doc_id < 200),
         |cap AS (
         |  SELECT doc_id AS pair_id,
-        |    CAST(strlen(text) AS BIGINT) AS cap_len,
+        |    CAST(length(text) AS BIGINT) AS cap_len,
         |    CASE WHEN doc_id % 13 = 0 THEN md5(reverse(text) || chr(10))
         |         ELSE md5(text || chr(10)) END AS recorded_md5
         |  FROM documents WHERE doc_id < 200)

@@ -206,6 +206,9 @@ object Core {
     // fold (generated CTE chain above); CRC32 is the table-driven
     // byte fold with the table inlined as a literal
     "q_hash_xxh64" -> xxh64OracleSql,
+    // BYTES-intended strlen: CRC32 folds the UTF-8 bytes of p_name
+    // (Spark casts to binary); the ord(substr) byte reads rely on the
+    // corpus's ASCII byte≡char identity (XXH64Sql.scala header)
     "q_hash_crc32" ->
       s"""SELECT p_partkey, xor(crc, 4294967295) AS name_crc
          |FROM (
@@ -229,6 +232,8 @@ object Core {
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)
         |ORDER BY r_regionkey, r_name""".stripMargin,
+    // BYTES-intended strlen: the reference's Text cap is 1024 BYTES
+    // (types.rs:16) and the Spark side computes octet_length
     "q_text_cap" ->
       """SELECT doc_id, n_chars, CAST(strlen(text) AS BIGINT) AS text_bytes,
         |       strlen(text) <= 1024 AS fits_potpot_text

@@ -654,13 +654,16 @@ object Extras {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // lossless roundtrip ⇒ the oracle is the corpus itself (both the
     // text-side line count and the parquet-side doc count are count(*))
+    // n_chars is CHARS-intended (Spark `length()` counts characters) —
+    // DuckDB length(), not the byte-counting strlen
     "q_text_source" ->
-      """SELECT md5(text) AS line_fp, CAST(strlen(text) AS BIGINT) AS n_chars,
+      """SELECT md5(text) AS line_fp, CAST(length(text) AS BIGINT) AS n_chars,
         |  count(*) AS n_lines, count(*) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
-        |FROM documents GROUP BY md5(text), strlen(text)
+        |FROM documents GROUP BY md5(text), length(text)
         |ORDER BY line_fp""".stripMargin,
-    // the text sink terminates each document with '\n'
+    // the text sink terminates each document with '\n'; `length` is
+    // BYTES-intended (binaryFile's file size), so strlen is correct
     "q_binary_source" ->
       """SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS length,
         |  md5(text || chr(10)) AS content_md5

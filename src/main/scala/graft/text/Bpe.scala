@@ -441,14 +441,20 @@ object Bpe {
     * the shared prefix of all three tokenizer oracles (the DoReMi /
     * hash-family precedent: the oracle GENERATES the algorithm as a
     * CTE chain rather than asserting its outputs).
+    *
+    * CHARS-intended lengths throughout (round-15 sweep): the Spark
+    * tokenizers are character-level — `split(w, "")`, `substring`,
+    * `length()` — so every oracle length is DuckDB `length()`
+    * (codepoints), never the byte-counting `strlen`, and pairs with
+    * codepoint-indexed `substr`.
     */
   private def oracleChain: String = (s"""wf AS (
      |  SELECT w, count(*) AS cnt FROM (
      |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
      |    FROM documents) t
-     |  WHERE strlen(w) > 0 GROUP BY w),
+     |  WHERE length(w) > 0 GROUP BY w),
      |w1 AS (
-     |  SELECT w, cnt, list_transform(generate_series(1, strlen(w)),
+     |  SELECT w, cnt, list_transform(generate_series(1, length(w)),
      |    i -> substr(w, i, 1)) AS syms
      |  FROM wf)""".stripMargin +: (1 to Merges).map(oracleStep))
     .mkString(",")
@@ -462,7 +468,7 @@ object Bpe {
      |  SELECT doc_id, w FROM (
      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
      |    FROM documents) t
-     |  WHERE strlen(w) > 0)""".stripMargin
+     |  WHERE length(w) > 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" ->
@@ -473,7 +479,7 @@ object Bpe {
 
     "q_bpe_encode" ->
       s"""WITH $oracleChain,
-         |enc AS (SELECT w, CAST(strlen(w) AS BIGINT) AS wc,
+         |enc AS (SELECT w, CAST(length(w) AS BIGINT) AS wc,
          |        CAST(len(syms) AS BIGINT) AS wb FROM w${Merges + 1}),
          |$oracleToks,
          |agg AS (
@@ -484,7 +490,7 @@ object Bpe {
          |  UNION ALL
          |  SELECT doc_id, 0, 0, 0 FROM documents
          |  WHERE len(list_filter(string_split_regex(text, '\\s+'),
-         |    x -> strlen(x) > 0)) = 0)
+         |    x -> length(x) > 0)) = 0)
          |SELECT doc_id, n_words, n_chars, n_bpe,
          |  CAST(CASE WHEN n_chars > 0 THEN n_bpe * 1000 // n_chars
          |       ELSE 1000 END AS BIGINT) AS compression_pm
@@ -500,14 +506,14 @@ object Bpe {
          |$oracleAllM,
          |pieces AS (SELECT DISTINCT l || r AS piece FROM all_m),
          |scan AS (
-         |  SELECT w, CAST(strlen(w) AS BIGINT) AS wc,
+         |  SELECT w, CAST(length(w) AS BIGINT) AS wc,
          |    CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS wp,
          |    CAST(0 AS BIGINT) AS k
          |  FROM wf
          |  UNION ALL
          |  SELECT w, wc,
-         |    pos + coalesce((SELECT max(strlen(pc.piece)) FROM pieces pc
-         |      WHERE substr(s.w, CAST(s.pos AS INT), strlen(pc.piece))
+         |    pos + coalesce((SELECT max(length(pc.piece)) FROM pieces pc
+         |      WHERE substr(s.w, CAST(s.pos AS INT), length(pc.piece))
          |        = pc.piece), 1),
          |    wp + 1, k + 1
          |  FROM scan s WHERE pos <= wc AND k < least(wc, $WpScanCap)),
@@ -527,12 +533,12 @@ object Bpe {
          |  SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
          |    FROM documents) t
-         |  WHERE strlen(w) > 0 GROUP BY w),
+         |  WHERE length(w) > 0 GROUP BY w),
          |subs AS (
          |  SELECT cnt, unnest(flatten(list_transform(
-         |    generate_series(1, strlen(w)),
+         |    generate_series(1, length(w)),
          |    i -> list_transform(
-         |      generate_series(i, least(strlen(w), i + ${UniMaxPieceLen - 1})),
+         |      generate_series(i, least(length(w), i + ${UniMaxPieceLen - 1})),
          |      j -> substr(w, i, j - i + 1))))) AS piece
          |  FROM wf),
          |agg AS (
@@ -541,10 +547,10 @@ object Bpe {
          |kept AS (
          |  SELECT piece, n_occ FROM (
          |    SELECT piece, n_occ, row_number() OVER (
-         |      PARTITION BY strlen(piece) = 1
+         |      PARTITION BY length(piece) = 1
          |      ORDER BY n_occ DESC, piece) AS rk
          |    FROM agg) r
-         |  WHERE strlen(piece) = 1 OR rk <= $UniVocabK),
+         |  WHERE length(piece) = 1 OR rk <= $UniVocabK),
          |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot_occ FROM kept)
          |SELECT piece, n_occ,
          |  CAST(n_occ * 1000000 // tot_occ AS BIGINT) AS prob_ppm

@@ -1351,7 +1351,7 @@ object Corpus {
          |  FROM cuts)
          |SELECT doc_id, fim, n, CAST(cut_lo AS BIGINT) AS cut_lo,
          |  CAST(cut_hi AS BIGINT) AS cut_hi, md5(out) AS out_fp,
-         |  CAST(strlen(out) AS BIGINT) AS out_chars
+         |  CAST(length(out) AS BIGINT) AS out_chars
          |FROM o ORDER BY doc_id""".stripMargin,
     "q_chunk_overlap" ->
       s"""WITH base AS (

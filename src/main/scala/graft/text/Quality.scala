@@ -479,10 +479,11 @@ object Quality {
         |  SELECT doc_id,
         |    CAST(len(lines) AS BIGINT) AS n_lines,
         |    CAST(len(list_distinct(lines)) AS BIGINT) AS d_lines,
-        |    CAST(list_sum(list_transform(lines, x -> strlen(x)))
+        |    -- CHARS-intended: the RepetitionStats kernel counts numChars()
+        |    CAST(list_sum(list_transform(lines, x -> length(x)))
         |      AS BIGINT) AS line_chars,
         |    CAST(coalesce(list_sum(list_transform(list_distinct(lines),
-        |      x -> strlen(x))), 0) AS BIGINT) AS d_line_chars,
+        |      x -> length(x))), 0) AS BIGINT) AS d_line_chars,
         |    CAST(greatest(len(words) - 1, 0) AS BIGINT) AS n_big,
         |    CAST(greatest(len(words) - 4, 0) AS BIGINT) AS n_5
         |  FROM base),

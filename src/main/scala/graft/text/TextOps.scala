@@ -1208,7 +1208,7 @@ object TextOps {
     "q_text_normalize" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw, '[0-9]')) AS BIGINT) AS n_digits,
-        |  CAST(strlen(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
         |  md5(norm) AS norm_fp
         |FROM (SELECT doc_id, raw,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
