@@ -115,11 +115,18 @@ object GraftText {
     * token-level posexplode + doc_id window + ordered collect_list
     * rebuild: the per-token exchange is gone — text never shuffles.
     */
+  // Output assembly collects UTF8String pieces and concatenates their
+  // RAW BYTES (UTF8String.concat) — never round-trips through
+  // java.lang.String, whose UTF-8 decode would lossy-replace invalid
+  // byte sequences and silently diverge from the byte-level
+  // declarative path this kernel replaced (and from the DuckDB
+  // oracle). Same for the gram digests below: md5 folds each token's
+  // raw bytes directly.
   def spanCorrupt(docId: Long, words: ArrayData, maskPm: Int): InternalRow = {
     val md = Md5.get()
     val n = words.numElements()
-    val in = new java.lang.StringBuilder
-    val tgt = new java.lang.StringBuilder
+    val in = new java.util.ArrayList[UTF8String]
+    val tgt = new java.util.ArrayList[UTF8String]
     var runId = 0
     var prevMasked = false
     var i = 0
@@ -132,24 +139,26 @@ object GraftText {
       val tok = words.getUTF8String(i)
       if (bucket < maskPm) {
         if (!prevMasked) {
-          val sent = "<extra_id_" + runId + ">"
+          val sent = UTF8String.fromString("<extra_id_" + runId + ">")
           runId += 1
-          if (in.length > 0) in.append(' ')
-          in.append(sent)
-          if (tgt.length > 0) tgt.append(' ')
-          tgt.append(sent)
+          if (!in.isEmpty) in.add(Space)
+          in.add(sent)
+          if (!tgt.isEmpty) tgt.add(Space)
+          tgt.add(sent)
         }
-        tgt.append(' ').append(tok.toString)
+        tgt.add(Space)
+        tgt.add(tok)
         prevMasked = true
       } else {
-        if (in.length > 0) in.append(' ')
-        in.append(tok.toString)
+        if (!in.isEmpty) in.add(Space)
+        in.add(tok)
         prevMasked = false
       }
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(in.toString), UTF8String.fromString(tgt.toString)))
+      UTF8String.concat(in.toArray(new Array[UTF8String](in.size)): _*),
+      UTF8String.concat(tgt.toArray(new Array[UTF8String](tgt.size)): _*)))
   }
 
   private val HexDigits = "0123456789abcdef".toCharArray
@@ -166,19 +175,15 @@ object GraftText {
     val total = tokens.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (total >= n) {
-      val sb = new java.lang.StringBuilder
       var i = 0
       while (i + n <= total) {
-        sb.setLength(0)
+        md.reset()
         var j = 0
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(tokens.getUTF8String(i + j).toString)
+          if (j > 0) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(i + j).getBytes)
           j += 1
         }
-        md.reset()
-        md.update(sb.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
         val dig = md.digest()
         val hex = new Array[Char](32)
         var k = 0
@@ -275,13 +280,13 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_digests",
       exprs => GramDigests(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        FoldableArgs.intLit(exprs(1), "gram_digests", "n")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => RepetitionStats(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_corrupt",
       exprs => SpanCorrupt(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+        FoldableArgs.intLit(exprs(2), "span_corrupt", "mask_pm")), "built-in")
   }
 }

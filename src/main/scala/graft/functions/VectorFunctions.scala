@@ -390,16 +390,18 @@ object VectorFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_sigs", exprs => PlaneSigs(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        FoldableArgs.intLit(exprs(1), "plane_sigs", "n_planes"),
+        FoldableArgs.intLit(exprs(2), "plane_sigs", "band_bits")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_project", exprs => PlaneProject(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        FoldableArgs.intLit(exprs(1), "plane_project", "n_planes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "inner_product", exprs => InnerProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mrl_cosines", exprs => MrlCosines(exprs(0), exprs(1),
-        exprs.drop(2).map(_.eval().asInstanceOf[Int])), "built-in")
+        exprs.drop(2).map(FoldableArgs.intLit(_, "mrl_cosines", "dims"))),
+      "built-in")
   }
 
   /** Cosine similarity column over two array<float> columns. */
