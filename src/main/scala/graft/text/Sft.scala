@@ -139,6 +139,67 @@ object Sft {
         .orderBy(col("prompt_fp"))
     }),
 
+    // SEQUENCE PACKING of the SFT corpus — the step that closes the
+    // render → mask → dedup → pack chain every post-training run
+    // executes: the PROMPT-DEDUPED conversations (q_sft_prompt_dedup's
+    // keep law, recomputed inline) pack greedily in conv order into
+    // 2048-token training windows under q_seq_pack's overfill law (a
+    // conversation lands in the bin where it STARTS — same integer
+    // arithmetic, same two-phase distributed prefix sum via
+    // Corpus.seqPackedOf, so the bin assignment is a pure function of
+    // the data). Conversation token cost = q_sft_mask's total_tokens;
+    // the mask's trainable accounting rides into the per-bin totals,
+    // so a packing run can budget loss-bearing tokens per window.
+    // Published per bin: integer accounting + a bin fingerprint (md5
+    // of the member render fingerprints in conv order) — fingerprints
+    // compose, text never re-enters.
+    //
+    // Scale shape: conversation CONTENT crosses exactly ONE exchange
+    // (the conv-key window + aggregate share the conv_id
+    // partitioning, plan-pinned); everything downstream — the
+    // prompt_fp dedup window, the sub-shard offsets, the bin
+    // aggregate — moves thin (id, ints, 16-byte fp) rows. Nothing
+    // after the first aggregate scales with event count. Fully
+    // oracled (DuckDB mirrors the chain; the running sum is a plain
+    // ordered window there — semantically identical to the two-phase
+    // split, which exists only to bound Spark's partition state).
+    "q_sft_pack" -> ((s, d) => {
+      val convs = turns(s, d)
+        .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+        .withColumn("turn", concat(lit(TStart), col("role"), lit("\n"),
+          col("content"), lit(TEnd), lit("\n")))
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("n_tok") + lit(2L)).as("conv_tokens"),
+          sum(when(col("role") === "assistant", col("n_tok") + lit(1L))
+            .otherwise(0L)).as("conv_trainable"),
+          md5(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
+            .cast("binary")).as("render_fp"),
+          max(when(col("rn") === 1, md5(col("content").cast("binary"))))
+            .as("prompt_fp"))
+      val pick = Window.partitionBy(col("prompt_fp"))
+        .orderBy(col("n_turns").desc, col("conv_id"))
+      val kept = convs
+        .withColumn("pick", row_number().over(pick))
+        .filter(col("pick") === 1)
+        .select(col("conv_id").as("doc_id"), col("conv_tokens"),
+          col("conv_trainable"), col("render_fp"))
+      val packed = Corpus.seqPackedOf(kept.select(col("doc_id"),
+        lit("sft").as("source"), col("conv_tokens").as("n_tok")))
+      packed.join(kept, Seq("doc_id"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          sum(col("conv_trainable")).as("trainable_tokens"),
+          min(col("doc_id")).as("first_conv"),
+          max(col("doc_id")).as("last_conv"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(doc_id, render_fp))), x -> x.render_fp)"))
+            .cast("binary")).as("bin_fp"))
+        .orderBy(col("bin"))
+    }),
+
     // PREFERENCE-PAIR mining — DPO/RLHF pair construction: within
     // each comparison group, the best- and worst-scoring documents
     // under the q_quality_logistic model become (chosen, rejected).
@@ -235,6 +296,42 @@ object Sft {
          |SELECT prompt_fp, n_convs, conv_id AS kept_conv,
          |  n_turns AS kept_turns, n_convs - 1 AS n_dropped
          |FROM p WHERE pick = 1 ORDER BY prompt_fp""".stripMargin,
+    // the running sum is a plain ordered window here — DuckDB runs on
+    // one node, so the two-phase sub-shard split (a Spark
+    // partition-state bound, not a semantic) has no mirror to make
+    "q_sft_pack" ->
+      s"""WITH $turnsSql,
+         |c AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    CAST(sum(len(string_split(content, ' ')) + 2) AS BIGINT)
+         |      AS conv_tokens,
+         |    CAST(sum(CASE WHEN role = 'assistant'
+         |      THEN len(string_split(content, ' ')) + 1 ELSE 0 END) AS BIGINT)
+         |      AS conv_trainable,
+         |    md5(string_agg('<|im_start|>' || role || chr(10) || content
+         |      || '<|im_end|>' || chr(10), '' ORDER BY rn)) AS render_fp,
+         |    max(CASE WHEN rn = 1 THEN md5(content) END) AS prompt_fp
+         |  FROM r GROUP BY conv_id),
+         |k AS (
+         |  SELECT conv_id, conv_tokens, conv_trainable, render_fp FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY prompt_fp
+         |      ORDER BY n_turns DESC, conv_id) AS pick
+         |    FROM c) p
+         |  WHERE pick = 1),
+         |run AS (
+         |  SELECT conv_id, conv_tokens, conv_trainable, render_fp,
+         |    sum(conv_tokens) OVER (ORDER BY conv_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM k),
+         |b AS (
+         |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
+         |  FROM run)
+         |SELECT bin, count(*) AS n_convs,
+         |  CAST(sum(conv_tokens) AS BIGINT) AS bin_tokens,
+         |  CAST(sum(conv_trainable) AS BIGINT) AS trainable_tokens,
+         |  min(conv_id) AS first_conv, max(conv_id) AS last_conv,
+         |  md5(string_agg(render_fp, ',' ORDER BY conv_id)) AS bin_fp
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_pref_pairs" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, source, round(score, 9) AS s9

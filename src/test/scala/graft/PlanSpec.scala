@@ -1011,6 +1011,39 @@ class SftPlanSpec extends SparkSpec {
       "prompt window consumes: " + w.child.output.map(_.name).mkString(",")))
   }
 
+  test("sft pack: content crosses ONE exchange; only thin rows after") {
+    // the conv-key window and the per-conversation aggregate share
+    // the conv_id partitioning; every later exchange (prompt_fp
+    // window, sub-shard offsets, bin aggregate) carries fingerprints
+    // + integers only — the render/content text never moves twice
+    val qe = run("q_sft_pack").queryExecution
+    val p = qe.explainString(SimpleMode)
+    val exchanges = p.linesIterator.filter(
+      _.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(l =>
+      l.contains("content") || l.contains("turn")) <= 1,
+      "content-bearing exchanges:\n" + exchanges.mkString("\n"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val o = qe.optimizedPlan
+    // the logical tree legitimately repeats the conv-aggregate subtree
+    // (offsets branch + join branch; physical exchange reuse dedups it
+    // at runtime) — the invariant is that EVERY node consuming content
+    // is conversation-keyed: text is only ever processed under conv_id
+    // locality, never under a fingerprint/bin/sub key
+    o.collect { case n @ (_: Window | _: Aggregate)
+        if n.children.exists(_.output.exists(c =>
+          c.name == "content" || c.name == "turn")) => n }
+      .foreach {
+        case w: Window => assert(w.partitionSpec.exists(
+          _.references.exists(_.name == "conv_id")),
+          "content under a non-conv window")
+        case a: Aggregate => assert(a.groupingExpressions.exists(
+          _.references.exists(_.name == "conv_id")),
+          "content under a non-conv aggregate")
+        case _ =>
+      }
+  }
+
   test("pref pairs: score computes map-side, one group-key exchange, no text above it") {
     val p = plan("q_pref_pairs")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

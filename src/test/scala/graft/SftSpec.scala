@@ -97,6 +97,45 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("pack: bins conserve the deduped corpus; greedy law; fp composes") {
+    val bins = run("q_sft_pack").collect()
+    assert(bins.nonEmpty)
+    // the packed corpus IS the deduped corpus: conv and token totals
+    // equal the prompt-dedup keep set's (chain-closure accounting)
+    val keptTokens = run("q_sft_prompt_dedup")
+      .select(col("kept_conv").as("conv_id"))
+      .join(run("q_sft_mask"), Seq("conv_id"))
+      .agg(count(lit(1)), sum(col("total_tokens")),
+        sum(col("trainable_tokens")))
+      .collect().head
+    assert(bins.map(_.getAs[Long]("n_convs")).sum == keptTokens.getLong(0))
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == keptTokens.getLong(1))
+    assert(bins.map(_.getAs[Long]("trainable_tokens")).sum ==
+      keptTokens.getLong(2))
+    // greedy-by-conv-order law: bins tile the conv_id order (a bin's
+    // last conv precedes the next bin's first); bin ids strictly
+    // increase but need NOT be dense — a conversation longer than a
+    // window legitimately skips the bins it spans
+    val ordered = bins.sortBy(_.getAs[Long]("bin"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_conv") < b.getAs[Long]("first_conv"))
+      case _ =>
+    }
+    ordered.foreach { r =>
+      assert(r.getAs[Long]("n_convs") > 0)
+      assert(r.getAs[Long]("trainable_tokens") <= r.getAs[Long]("bin_tokens"))
+      assert(r.getAs[Long]("first_conv") <= r.getAs[Long]("last_conv"))
+    }
+    // overfill law: a bin's members START inside it — every bin's
+    // cumulative start offset lands in [bin*2048, (bin+1)*2048)
+    val cum = ordered.scanLeft(0L)(_ + _.getAs[Long]("bin_tokens")).init
+    ordered.zip(cum).foreach { case (r, start) =>
+      assert(start / 2048 == r.getAs[Long]("bin"),
+        s"bin ${r.getAs[Long]("bin")} starts at $start")
+    }
+  }
+
   test("pref pairs: chosen beats rejected, rows distinct, groups >= 2") {
     val r = run("q_pref_pairs").collect()
     assert(r.nonEmpty)
@@ -135,9 +174,15 @@ class IcpOrderSpec extends SparkSpec {
       .distinct().count()
     assert(icp.getAs[Long]("related_pairs") ==
       icp.getAs[Long]("n_docs") - nGroups)
-    assert(icp.getAs[Long]("related_pm") > shf.getAs[Long]("related_pm"),
-      s"icp ${icp.getAs[Long]("related_pm")} vs shuffled " +
-        s"${shf.getAs[Long]("related_pm")}")
+    // strict beats-shuffled only when a multi-member group exists: on
+    // a corpus whose clustering is all singletons both orderings give
+    // related_pm = 0 and strict > would flake on data, not code
+    if (nGroups < icp.getAs[Long]("n_docs"))
+      assert(icp.getAs[Long]("related_pm") > shf.getAs[Long]("related_pm"),
+        s"icp ${icp.getAs[Long]("related_pm")} vs shuffled " +
+          s"${shf.getAs[Long]("related_pm")}")
+    else
+      assert(icp.getAs[Long]("related_pm") >= shf.getAs[Long]("related_pm"))
     // both orders serialize the same corpus: doc/token accounting equal
     assert(icp.getAs[Long]("n_docs") == shf.getAs[Long]("n_docs"))
     // pair sanity: related-and-co-windowed never exceeds related
