@@ -45,6 +45,28 @@ object ScaleProbe2 {
 
   private val IdStride = 10L * 1000 * 1000
 
+  /** Distinct word-drop pattern (m, off) for copy `k >= 1`. k <= 9
+    * reproduces the committed ×10 construction byte-for-byte
+    * (m = 3 + ((k−1) mod 8), off = k mod m — the 9 patterns are
+    * pairwise distinct). k >= 10 walks the REMAINING (m, off) space in
+    * a fixed enumeration: extending the original rule directly would
+    * collide immediately (k = 10 gives (4, 2) = k = 2's pattern, an
+    * EXACT duplicate copy that would quadratically inflate the
+    * near-dup pair law being measured). 52 patterns total, so the
+    * text fixture supports factors up to 53 — enough for the ×30
+    * third-decade probe.
+    */
+  private[graft] def dropPattern(k: Int): (Int, Int) =
+    if (k <= 9) { val m = 3 + ((k - 1) % 8); (m, k % m) }
+    else {
+      val used = (1 to 9).map(dropPattern).toSet
+      val free = for (m <- 3 to 10; off <- 0 until m
+        if !used((m, off))) yield (m, off)
+      require(k - 10 < free.size,
+        s"copy $k exceeds the ${free.size + 9} distinct drop patterns")
+      free(k - 10)
+    }
+
   /** Build (once) the ×`factor` derived corpus for `baseDir`; returns
     * its directory. Write-once with a `_SUCCESS` marker; a
     * half-written dir (killed build) is cleared and rebuilt.
@@ -77,8 +99,7 @@ object ScaleProbe2 {
           val docCopies = (0 until factor).map { k =>
             if (k == 0) docs
             else {
-              val m = 3 + ((k - 1) % 8)
-              val off = k % m
+              val (m, off) = dropPattern(k)
               docs.select(
                 (col("doc_id") + lit(k * IdStride)).as("doc_id"),
                 array_join(filter(split(col("text"), " "),
