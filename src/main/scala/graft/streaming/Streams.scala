@@ -165,6 +165,89 @@ object Streams {
         .parquet(dir.toString))
   }
 
+  /** The 3-batch replay plus TWO TERMINAL-FLUSH batches: each flush
+    * batch holds one sentinel click and one sentinel purchase
+    * (negative event_ids, user −1, event time = corpus max + 24 h,
+    * then + 48 h). The sentinels pass both sides' event-type filters,
+    * so both watermarks advance past every real join window and the
+    * outer joins evict ALL remaining state — emitting the
+    * null-extended row for every never-matched real event. After the
+    * flush the outer-join output is a pure function of the event log
+    * (the batch outer join), which is what converts
+    * q_stream_stream_left/full from rows-only to hash-oracled: the
+    * same watermark-law restatement that oracled the inner join,
+    * driven one watermark further.
+    *
+    * TWO flush batches, deliberately: a watermark computed at the end
+    * of batch N applies in batch N+1, and relying on the trailing
+    * no-data batch to be that N+1 is a RACE under
+    * Trigger.AvailableNow (observed once: the last 3 tail rows
+    * missing). With a second sentinel batch, the batch-4 watermark is
+    * applied by the DATA batch 5, so every real event's state is
+    * flushed without any no-data batch running. Each sentinel pair
+    * matches itself (same user, same instant; the pairs are 24 h
+    * apart so they never cross-match), so the sentinels add exactly
+    * two easily-filtered matched rows and no null noise — whether
+    * batch-5's own sentinel state ever flushes is output-invisible.
+    */
+  private def eventsStreamMultiFlush(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.t(s, d, "events").schema
+    val dir = Paths.get("/tmp", "graft_stream3f_" + Tables.cacheKey(d))
+    if (!Files.exists(dir.resolve("_READY"))) synchronized {
+      if (!Files.exists(dir.resolve("_READY"))) {
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createDirectories(dir)
+        val raw = Tables.t(s, d, "events")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))
+        val sliced = raw.withColumn("__slice", ntile(3).over(w))
+        val tsIsLong =
+          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+        val mx = raw.agg(max(col("ts")).as("mxts"))
+        def sentinelBatch(hours: Long, clickId: Long, purchId: Long) = {
+          val ahead =
+            if (tsIsLong) col("mxts") + lit(hours * 3600L * 1000000000L)
+            else col("mxts") + expr(s"INTERVAL $hours HOURS")
+          Seq("click" -> clickId, "purchase" -> purchId).map {
+            case (t, id) =>
+              raw.orderBy(col("event_id")).limit(1).crossJoin(broadcast(mx))
+                .select(raw.columns.map {
+                  case "event_id" => lit(id).as("event_id")
+                  case "user_id" => lit(-1L).as("user_id")
+                  case "event_type" => lit(t).as("event_type")
+                  case "ts" => ahead.as("ts")
+                  case c => col(c)
+                }: _*)
+          }.reduce(_ unionAll _)
+        }
+        val batches = (1 to 3).map(i =>
+          i -> sliced.filter(col("__slice") === i).drop("__slice")) ++
+          Seq(4 -> sentinelBatch(24, -1L, -2L),
+            5 -> sentinelBatch(48, -3L, -4L))
+        batches.foreach { case (i, df) =>
+          val tmp = dir.resolve(s"__build_$i")
+          df.coalesce(1).write.parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+          Files.setLastModifiedTime(dir.resolve(f"batch_$i%02d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createFile(dir.resolve("_READY"))
+      }
+    }
+    Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
+  }
+
   /** Run a streaming aggregation to completion against the finite
     * file source and return the materialized sink table.
     *
@@ -481,13 +564,16 @@ object Streams {
     }),
 
     // LEFT OUTER stream-stream interval join over the multi-batch
-    // replay: unmatched clicks emit null-padded ONLY once the
-    // watermark passes their join window (so state is evictable);
-    // clicks near end-of-stream stay withheld forever — inherently
-    // watermark-dependent output, rows-only by contract.
-    // StreamLeftJoinSpec pins the semantics against the batch join.
+    // replay, driven to TERMINAL FLUSH: unmatched clicks emit
+    // null-padded once the watermark passes their join window (state
+    // stays evictable mid-stream, exactly as before), and the
+    // sentinel fourth batch advances the watermark past the stream
+    // tail so the last windows seal too — making the output the exact
+    // batch left join, hash-oracled in DuckDB. StreamLeftJoinSpec
+    // additionally pins completeness (nulls = all clicks minus
+    // matched) and the match set against the streaming inner join.
     "q_stream_stream_left" -> ((s, d) => {
-      val ev = eventsStreamMulti(s, d)
+      val ev = eventsStreamMultiFlush(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
@@ -502,19 +588,20 @@ object Streams {
           col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
         "left_outer")
         .select(col("c_id"), col("p_id"), col("c_user").as("user_id"))
-      drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
+      drain(s, joined, "append")
+        .filter(col("c_id") >= 0) // drop the sentinel pair
+        .orderBy(col("c_id"), col("p_id"))
     }),
 
     // FULL OUTER stream-stream interval join — completes the
     // streaming join matrix (inner / left / full): null-padded rows
     // emit from BOTH sides as the watermark seals their windows
     // (unmatched clicks AND unmatched purchases), so state stays
-    // evictable on both sides. Watermark-dependent output near the
-    // stream tail → rows-only by contract; StreamLeftJoinSpec pins
-    // the match set against the batch inner join and that both null
-    // directions actually occur.
+    // evictable on both sides. Terminal-flushed like the left join →
+    // the output is the exact batch full outer join, hash-oracled;
+    // StreamLeftJoinSpec pins completeness in both null directions.
     "q_stream_stream_full" -> ((s, d) => {
-      val ev = eventsStreamMulti(s, d)
+      val ev = eventsStreamMultiFlush(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
@@ -530,7 +617,12 @@ object Streams {
         "full_outer")
         .select(col("c_id"), col("p_id"),
           coalesce(col("c_user"), col("p_user")).as("user_id"))
-      drain(s, joined, "append").orderBy(col("c_id"), col("p_id"))
+      drain(s, joined, "append")
+        // drop the sentinel pair (they match each other, so exactly
+        // one row with both ids negative)
+        .filter(coalesce(col("c_id"), lit(0L)) >= 0 &&
+          coalesce(col("p_id"), lit(0L)) >= 0)
+        .orderBy(col("c_id"), col("p_id"))
     }),
 
     "q_stream_stateful" -> ((s, d) => {
@@ -952,6 +1044,33 @@ object Streams {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
         | AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
+        |ORDER BY c_id, p_id""".stripMargin,
+    // terminal-flushed outer joins: after the sentinel batch seals
+    // every real window, the streaming output IS the batch outer join
+    "q_stream_stream_left" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.c_id, p.p_id, c.user_id AS user_id
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.tu >= c.tu AND p.tu <= c.tu + 600000000
+        |ORDER BY c_id, p_id""".stripMargin,
+    "q_stream_stream_full" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.c_id, p.p_id,
+        |  coalesce(c.user_id, p.user_id) AS user_id
+        |FROM c FULL OUTER JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.tu >= c.tu AND p.tu <= c.tu + 600000000
         |ORDER BY c_id, p_id""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events

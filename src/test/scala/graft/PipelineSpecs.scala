@@ -1069,6 +1069,13 @@ class StreamLeftJoinSpec extends SparkSpec {
     val nulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
     assert(nulls.nonEmpty)
     assert(nulls.intersect(matched.map(_._1)).isEmpty)
+    // terminal-flush COMPLETENESS: after the sentinel batches seal
+    // every real window, every click appears exactly once as a match
+    // or a null — the property that makes the query batch-oracleable
+    val allClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(nulls ++ matched.map(_._1) == allClicks)
   }
 
   test("full-outer stream join: matches equal the inner join, nulls both ways") {
@@ -1085,6 +1092,14 @@ class StreamLeftJoinSpec extends SparkSpec {
     assert(unmatchedClicks.nonEmpty && unmatchedPurch.nonEmpty)
     assert(unmatchedClicks.intersect(matched.map(_._1)).isEmpty)
     assert(unmatchedPurch.intersect(matched.map(_._2)).isEmpty)
+    // terminal-flush completeness, BOTH directions
+    val ev = Tables.events(spark, sf)
+    val allClicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val allPurch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(unmatchedClicks ++ matched.map(_._1) == allClicks)
+    assert(unmatchedPurch ++ matched.map(_._2) == allPurch)
   }
 }
 
