@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-engine parity pins (round-15 audit): every oracle in this
+  * repo asserts Spark-result == DuckDB-result, so any SEMANTIC
+  * difference between the engines' scalar functions is a latent
+  * correctness bug that the ASCII/benign driver corpus can mask —
+  * the chars-vs-bytes (length vs strlen) class was caught exactly
+  * this way in round 14.
+  *
+  * Each test drives a HOSTILE fixture through the Spark side and pins
+  * the exact value DuckDB also produces (the DuckDB side was executed
+  * once and its value committed here as the expected constant — a
+  * drift in EITHER engine's semantics across upgrades fails the pin).
+  * Classes where the engines genuinely diverge are pinned to Spark's
+  * behavior with the non-exposure argument in the comment; the full
+  * class-by-class table lives in BASELINE.md ("Cross-engine parity").
+  */
+class CrossEngineParitySpec extends AnyFunSuite {
+  private def spark = SparkSpec.spark
+  private def row1(exprs: String*) = {
+    val s = spark
+    s.sql(s"SELECT ${exprs.mkString(", ")}").collect().head
+  }
+
+  test("integer division and modulo at negative operands (div vs //)") {
+    // both engines TRUNCATE toward zero ((-7)//2 = -3 in DuckDB, not
+    // floor's -4) and give % the dividend's sign — so oracle `//`
+    // mirrors Spark `div` even on negatives. The pmod idiom the
+    // hash oracles use (((x % n) + n) % n) is then exact by identity.
+    val r = row1("-7 div 2", "7 div -2", "-7 % 2", "7 % -2",
+      "pmod(-7, 511)")
+    assert(r.getLong(0) == -3L) // DuckDB (-7) // 2 = -3
+    assert(r.getLong(1) == -3L) // DuckDB 7 // (-2) = -3
+    assert(r.getInt(2) == -1)   // DuckDB (-7) % 2 = -1
+    assert(r.getInt(3) == 1)    // DuckDB 7 % (-2) = 1
+    assert(r.getInt(4) == 504)  // DuckDB ((-7 % 511) + 511) % 511
+  }
+
+  test("split edge cases: empty input, adjacent separators, full match") {
+    // Spark split(str, re) uses Java's limit=-1 semantics (trailing
+    // empties kept); DuckDB string_split matches all three shapes
+    val r = row1("split('', ' ')", "split('a  b', ' ')", "split('a', 'a')")
+    assert(r.getSeq[String](0) == Seq(""))          // DuckDB [''], len 1
+    assert(r.getSeq[String](1) == Seq("a", "", "b")) // DuckDB ['a','','b']
+    assert(r.getSeq[String](2) == Seq("", ""))       // DuckDB ['','']
+  }
+
+  test("md5 over non-ASCII: cast-to-binary equals DuckDB's varchar md5") {
+    // Spark md5(CAST(s AS BINARY)) hashes the UTF-8 bytes; DuckDB
+    // md5(VARCHAR) hashes the string's bytes, which ARE UTF-8 —
+    // equal for every valid string. Invalid UTF-8 cannot exist in a
+    // Spark string column (the source decode replaces it), so the
+    // remaining divergence class (md5 of invalid bytes) is
+    // non-exposed by construction; binary columns hash raw bytes on
+    // both engines.
+    val r = row1("md5(CAST('héé' AS BINARY))", "md5(CAST('' AS BINARY))")
+    assert(r.getString(0) == "c2508ce308ae1c9d9d5d1ec023a342d8")
+    assert(r.getString(1) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("codepoint lengths agree; char splitting is codepoint-aware in both") {
+    // length(): both engines count CODEPOINTS (emoji = 1), so the
+    // chars-intended oracles (length <-> length) hold beyond the BMP.
+    // split(s, '') was the SUSPECTED divergence (a Java String.split
+    // would yield UTF-16 surrogate halves) — measured here as
+    // refuted: Spark 4's split walks codepoints like DuckDB's substr,
+    // so the char-level tokenizer oracles (Bpe.scala) hold beyond the
+    // BMP too. The pin keeps the measurement: a regression to
+    // code-unit splitting in either engine fails this test.
+    val r = row1("length('a😀b')", "split('😀', '')",
+      "split('a😀b', '')", "length('héé')")
+    assert(r.getInt(0) == 3)  // DuckDB length('a😀b') = 3
+    assert(r.getSeq[String](1) == Seq("😀"))         // one codepoint, not
+    assert(r.getSeq[String](2) == Seq("a", "😀", "b")) // two surrogates
+    assert(r.getInt(3) == 3)  // DuckDB length('héé') = 3
+  }
+
+  test("round on DOUBLE: shortest-decimal then half-away, both engines") {
+    // the 9-decimal rank keys (q_pref_pairs/q_dedup_embed) and every
+    // round()-published metric rely on identical tie behavior. Both
+    // engines round the double's SHORTEST DECIMAL representation
+    // (2.675d prints as "2.675" and rounds to 2.68 even though the
+    // nearest double is 2.67499…), and halves go away from zero
+    // including at negative inputs and exact binary halves (0.125).
+    val r = row1("round(CAST(2.5 AS DOUBLE))", "round(CAST(-2.5 AS DOUBLE))",
+      "round(CAST(2.675 AS DOUBLE), 2)", "round(CAST(0.125 AS DOUBLE), 2)")
+    assert(r.getDouble(0) == 3.0)   // DuckDB 3.0
+    assert(r.getDouble(1) == -3.0)  // DuckDB -3.0
+    assert(r.getDouble(2) == 2.68)  // DuckDB 2.68
+    assert(r.getDouble(3) == 0.13)  // DuckDB 0.13
+  }
+}
