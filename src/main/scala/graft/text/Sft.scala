@@ -200,6 +200,70 @@ object Sft {
         .orderBy(col("bin"))
     }),
 
+    // BEST-OF-N SELECTION CURVE — the standard post-training eval for
+    // a reward/quality model (BoN: sample n responses, keep the
+    // best): for each comparison group, the expected best-of-n score
+    // for n ∈ {1, 2, 4, 8}, computed with the EXACT unbiased
+    // pool-of-K estimator (Nakano et al., WebGPT appendix):
+    //   E[best-of-n] = Σ_i s_(i) · C(i−1, n−1) / C(K, n)
+    // over the pool's ascending score ranks i — every subset of size
+    // n has its max at rank i with probability C(i−1,n−1)/C(K,n).
+    // The pool is a deterministic K=16 hash-ordered sample of the
+    // group (the i.i.d.-samples stand-in; the q_corpus_shuffle
+    // discipline), group key = (lang, source) as in q_pref_pairs.
+    //
+    // Cross-engine exactness — an ALL-INTEGER pipeline: the score
+    // quantizes ONCE to micro-units via deterministic IEEE ops
+    // (floor(score·10⁶ + 0.5) — multiply/add/floor are bit-identical
+    // on the bit-identical score doubles, where round()'s
+    // shortest-decimal half-cases are not: measured, a 9-decimal
+    // round() diverged by 1 ulp on one member and flipped a published
+    // 6th decimal); the estimator is then exact BIGINT weighted sums
+    // (binomials via factorial div) and a half-up integer division
+    // (2·num + C) div (2·C) — no float op anywhere after the
+    // quantization, so published values are exact by construction.
+    // bon_1_micro is the pool mean (spec-pinned, with monotonicity
+    // bon_1 ≤ bon_2 ≤ bon_4 ≤ bon_8 ≤ pool max).
+    //
+    // Scale shape: the score is a zero-shuffle kernel projection;
+    // thin (group, doc_id, s6i) rows enter ONE group-key exchange
+    // (window + aggregate share the partitioning); per-group state is
+    // the K=16 pool — constant — so the operator's cost is the scan.
+    "q_best_of_n" -> ((s, d) => {
+      val ns = Seq(1, 2, 4, 8)
+      val grp = Window.partitionBy(col("lang"), col("source"))
+      val sampOrd = grp.orderBy(
+        md5(concat(col("doc_id").cast("string"), lit(":bon")).cast("binary")),
+        col("doc_id"))
+      val pool = TextOps.qualityScored(s, d)
+        .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+        .withColumn("samp", row_number().over(sampOrd))
+        .filter(col("samp") <= 16)
+      val ranked = pool
+        .withColumn("k", count(lit(1)).over(grp))
+        .withColumn("i", row_number().over(
+          grp.orderBy(col("s6i"), col("doc_id"))))
+      val nums = ns.map { n =>
+        sum(when(col("i") >= n, col("s6i") * expr(
+          s"factorial(cast(i - 1 as int)) div (factorial(${n - 1})" +
+            s" * factorial(cast(i - $n as int)))")))
+          .as(s"num_$n")
+      }
+      ranked.groupBy(col("lang"), col("source"))
+        .agg(nums.head, nums.tail :+ max(col("k")).as("k"): _*)
+        .select(Seq(col("lang"), col("source"),
+          col("k").cast("long").as("pool_k")) ++ ns.map { n =>
+          when(col("k") >= n, expr(
+            s"(2 * num_$n + factorial(cast(k as int)) div (factorial($n)" +
+              s" * factorial(cast(k - $n as int))))" +
+              s" div (2 * (factorial(cast(k as int)) div (factorial($n)" +
+              s" * factorial(cast(k - $n as int)))))"))
+            .as(s"bon_${n}_micro")
+        }: _*)
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // PREFERENCE-PAIR mining — DPO/RLHF pair construction: within
     // each comparison group, the best- and worst-scoring documents
     // under the q_quality_logistic model become (chosen, rejected).
@@ -332,6 +396,48 @@ object Sft {
          |  min(conv_id) AS first_conv, max(conv_id) AS last_conv,
          |  md5(string_agg(render_fp, ',' ORDER BY conv_id)) AS bin_fp
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // the exact BoN estimator mirrored term-for-term: one IEEE
+    // quantization to micro-units, then BIGINT weighted sums with
+    // integer binomials and a half-up integer division — no round()
+    "q_best_of_n" -> {
+      val ns = Seq(1, 2, 4, 8)
+      val numCols = ns.map { n =>
+        s"""CAST(sum(CASE WHEN i >= $n THEN s6i *
+           |  CAST(factorial(CAST(i - 1 AS INT)) // (factorial(${n - 1})
+           |    * factorial(CAST(i - $n AS INT))) AS BIGINT) END) AS BIGINT)
+           |  AS num_$n""".stripMargin
+      }.mkString(",\n")
+      val bonCols = ns.map { n =>
+        val c = s"CAST(factorial(CAST(k AS INT)) // (factorial($n)" +
+          s" * factorial(CAST(k - $n AS INT))) AS BIGINT)"
+        s"""CASE WHEN k >= $n THEN
+           |  (2 * num_$n + $c) // (2 * $c)
+           |END AS bon_${n}_micro""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
+         |  FROM (${TextOps.qualityScoredSql}) q),
+         |pool AS (
+         |  SELECT lang, source, doc_id, s6i FROM (
+         |    SELECT lang, source, doc_id, s6i,
+         |      row_number() OVER (PARTITION BY lang, source
+         |        ORDER BY md5(doc_id || ':bon'), doc_id) AS samp
+         |    FROM s) t WHERE samp <= 16),
+         |r AS (
+         |  SELECT lang, source, s6i,
+         |    count(*) OVER (PARTITION BY lang, source) AS k,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY s6i, doc_id) AS i
+         |  FROM pool),
+         |a AS (
+         |  SELECT lang, source, max(k) AS k,
+         |$numCols
+         |  FROM r GROUP BY lang, source)
+         |SELECT lang, source, CAST(k AS BIGINT) AS pool_k,
+         |$bonCols
+         |FROM a ORDER BY lang, source""".stripMargin
+    },
     "q_pref_pairs" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, source, round(score, 9) AS s9

@@ -136,6 +136,42 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("best-of-n: bon_1 = pool mean; curve is monotone and capped by pool max") {
+    val rows = run("q_best_of_n").collect()
+    assert(rows.nonEmpty)
+    // independent pool replay: the same hash order, cap 16, micro
+    // quantization — then the estimator's identities
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    val pool = text.TextOps.qualityScored(spark, sf)
+      .withColumn("s6i",
+        floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("samp", row_number().over(grp.orderBy(
+        md5(concat(col("doc_id").cast("string"), lit(":bon")).cast("binary")),
+        col("doc_id"))))
+      .filter(col("samp") <= 16)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("k"), sum(col("s6i")).as("s_sum"),
+        max(col("s6i")).as("s_max"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("k"), r.getAs[Long]("s_sum"), r.getAs[Long]("s_max")))
+      .toMap
+    rows.foreach { r =>
+      val (k, sSum, sMax) = pool((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("pool_k") == k)
+      // bon_1 is the half-up pool mean in micro units, exactly
+      assert(r.getAs[Long]("bon_1_micro") == (2 * sSum + k) / (2 * k))
+      // monotone selection curve, capped by the pool max
+      val curve = Seq(1, 2, 4, 8).flatMap(n =>
+        Option(r.getAs[java.lang.Long](s"bon_${n}_micro")).map(_.toLong))
+      assert(curve == curve.sorted, s"BoN curve not monotone: $curve")
+      curve.foreach(v => assert(v <= sMax))
+      // best-of-k with the whole pool selected IS the max
+      if (k == 8) assert(r.getAs[Long]("bon_8_micro") == sMax)
+    }
+  }
+
   test("pref pairs: chosen beats rejected, rows distinct, groups >= 2") {
     val r = run("q_pref_pairs").collect()
     assert(r.nonEmpty)
