@@ -179,16 +179,18 @@ object Streams {
     * driven one watermark further.
     *
     * TWO flush batches, deliberately: a watermark computed at the end
-    * of batch N applies in batch N+1, and relying on the trailing
-    * no-data batch to be that N+1 is a RACE under
-    * Trigger.AvailableNow (observed once: the last 3 tail rows
-    * missing). With a second sentinel batch, the batch-4 watermark is
-    * applied by the DATA batch 5, so every real event's state is
-    * flushed without any no-data batch running. Each sentinel pair
-    * matches itself (same user, same instant; the pairs are 24 h
-    * apart so they never cross-match), so the sentinels add exactly
-    * two easily-filtered matched rows and no null noise — whether
-    * batch-5's own sentinel state ever flushes is output-invisible.
+    * of batch N is applied in batch N+1, so with a single sentinel
+    * batch the real tail's eviction depends on the trailing no-data
+    * batch that Trigger.AvailableNow runs after the last file — an
+    * implementation behavior (spark.sql.streaming.noDataMicroBatches)
+    * this fixture deliberately does not lean on. With a second
+    * sentinel batch, the batch-4 watermark is applied by the DATA
+    * batch 5, so every real event's state is flushed regardless of
+    * no-data-batch behavior. Each sentinel pair matches itself (same
+    * user, same instant; the pairs are 24 h apart so they never
+    * cross-match), so the sentinels add exactly two easily-filtered
+    * matched rows and no null noise — whether batch-5's own sentinel
+    * state ever flushes is output-invisible.
     */
   private def eventsStreamMultiFlush(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -473,17 +475,27 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
-    // Watermark + append mode over a MULTI-BATCH replay: the watermark
-    // advances after each micro-batch, sealing and emitting windows
-    // mid-stream; the final 30 minutes of windows stay withheld.
-    // Rows-only by design (a spec pins emitted>0 and withheld>0).
+    // Watermark + append mode over the MULTI-BATCH replay, driven to
+    // terminal flush: the watermark advances after each micro-batch,
+    // sealing and emitting windows mid-stream (same as before), and
+    // the sentinel batches seal the final windows too — so the append
+    // output equals the batch tumbling aggregate, hash-oracled. The
+    // sentinels are dropped POST-DRAIN by a window-start cap (their
+    // windows sit 24 h past the corpus): a pre-aggregate filter does
+    // NOT work here — Catalyst pushes it below the EventTimeWatermark
+    // node, so the sentinels would be gone before the watermark
+    // tracker ever saw them (measured: the tail stayed withheld).
     "q_stream_watermark" -> ((s, d) => {
-      val agg = eventsStreamMulti(s, d)
+      val agg = eventsStreamMultiFlush(s, d)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n"))
+      val cap = Tables.events(s, d).agg(max(col("ts")).as("mxts"))
       drain(s, agg, "append")
         .select(col("window.start").as("w_start"), col("n"))
+        .crossJoin(broadcast(cap))
+        .filter(col("w_start") <= col("mxts"))
+        .drop("mxts")
         .orderBy(col("w_start"))
     }),
 
@@ -529,10 +541,17 @@ object Streams {
     // 10-minute bucket the advancing watermark proves empty — the
     // capability the batch q_gap_fill cannot express mid-stream. The
     // 3-batch replay advances the watermark twice, so zeros for the
-    // sealed prefix emit deterministically; the unsealed tail stays
-    // withheld. Rows-only by contract (watermark-dependent output); a
-    // spec pins every emitted zero against the batch gap fill's zero
-    // buckets and uniqueness of emission.
+    // sealed prefix emit mid-stream exactly as before; the flush
+    // sentinels then seal everything through the corpus end, and a
+    // post-drain cap (a broadcast 1-row batch aggregate, no driver
+    // action) keeps only buckets up to the real corpus maximum — the
+    // region where emission is watermark-RACE-free (the cap also
+    // discards whatever fraction of the sentinel-era zeros the
+    // optional trailing no-data batch did or didn't emit). Capped
+    // output = every empty bucket from each type's first observed
+    // bucket through the corpus max — a pure function of the event
+    // log, hash-oracled; the timer spec keeps pinning uniqueness /
+    // no-false-zero / full adjudication.
     "q_stream_gap_timers" -> ((s, d) => {
       import s.implicits._
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -544,7 +563,7 @@ object Streams {
         "true")
       try {
         val bucketMs = 10L * 60 * 1000
-        val ds = eventsStreamMulti(s, d)
+        val ds = eventsStreamMultiFlush(s, d)
           .withWatermark("ts", "30 minutes")
           .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
           .as[(String, Long)]
@@ -552,7 +571,11 @@ object Streams {
           .transformWithState(new GapTimerProcessor(bucketMs),
             TimeMode.EventTime(), OutputMode.Append())
           .toDF("event_type", "bucket")
+        val cap = Tables.events(s, d)
+          .agg(max(unix_millis(col("ts"))).as("cap_ms"))
         drain(s, out, "append")
+          .crossJoin(broadcast(cap))
+          .filter(col("bucket") <= expr(s"cap_ms div ${bucketMs}L"))
           .select(col("event_type"),
             timestamp_millis(col("bucket") * bucketMs).as("w_start"),
             lit(0L).as("n"))
@@ -625,9 +648,19 @@ object Streams {
         .orderBy(col("c_id"), col("p_id"))
     }),
 
+    // Arbitrary stateful processing (flatMapGroupsWithState) over the
+    // MULTI-BATCH replay: per user, per micro-batch in which the user
+    // has events, one row with the CUMULATIVE count and max — state
+    // genuinely crosses batch boundaries. Hash-oracled: the 3-way
+    // batch slicing is the deterministic ntile(3) over (ts, event_id)
+    // (a total order), so DuckDB replays the exact same slices and
+    // the cumulative emission is a window sum over them — the
+    // "arbitrary state" is a pure function of the event log and the
+    // slicing, which is the honest statement of what
+    // flatMapGroupsWithState computes.
     "q_stream_stateful" -> ((s, d) => {
       import s.implicits._
-      val ds = eventsStream(s, d)
+      val ds = eventsStreamMulti(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("tus"))
         .as[(Long, Long)]
       val out = ds.groupByKey(_._1)
@@ -641,7 +674,7 @@ object Streams {
             state.update((n, mx))
             Iterator((user, n, mx))
         }.toDF("user_id", "n_events", "last_tus")
-      drain(s, out, "append").orderBy(col("user_id"))
+      drain(s, out, "append").orderBy(col("user_id"), col("n_events"))
     }),
 
     // foreachBatch sink: the production pattern for exactly-once
@@ -1027,6 +1060,46 @@ object Streams {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // terminal-flushed append output = the batch tumbling aggregate
+    "q_stream_watermark" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    // the deterministic ntile(3) batch slicing replayed in SQL: one
+    // row per (user, batch-with-events) carrying the cumulative state
+    "q_stream_stateful" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    ntile(3) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) AS slice
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, slice, count(*) AS bn, max(tus) AS bmax
+        |  FROM b GROUP BY user_id, slice)
+        |SELECT user_id,
+        |  CAST(sum(bn) OVER (PARTITION BY user_id ORDER BY slice) AS BIGINT)
+        |    AS n_events,
+        |  max(bmax) OVER (PARTITION BY user_id ORDER BY slice) AS last_tus
+        |FROM c ORDER BY user_id, n_events""".stripMargin,
+    // capped terminal-flush timer output: every empty bucket from each
+    // type's first observed bucket through the corpus max
+    "q_stream_gap_timers" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 600000 AS b
+        |  FROM events),
+        |rng AS (SELECT event_type, min(b) AS lo FROM e GROUP BY event_type),
+        |mx AS (SELECT max(b) AS hi FROM e),
+        |cand AS (
+        |  SELECT event_type, unnest(generate_series(lo, (SELECT hi FROM mx)))
+        |    AS b
+        |  FROM rng),
+        |obs AS (SELECT DISTINCT event_type, b FROM e)
+        |SELECT c.event_type, make_timestamp(c.b * 600000000) AS w_start,
+        |  CAST(0 AS BIGINT) AS n
+        |FROM cand c LEFT JOIN obs o
+        |  ON c.event_type = o.event_type AND c.b = o.b
+        |WHERE o.b IS NULL
+        |ORDER BY c.event_type, w_start""".stripMargin,
     "q_stream_sliding" ->
       """SELECT w_start, count(*) AS n FROM (
         |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start FROM events

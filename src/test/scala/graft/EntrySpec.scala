@@ -52,7 +52,6 @@ class EntrySpec extends AnyFunSuite {
     // rows-only set is exactly the hash/sketch/approx/state queries
     assert(rowsOnly == Set(
       "q_approx_distinct", "q_approx_percentile", "q_sim_ann_ivf",
-      "q_stream_watermark", "q_stream_stateful", "q_stream_gap_timers",
       "q_profile_table_approx", "q_dedup_semantic", "q_sim_ivf_append",
       "q_sim_ann_ivf_pq", "q_sim_ann_ivf2",
       "q_hll_partial_union", "q_unigram_encode", "q_diversity_sample",

@@ -645,9 +645,16 @@ class StreamingSpec extends SparkSpec {
     assert(df.filter(col("o_date_us") > col("ts_us")).count() == 0)
   }
 
-  test("stateful per-user counts sum to the event total") {
+  test("stateful per-user counts: final cumulative rows sum to the event total") {
+    // multi-batch cumulative emission: the LAST row per user carries
+    // the user's total; intermediate rows are strictly increasing
     val df = run("q_stream_stateful")
-    assert(df.agg(sum("n_events")).head.getLong(0) == 1000L)
+    assert(df.groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+      .agg(sum(col("n"))).head.getLong(0) == 1000L)
+    df.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ns = rows.map(_.getLong(1)).sorted
+      assert(ns.distinct.length == ns.length, "cumulative counts repeat")
+    }
   }
 
   test("stream-stream interval join pairs each click only with later in-window purchases") {
@@ -687,10 +694,17 @@ class StreamingSpec extends SparkSpec {
     assert(a.map(_.getString(2)).toSet == Set("train", "val", "test"))
   }
 
-  test("multi-batch watermark replay emits sealed windows and withholds the tail") {
-    val emitted = run("q_stream_watermark").count()
-    val total = run("q_stream_tumbling").select("w_start").distinct().count()
-    assert(emitted > 0 && emitted < total, s"emitted=$emitted total=$total")
+  test("multi-batch watermark replay: terminal flush emits every window exactly once") {
+    // mid-stream sealing still happens (the 3 real batches advance
+    // the watermark twice); the flush sentinels seal the tail, so
+    // append-mode output covers the corpus completely
+    val emitted = run("q_stream_watermark").select("w_start").collect()
+      .map(_.getTimestamp(0))
+    val total = run("q_stream_tumbling").select("w_start").distinct()
+      .collect().map(_.getTimestamp(0))
+    assert(emitted.length == emitted.distinct.length, "window re-emitted")
+    assert(emitted.toSet == total.toSet,
+      s"emitted=${emitted.length} total=${total.length}")
   }
 
   test("doc chunks tile every document with the right stride and coverage") {

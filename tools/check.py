@@ -38,8 +38,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # oracle, not a pass.
 ROWS_ONLY = {
     "q_approx_distinct", "q_approx_percentile", "q_sim_ann_ivf",
-    "q_stream_watermark", "q_stream_stateful",
-    "q_stream_gap_timers", "q_profile_table_approx",
+    "q_profile_table_approx",
     "q_dedup_semantic", "q_sim_ivf_append", "q_sim_ann_ivf_pq",
     "q_hll_partial_union", "q_unigram_encode",
     "q_diversity_sample", "q_diversity_sample2", "q_ivf_health",
