@@ -55,6 +55,41 @@ object Sft {
         when(col("rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
   }
 
+  /** The packed-conversation table behind q_sft_pack and the SFT
+    * shard exporter: one row per PROMPT-DEDUPED conversation with its
+    * mask accounting, render fingerprint, and the 2048-token bin the
+    * q_seq_pack overfill law assigns (via Corpus.seqPackedOf's
+    * two-phase prefix sum). Columns: (doc_id = conv_id, source =
+    * 'sft', n_tok = conv_tokens, running, bin, conv_trainable,
+    * render_fp).
+    */
+  private[graft] def sftPacked(s: SparkSession, d: String): DataFrame = {
+    val convs = turns(s, d)
+      .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+      .withColumn("turn", concat(lit(TStart), col("role"), lit("\n"),
+        col("content"), lit(TEnd), lit("\n")))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_tok") + lit(2L)).as("conv_tokens"),
+        sum(when(col("role") === "assistant", col("n_tok") + lit(1L))
+          .otherwise(0L)).as("conv_trainable"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
+          .cast("binary")).as("render_fp"),
+        max(when(col("rn") === 1, md5(col("content").cast("binary"))))
+          .as("prompt_fp"))
+    val pick = Window.partitionBy(col("prompt_fp"))
+      .orderBy(col("n_turns").desc, col("conv_id"))
+    val kept = convs
+      .withColumn("pick", row_number().over(pick))
+      .filter(col("pick") === 1)
+      .select(col("conv_id").as("doc_id"), col("conv_tokens"),
+        col("conv_trainable"), col("render_fp"))
+    val packed = Corpus.seqPackedOf(kept.select(col("doc_id"),
+      lit("sft").as("source"), col("conv_tokens").as("n_tok")))
+    packed.join(kept, Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CHAT-TEMPLATE rendering — the serialization step every SFT run
@@ -163,31 +198,8 @@ object Sft {
     // oracled (DuckDB mirrors the chain; the running sum is a plain
     // ordered window there — semantically identical to the two-phase
     // split, which exists only to bound Spark's partition state).
-    "q_sft_pack" -> ((s, d) => {
-      val convs = turns(s, d)
-        .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
-        .withColumn("turn", concat(lit(TStart), col("role"), lit("\n"),
-          col("content"), lit(TEnd), lit("\n")))
-        .groupBy(col("conv_id"))
-        .agg(count(lit(1)).as("n_turns"),
-          sum(col("n_tok") + lit(2L)).as("conv_tokens"),
-          sum(when(col("role") === "assistant", col("n_tok") + lit(1L))
-            .otherwise(0L)).as("conv_trainable"),
-          md5(concat_ws("", expr(
-            "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
-            .cast("binary")).as("render_fp"),
-          max(when(col("rn") === 1, md5(col("content").cast("binary"))))
-            .as("prompt_fp"))
-      val pick = Window.partitionBy(col("prompt_fp"))
-        .orderBy(col("n_turns").desc, col("conv_id"))
-      val kept = convs
-        .withColumn("pick", row_number().over(pick))
-        .filter(col("pick") === 1)
-        .select(col("conv_id").as("doc_id"), col("conv_tokens"),
-          col("conv_trainable"), col("render_fp"))
-      val packed = Corpus.seqPackedOf(kept.select(col("doc_id"),
-        lit("sft").as("source"), col("conv_tokens").as("n_tok")))
-      packed.join(kept, Seq("doc_id"))
+    "q_sft_pack" -> ((s, d) =>
+      sftPacked(s, d)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_convs"),
           sum(col("n_tok")).as("bin_tokens"),
@@ -197,8 +209,37 @@ object Sft {
           md5(concat_ws(",", expr(
             "transform(array_sort(collect_list(struct(doc_id, render_fp))), x -> x.render_fp)"))
             .cast("binary")).as("bin_fp"))
-        .orderBy(col("bin"))
-    }),
+        .orderBy(col("bin"))),
+
+    // SFT TRAINING-SHARD EXPORT — the chain's last mile to disk: the
+    // packed conversations land in a write-once `sft_shards` layout
+    // partitioned by shard, with the SAME shard law as the
+    // pretraining exporters (count = ⌈corpus tokens / budget⌉ derived
+    // as a broadcast 1-row aggregate — no driver action; shard =
+    // 48-bit md5 prefix of the sequence key, so a 2048-token training
+    // window NEVER splits across shard files; one hash repartition →
+    // each shard written by one task). Published manifest per shard:
+    // sequence/conversation/token/trainable accounting + an
+    // order-independent conversation fingerprint — what a training
+    // job verifies before reading a shard. Fully oracled by composing
+    // the pack chain with the shard-law SQL (the q_shard_export
+    // precedent).
+    "q_sft_export" -> ((s, d) =>
+      graft.sources.Layouts.ensureLayout(s, d, "sft_shards",
+          partitionCols = Seq("shard")) {
+        val packed = sftPacked(s, d)
+        Corpus.withDerivedShard(packed, "n_tok", packed)
+      }
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(col("bin")).as("n_seqs"),
+          count(lit(1)).as("n_convs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("conv_trainable")).as("trainable_tokens"),
+          (sum(conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard"))),
 
     // BEST-OF-N SELECTION CURVE — the standard post-training eval for
     // a reward/quality model (BoN: sample n responses, keep the
@@ -316,7 +357,62 @@ object Sft {
       |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
       |  FROM t)""".stripMargin
 
+  /** The render → mask → dedup → pack CTE chain (through `b`, the
+    * binned conversations) shared by the pack and export oracles.
+    */
+  private def packChainSql: String =
+    s"""$turnsSql,
+       |c AS (
+       |  SELECT conv_id, count(*) AS n_turns,
+       |    CAST(sum(len(string_split(content, ' ')) + 2) AS BIGINT)
+       |      AS conv_tokens,
+       |    CAST(sum(CASE WHEN role = 'assistant'
+       |      THEN len(string_split(content, ' ')) + 1 ELSE 0 END) AS BIGINT)
+       |      AS conv_trainable,
+       |    md5(string_agg('<|im_start|>' || role || chr(10) || content
+       |      || '<|im_end|>' || chr(10), '' ORDER BY rn)) AS render_fp,
+       |    max(CASE WHEN rn = 1 THEN md5(content) END) AS prompt_fp
+       |  FROM r GROUP BY conv_id),
+       |k AS (
+       |  SELECT conv_id, conv_tokens, conv_trainable, render_fp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY prompt_fp
+       |      ORDER BY n_turns DESC, conv_id) AS pick
+       |    FROM c) p
+       |  WHERE pick = 1),
+       |run AS (
+       |  SELECT conv_id, conv_tokens, conv_trainable, render_fp,
+       |    sum(conv_tokens) OVER (ORDER BY conv_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM k),
+       |b AS (
+       |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
+       |  FROM run)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // pack chain + the derived-shard law (the q_shard_export mirror).
+    // Concatenated, not interpolated: packChainSql is already
+    // margin-stripped, and a second stripMargin would eat the leading
+    // `||` concat operators inside it.
+    "q_sft_export" ->
+      (s"WITH $packChainSql,\n" +
+      s"""nsh AS (
+         |  SELECT CAST(GREATEST(1,
+         |    (sum(conv_tokens) + ${Corpus.ShardTokenBudget - 1})
+         |      // ${Corpus.ShardTokenBudget}) AS BIGINT) AS n
+         |  FROM b),
+         |a AS (
+         |  SELECT *, ('0x' || substr(md5('sft:' || CAST(bin AS VARCHAR)),
+         |    1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT bin) AS BIGINT) AS n_seqs,
+         |  count(*) AS n_convs,
+         |  CAST(sum(conv_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(conv_trainable) AS BIGINT) AS trainable_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(conv_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin),
     "q_sft_render" ->
       s"""WITH $turnsSql,
          |a AS (
@@ -364,38 +460,13 @@ object Sft {
     // one node, so the two-phase sub-shard split (a Spark
     // partition-state bound, not a semantic) has no mirror to make
     "q_sft_pack" ->
-      s"""WITH $turnsSql,
-         |c AS (
-         |  SELECT conv_id, count(*) AS n_turns,
-         |    CAST(sum(len(string_split(content, ' ')) + 2) AS BIGINT)
-         |      AS conv_tokens,
-         |    CAST(sum(CASE WHEN role = 'assistant'
-         |      THEN len(string_split(content, ' ')) + 1 ELSE 0 END) AS BIGINT)
-         |      AS conv_trainable,
-         |    md5(string_agg('<|im_start|>' || role || chr(10) || content
-         |      || '<|im_end|>' || chr(10), '' ORDER BY rn)) AS render_fp,
-         |    max(CASE WHEN rn = 1 THEN md5(content) END) AS prompt_fp
-         |  FROM r GROUP BY conv_id),
-         |k AS (
-         |  SELECT conv_id, conv_tokens, conv_trainable, render_fp FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY prompt_fp
-         |      ORDER BY n_turns DESC, conv_id) AS pick
-         |    FROM c) p
-         |  WHERE pick = 1),
-         |run AS (
-         |  SELECT conv_id, conv_tokens, conv_trainable, render_fp,
-         |    sum(conv_tokens) OVER (ORDER BY conv_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-         |  FROM k),
-         |b AS (
-         |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
-         |  FROM run)
-         |SELECT bin, count(*) AS n_convs,
+      (s"WITH $packChainSql\n" +
+      s"""SELECT bin, count(*) AS n_convs,
          |  CAST(sum(conv_tokens) AS BIGINT) AS bin_tokens,
          |  CAST(sum(conv_trainable) AS BIGINT) AS trainable_tokens,
          |  min(conv_id) AS first_conv, max(conv_id) AS last_conv,
          |  md5(string_agg(render_fp, ',' ORDER BY conv_id)) AS bin_fp
-         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
     // the exact BoN estimator mirrored term-for-term: one IEEE
     // quantization to micro-units, then BIGINT weighted sums with
     // integer binomials and a half-up integer division — no round()

@@ -172,6 +172,39 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("sft export: manifest conserves the pack; whole bins; one file per shard") {
+    val man = run("q_sft_export").collect()
+    assert(man.nonEmpty)
+    val packs = run("q_sft_pack").collect()
+    // conservation against the pack table: convs / tokens / trainable
+    assert(man.map(_.getAs[Long]("n_convs")).sum ==
+      packs.map(_.getAs[Long]("n_convs")).sum)
+    assert(man.map(_.getAs[Long]("n_tokens")).sum ==
+      packs.map(_.getAs[Long]("bin_tokens")).sum)
+    assert(man.map(_.getAs[Long]("trainable_tokens")).sum ==
+      packs.map(_.getAs[Long]("trainable_tokens")).sum)
+    assert(man.map(_.getAs[Long]("n_seqs")).sum == packs.length.toLong,
+      "every bin lands in exactly one shard")
+    // shard-count law
+    val nsh = ((packs.map(_.getAs[Long]("bin_tokens")).sum +
+      text.Corpus.ShardTokenBudget - 1) / text.Corpus.ShardTokenBudget).max(1L)
+    assert(man.forall { r =>
+      val s0 = r.getAs[Long]("shard"); s0 >= 0 && s0 < nsh })
+    // file-count law: one parquet file per occupied shard dir
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(wh,
+      s"sft_shards_${sources.Layouts.sfSuffix(sf)}")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dirs.size == man.length)
+    dirs.foreach { p =>
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$p has $files files")
+    }
+  }
+
   test("pref pairs: chosen beats rejected, rows distinct, groups >= 2") {
     val r = run("q_pref_pairs").collect()
     assert(r.nonEmpty)
