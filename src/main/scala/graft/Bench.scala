@@ -167,6 +167,11 @@ object Bench {
       math.min(canaryOnce(s), canaryOnce(s))
     }
 
+    // canary only on FULL suite runs: a filtered/set-listed iteration
+    // run is a developer loop where ~6 extra 4B-row jobs (expensive at
+    // the default 4 cpus) buy nothing — the reference value is only
+    // meaningful for the committed full-run config anyway
+    val canaryOn = filter == Seq("") && nameSet.isEmpty
     var canaryStart = -1.0
     var canaryEnd = -1.0
 
@@ -177,8 +182,10 @@ object Bench {
         // timed trials — so no state from another family's queries can
         // leak into these numbers. Canary brackets the whole run in its
         // own sessions so each family's numbers stay isolated.
-        val cs = buildSession(cpus)
-        try canaryStart = canaryBest(cs) finally cs.stop()
+        if (canaryOn) {
+          val cs = buildSession(cpus)
+          try canaryStart = canaryBest(cs) finally cs.stop()
+        }
         val out = all.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
           .flatMap { case (_, qs) =>
             val s = buildSession(cpus)
@@ -190,19 +197,21 @@ object Bench {
               }
             } finally s.stop()
           }.sortBy(_._1)
-        val ce = buildSession(cpus)
-        try canaryEnd = canaryBest(ce) finally ce.stop()
+        if (canaryOn) {
+          val ce = buildSession(cpus)
+          try canaryEnd = canaryBest(ce) finally ce.stop()
+        }
         out
       case _ =>
         val s = buildSession(cpus)
-        canaryStart = canaryBest(s)
+        if (canaryOn) canaryStart = canaryBest(s)
         warmups.flatMap(w => all.toMap.get(w))
           .foreach(fn => runOnce(s, fn, "warmup"))
         val out = all.map { case (n, fn) =>
           val (sec, spread, ok) = timeQuery(s, n, fn)
           (n, sec, spread, ok)
         }
-        canaryEnd = canaryBest(s)
+        if (canaryOn) canaryEnd = canaryBest(s)
         s.stop()
         out
     }

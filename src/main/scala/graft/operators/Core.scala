@@ -125,7 +125,36 @@ object Core {
       Tables.part(s, d)
         .select(col("p_partkey"),
           crc32(col("p_name").cast("binary")).as("name_crc"))
-        .orderBy(col("p_partkey")))
+        .orderBy(col("p_partkey"))),
+
+    // ENGINE-CONFORMANCE row: every cross-engine parity class from the
+    // round-15 audit (negative-operand div/mod, split edge cases, md5
+    // over non-ASCII, codepoint splitting beyond the BMP, double
+    // rounding half cases) evaluated as LIVE expressions on BOTH
+    // engines — the oracle runs the DuckDB half every round, so a
+    // semantic drift in either engine fails the driver gate on the
+    // hostile fixtures themselves, not only on the benign corpus.
+    // (CrossEngineParitySpec additionally pins today's agreed values
+    // as committed constants.) Arrays publish as '~'-joined strings —
+    // array cells would crash the driver's row sort.
+    "q_engine_parity" -> ((s, d) =>
+      s.range(1).selectExpr(
+        "cast(-7 div 2 as bigint) as div_neg_a",
+        "cast(7 div -2 as bigint) as div_neg_b",
+        "cast(-7 % 2 as bigint) as mod_neg_a",
+        "cast(7 % -2 as bigint) as mod_neg_b",
+        "cast(pmod(-7, 511) as bigint) as pmod_neg",
+        "array_join(split('', ' '), '~') as split_empty",
+        "array_join(split('a  b', ' '), '~') as split_adj",
+        "array_join(split('a', 'a'), '~') as split_full",
+        "md5(cast('héé' as binary)) as md5_nonascii",
+        "md5(cast('' as binary)) as md5_empty",
+        "cast(length('a😀b') as bigint) as len_supp",
+        "array_join(split('a😀b', ''), '~') as split_supp",
+        "cast(round(cast(2.5 as double)) as double) as round_half",
+        "cast(round(cast(-2.5 as double)) as double) as round_neg_half",
+        "round(cast(2.675 as double), 2) as round_shortest",
+        "round(cast(0.125 as double), 2) as round_bin_half"))
   )
 
   /** xxHash64 of one 8-byte block (Spark's `XXH64.hashLong`) as a
@@ -232,6 +261,26 @@ object Core {
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT * FROM (VALUES (5, 'VIRTUAL_A'), (6, 'VIRTUAL_B')) v(r_regionkey, r_name)
         |ORDER BY r_regionkey, r_name""".stripMargin,
+    // the DuckDB half of the conformance row — live, not constants
+    "q_engine_parity" ->
+      """SELECT CAST(-7 // 2 AS BIGINT) AS div_neg_a,
+        |  CAST(7 // -2 AS BIGINT) AS div_neg_b,
+        |  CAST(-7 % 2 AS BIGINT) AS mod_neg_a,
+        |  CAST(7 % -2 AS BIGINT) AS mod_neg_b,
+        |  CAST(((-7 % 511) + 511) % 511 AS BIGINT) AS pmod_neg,
+        |  array_to_string(string_split('', ' '), '~') AS split_empty,
+        |  array_to_string(string_split('a  b', ' '), '~') AS split_adj,
+        |  array_to_string(string_split('a', 'a'), '~') AS split_full,
+        |  md5('héé') AS md5_nonascii,
+        |  md5('') AS md5_empty,
+        |  CAST(length('a😀b') AS BIGINT) AS len_supp,
+        |  array_to_string(list_transform(
+        |    generate_series(1, length('a😀b')),
+        |    i -> substr('a😀b', i, 1)), '~') AS split_supp,
+        |  CAST(round(CAST(2.5 AS DOUBLE)) AS DOUBLE) AS round_half,
+        |  CAST(round(CAST(-2.5 AS DOUBLE)) AS DOUBLE) AS round_neg_half,
+        |  round(CAST(2.675 AS DOUBLE), 2) AS round_shortest,
+        |  round(CAST(0.125 AS DOUBLE), 2) AS round_bin_half""".stripMargin,
     // BYTES-intended strlen: the reference's Text cap is 1024 BYTES
     // (types.rs:16) and the Spark side computes octet_length
     "q_text_cap" ->

@@ -113,42 +113,28 @@ object Streams {
       .parquet(dir.toString)
   }
 
-  /** Events replayed as three time-ordered parquet files consumed one
-    * per micro-batch (`maxFilesPerTrigger 1`), so the watermark
-    * genuinely ADVANCES between batches — append mode emits each
-    * window as it seals mid-stream, instead of one batch that only
-    * flushes at end-of-stream. The split fixture is built once per sf
-    * dir (a one-time layout write; the single-partition window sort is
-    * fine there — it is not a query path) and reused.
-    *
-    * Single-process assumption: the build is guarded by JVM-local
-    * `synchronized` + the _READY marker, which serializes threads in
-    * ONE JVM only. Verify and Bench are driver-run sequentially, so
-    * cross-process races don't occur here; if two JVMs ever shared
-    * this fixture concurrently, the build would need a file lock or
-    * build-into-temp-then-atomic-rename.
+  /** Write-once multi-batch fixture protocol shared by the replay
+    * builders: guarded build (JVM-local `synchronized` + the _READY
+    * marker — serializes threads in ONE JVM; Verify and Bench are
+    * driver-run sequentially, so cross-process races don't occur
+    * here; two concurrent JVMs would need a file lock or
+    * build-into-temp-then-atomic-rename), one parquet file per batch,
+    * distinct ASCENDING mtimes so the file-stream source consumes the
+    * batches in order.
     */
-  private def eventsStreamMulti(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.t(s, d, "events").schema // raw nanos or µs NTZ
-    val dir = Paths.get("/tmp", "graft_stream3_" + Tables.cacheKey(d))
+  private def ensureBatchFixture(dir: java.nio.file.Path)(
+      batches: => Seq[(Int, DataFrame)]): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
     if (!Files.exists(dir.resolve("_READY"))) synchronized {
       if (!Files.exists(dir.resolve("_READY"))) {
         if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
           Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
         }
         Files.createDirectories(dir)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))
-        val sliced = Tables.t(s, d, "events")
-          .withColumn("__slice", ntile(3).over(w))
-        (1 to 3).foreach { i =>
+        batches.foreach { case (i, df) =>
           val tmp = dir.resolve(s"__build_$i")
-          sliced.filter(col("__slice") === i).drop("__slice")
-            .coalesce(1).write.parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
+          df.coalesce(1).write.parquet(tmp.toString)
           val part = Files.list(tmp).iterator().asScala
             .find(_.getFileName.toString.endsWith(".parquet")).get
           Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
@@ -160,6 +146,35 @@ object Streams {
         Files.createFile(dir.resolve("_READY"))
       }
     }
+  }
+
+  /** The 3 time-ordered batch slices of the events table (the shared
+    * slicing of both replay fixtures): ntile(3) over the (ts,
+    * event_id) total order — a one-time layout write; the
+    * single-partition window sort is fine there, it is not a query
+    * path.
+    */
+  private def eventSlices(s: SparkSession, d: String): Seq[(Int, DataFrame)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val sliced = Tables.t(s, d, "events")
+      .withColumn("__slice", ntile(3).over(w))
+    (1 to 3).map(i =>
+      i -> sliced.filter(col("__slice") === i).drop("__slice"))
+  }
+
+  /** Events replayed as three time-ordered parquet files consumed one
+    * per micro-batch (`maxFilesPerTrigger 1`), so the watermark
+    * genuinely ADVANCES between batches — append mode emits each
+    * window as it seals mid-stream, instead of one batch that only
+    * flushes at end-of-stream.
+    */
+  private def eventsStreamMulti(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Paths
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.t(s, d, "events").schema // raw nanos or µs NTZ
+    val dir = Paths.get("/tmp", "graft_stream3_" + Tables.cacheKey(d))
+    ensureBatchFixture(dir)(eventSlices(s, d))
     Tables.normalizeTs(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(dir.toString))
@@ -193,57 +208,33 @@ object Streams {
     * state ever flushes is output-invisible.
     */
   private def eventsStreamMultiFlush(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.t(s, d, "events").schema
     val dir = Paths.get("/tmp", "graft_stream3f_" + Tables.cacheKey(d))
-    if (!Files.exists(dir.resolve("_READY"))) synchronized {
-      if (!Files.exists(dir.resolve("_READY"))) {
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
-        Files.createDirectories(dir)
-        val raw = Tables.t(s, d, "events")
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))
-        val sliced = raw.withColumn("__slice", ntile(3).over(w))
-        val tsIsLong =
-          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-        val mx = raw.agg(max(col("ts")).as("mxts"))
-        def sentinelBatch(hours: Long, clickId: Long, purchId: Long) = {
-          val ahead =
-            if (tsIsLong) col("mxts") + lit(hours * 3600L * 1000000000L)
-            else col("mxts") + expr(s"INTERVAL $hours HOURS")
-          Seq("click" -> clickId, "purchase" -> purchId).map {
-            case (t, id) =>
-              raw.orderBy(col("event_id")).limit(1).crossJoin(broadcast(mx))
-                .select(raw.columns.map {
-                  case "event_id" => lit(id).as("event_id")
-                  case "user_id" => lit(-1L).as("user_id")
-                  case "event_type" => lit(t).as("event_type")
-                  case "ts" => ahead.as("ts")
-                  case c => col(c)
-                }: _*)
-          }.reduce(_ unionAll _)
-        }
-        val batches = (1 to 3).map(i =>
-          i -> sliced.filter(col("__slice") === i).drop("__slice")) ++
-          Seq(4 -> sentinelBatch(24, -1L, -2L),
-            5 -> sentinelBatch(48, -3L, -4L))
-        batches.foreach { case (i, df) =>
-          val tmp = dir.resolve(s"__build_$i")
-          df.coalesce(1).write.parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
-          Files.setLastModifiedTime(dir.resolve(f"batch_$i%02d.parquet"),
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
-        Files.createFile(dir.resolve("_READY"))
+    ensureBatchFixture(dir) {
+      val raw = Tables.t(s, d, "events")
+      val tsIsLong =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val mx = raw.agg(max(col("ts")).as("mxts"))
+      def sentinelBatch(hours: Long, clickId: Long, purchId: Long) = {
+        val ahead =
+          if (tsIsLong) col("mxts") + lit(hours * 3600L * 1000000000L)
+          else col("mxts") + expr(s"INTERVAL $hours HOURS")
+        Seq("click" -> clickId, "purchase" -> purchId).map {
+          case (t, id) =>
+            raw.orderBy(col("event_id")).limit(1).crossJoin(broadcast(mx))
+              .select(raw.columns.map {
+                case "event_id" => lit(id).as("event_id")
+                case "user_id" => lit(-1L).as("user_id")
+                case "event_type" => lit(t).as("event_type")
+                case "ts" => ahead.as("ts")
+                case c => col(c)
+              }: _*)
+        }.reduce(_ unionAll _)
       }
+      eventSlices(s, d) ++ Seq(4 -> sentinelBatch(24, -1L, -2L),
+        5 -> sentinelBatch(48, -3L, -4L))
     }
     Tables.normalizeTs(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")

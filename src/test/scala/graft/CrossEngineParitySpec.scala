@@ -11,12 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * this way in round 14.
   *
   * Each test drives a HOSTILE fixture through the Spark side and pins
-  * the exact value DuckDB also produces (the DuckDB side was executed
-  * once and its value committed here as the expected constant — a
-  * drift in EITHER engine's semantics across upgrades fails the pin).
-  * Classes where the engines genuinely diverge are pinned to Spark's
-  * behavior with the non-exposure argument in the comment; the full
-  * class-by-class table lives in BASELINE.md ("Cross-engine parity").
+  * the exact value DuckDB also produces. The DuckDB half runs LIVE
+  * every round as the `q_engine_parity` oracle (operators/Core.scala)
+  * — the driver gate hash-compares both engines on these same
+  * fixtures, so semantic drift in either engine fails there; this
+  * suite additionally pins today's agreed values as committed
+  * constants (so a drift is attributable to a specific engine, not
+  * just detected). Classes where the engines genuinely diverge are
+  * pinned to Spark's behavior with the non-exposure argument in the
+  * comment; the class-by-class table lives in BASELINE.md
+  * ("Cross-engine parity").
   */
 class CrossEngineParitySpec extends AnyFunSuite {
   private def spark = SparkSpec.spark

@@ -1011,18 +1011,15 @@ class SftPlanSpec extends SparkSpec {
       "prompt window consumes: " + w.child.output.map(_.name).mkString(",")))
   }
 
-  test("sft pack: content crosses ONE exchange; only thin rows after") {
+  test("sft pack: content is only ever consumed under conv-key locality") {
     // the conv-key window and the per-conversation aggregate share
-    // the conv_id partitioning; every later exchange (prompt_fp
-    // window, sub-shard offsets, bin aggregate) carries fingerprints
-    // + integers only — the render/content text never moves twice
+    // the conv_id partitioning; every later stage (prompt_fp window,
+    // sub-shard offsets, bin aggregate) consumes fingerprints +
+    // integers only — the render/content text never moves twice.
+    // (Checked on the OPTIMIZED LOGICAL plan: physical Exchange lines
+    // print only partition keys, not carried columns, so a
+    // string-level physical assertion would be vacuous.)
     val qe = run("q_sft_pack").queryExecution
-    val p = qe.explainString(SimpleMode)
-    val exchanges = p.linesIterator.filter(
-      _.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.count(l =>
-      l.contains("content") || l.contains("turn")) <= 1,
-      "content-bearing exchanges:\n" + exchanges.mkString("\n"))
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
     val o = qe.optimizedPlan
     // the logical tree legitimately repeats the conv-aggregate subtree
