@@ -1016,6 +1016,43 @@ object Streams {
         .agg(count(lit(1)).as("n_events"),
           min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // RETURNS-TO-GO episode assembly — decision-transformer data prep
+    // (Chen et al. 2021): an offline-RL trainer conditions each step
+    // on the reward still to come, so the serialization is (episode,
+    // step, reward, return-to-go = suffix sum of rewards). Episode =
+    // the 30-minute-gap session (the exact q_sessionize law, shared
+    // window arithmetic), step order = (ts, event_id) — total, so the
+    // suffix sum is a pure function of the log. Rewards and the
+    // suffix sum run in exact DECIMAL (the money discipline: a float
+    // suffix sum's value would depend on summation order) and cast to
+    // double only at publication — identical in both engines. One
+    // user-key exchange (all windows share the user partitioning);
+    // per-episode state is one session's events, KB-bounded by the
+    // gap law. Fully oracled.
+    "q_episode_returns" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ep = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("tus"), col("event_id"))
+      val epSuffix = ep.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), money(col("value")).as("r"))
+        .withColumn("new_s",
+          when(col("tus") - lag(col("tus"), 1).over(w) >= 300000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("long"))
+        .withColumn("step", row_number().over(ep).cast("long"))
+        .withColumn("ep_len", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("session_idx"))))
+        .select(col("user_id"), col("session_idx"), col("step"),
+          col("ep_len"),
+          col("r").cast("double").as("reward"),
+          sum(col("r")).over(epSuffix).cast("double").as("return_to_go"))
+        .orderBy(col("user_id"), col("session_idx"), col("step"))
     })
   )
 
@@ -1181,6 +1218,36 @@ object Streams {
          |ORDER BY user_id, start_us""".stripMargin,
     "q_sessionize" ->
       s"""SELECT * FROM ($sessionizeSql) sess
-         |ORDER BY user_id, session_idx""".stripMargin
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // the sessionize law + per-episode suffix sums in exact DECIMAL
+    "q_episode_returns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
+        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  CAST(row_number() OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY tus, event_id) AS BIGINT) AS step,
+        |  CAST(count(*) OVER (PARTITION BY user_id, session_idx)
+        |    AS BIGINT) AS ep_len,
+        |  CAST(r AS DOUBLE) AS reward,
+        |  CAST(sum(r) OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+        |    AS return_to_go
+        |FROM numbered
+        |ORDER BY user_id, session_idx, step""".stripMargin
   )
 }

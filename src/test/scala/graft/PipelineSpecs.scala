@@ -657,6 +657,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("episode returns-to-go: telescoping, boundary, and session identities") {
+    val rows = run("q_episode_returns").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, steps) =>
+      val eps = 1e-6
+      // steps are the dense range 1..ep_len
+      assert(steps.map(_._1).toSeq == (1L to steps.head._2).toSeq)
+      // telescoping: rtg(step) - rtg(step+1) = reward(step)
+      steps.sliding(2).foreach {
+        case Array((_, _, r1, g1), (_, _, _, g2)) =>
+          assert(math.abs((g1 - g2) - r1) < eps)
+        case _ =>
+      }
+      // boundary: the last step's rtg is its own reward
+      val last = steps.last
+      assert(math.abs(last._3 - last._4) < eps)
+      // head: rtg(1) = episode total reward
+      assert(math.abs(steps.head._4 - steps.map(_._3).sum) < 1e-4)
+    }
+    // episodes tile the sessionize law exactly
+    val sess = run("q_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_events")).toMap
+    assert(rows.keySet == sess.keySet)
+    rows.foreach { case (k, steps) => assert(steps.length == sess(k)) }
+  }
+
   test("stream-stream interval join pairs each click only with later in-window purchases") {
     val rows = run("q_stream_stream_join").collect()
     assert(rows.nonEmpty)
