@@ -274,6 +274,111 @@ object Multimodal {
         count(lit(1)).as("n_windows"))
   }
 
+  /** Per-image placeholder budget for the interleaved token stream:
+    * a vision encoder emits a CONSTANT patch-token count per image
+    * (e.g. a 256 px image at 16 px patches through a 4× resampler),
+    * so an interleaved sequence's length is exact integer arithmetic
+    * — which is what lets the multimodal packing law stay a pure
+    * function of the corpus.
+    */
+  val MmImageTokens = 64L
+
+  /** The deduplicated image pool for the interleave chain: ingest
+    * variants → ≥[[MetaGateBytes]] metadata gate → pHash near-dup
+    * drop (keep the smaller id of each Hamming ≤ 3 pair) — the
+    * q_media_pipeline stages s0–s2, reused. Payload bytes are
+    * consumed in place by the one mapPartitions pHash pass; only
+    * (img_id) survives.
+    */
+  private[graft] def mmKeptImages(s: SparkSession, d: String): DataFrame = {
+    val gated = imageVariantPool(s, d).filter(col("n_bytes") >= MetaGateBytes)
+    val hashed = phashOf(s, gated)
+    val drops = phashNearDupPairs(hashed)
+      .select(col("b_id").as("img_id")).distinct()
+    hashed.select(col("img_id")).join(drops, Seq("img_id"), "leftanti")
+  }
+
+  /** Kept images placed into the text corpus: (doc_id, img_id,
+    * anchor) with anchor ∈ [0, n_tok] the token offset the image
+    * interleaves at. The assignment (image → document, image →
+    * offset) is a deterministic 48-bit-md5 law over img_id — the
+    * fixture stand-in for the upstream pairing model (MMC4 assigns
+    * images to documents by CLIP similarity; OBELICS takes them from
+    * the source HTML DOM position). doc_id density (0..n−1, the
+    * generator's law) makes `hash mod n_docs` a total assignment; at
+    * scale the assigner is an upstream join and THIS operator's real
+    * content is the assembly shape: thin (img_id, doc_id, anchor)
+    * rows through one doc-key exchange, payloads already gone.
+    */
+  private[graft] def mmPlacedImages(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    mmKeptImages(s, d)
+      .crossJoin(broadcast(nDocs))
+      .select(col("img_id"),
+        pmod(conv(substring(md5(concat(col("img_id").cast("string"),
+            lit(":mm")).cast("binary")), 1, 12), 16, 10).cast("long"),
+          col("n_docs")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("img_id"),
+        pmod(conv(substring(md5(concat(col("img_id").cast("string"),
+            lit(":pos")).cast("binary")), 1, 12), 16, 10).cast("long"),
+          col("n_tok") + lit(1L)).as("anchor"))
+  }
+
+  /** The interleaved multimodal item stream (MMC4/OBELICS shape):
+    * per document, the ordered items a VLM pretraining loader emits —
+    * text spans split at the image anchors, image placeholders of
+    * exactly [[MmImageTokens]] tokens between them. One row per item:
+    * (doc_id, seq_idx, item_type, img_id (−1 for text), item_tokens,
+    * out_start = the item's offset in the INTERLEAVED stream). Text
+    * conservation (per-doc text item_tokens sum = doc n_tok), the
+    * out_start telescoping, and seq_idx contiguity are spec-pinned.
+    * Zero-length text spans (adjacent anchors, edge anchors) are
+    * dropped — both engines, by construction.
+    */
+  private[graft] def mmItems(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val placed = mmPlacedImages(s, d)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("anchor"), col("img_id"))
+    val withPrev = placed.withColumn("prev",
+      coalesce(lag(col("anchor"), 1).over(w), lit(0L)))
+    val preSpans = withPrev.select(col("doc_id"),
+      col("prev").as("start_tok"),
+      (col("anchor") - col("prev")).as("item_tokens"),
+      lit(-1L).as("img_id"), lit("text").as("item_type"))
+    val imgRows = withPrev.select(col("doc_id"),
+      col("anchor").as("start_tok"),
+      lit(MmImageTokens).as("item_tokens"),
+      col("img_id"), lit("image").as("item_type"))
+    val tails = docs
+      .join(placed.groupBy(col("doc_id")).agg(max(col("anchor")).as("ma")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ma"), lit(0L)).as("start_tok"),
+        (col("n_tok") - coalesce(col("ma"), lit(0L))).as("item_tokens"),
+        lit(-1L).as("img_id"), lit("text").as("item_type"))
+    // order law at a shared start offset: the image sits before the
+    // text span that starts AT its anchor (the span it just split),
+    // and anchor ties break by img_id — with zero-length spans gone,
+    // (start_tok, type_ord, img_id) is a total order per doc.
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("start_tok"), col("type_ord"), col("img_id"))
+    preSpans.unionAll(imgRows).unionAll(tails)
+      .filter(col("item_tokens") > 0)
+      .withColumn("type_ord",
+        when(col("item_type") === "image", 0).otherwise(1))
+      .withColumn("seq_idx", row_number().over(ord).cast("long"))
+      .withColumn("out_start", coalesce(sum(col("item_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("seq_idx"), col("item_type"),
+        col("img_id"), col("item_tokens"), col("out_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata + integrity hash over the binary payload column.
     "q_media_meta" -> ((s, d) =>
@@ -480,6 +585,67 @@ object Multimodal {
             .select(lit(n).as("stage"), col("n_rows"))
         }
         .reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
+    // INTERLEAVED MULTIMODAL SEQUENCE ASSEMBLY — the MMC4 (Zhu et
+    // al. 2023) / OBELICS (Laurençon et al. 2023) document shape
+    // every current VLM pretraining run consumes: images interleave
+    // INTO the token stream at anchor offsets, each contributing a
+    // constant MmImageTokens placeholder budget, and the loader
+    // reads ordered (text span | image) items. Composes the existing
+    // pieces — the pHash-DEDUPED image pool (q_media_pipeline s0–s2)
+    // supplies the images; the deterministic md5 placement law
+    // stands in for the upstream pairing model (see mmPlacedImages).
+    //
+    // Scale shape: payload bytes are consumed in place by the one
+    // pHash kernel pass BELOW every exchange, and document text
+    // collapses to n_tok at the scan — no shuffle anywhere in this
+    // plan carries a payload or text column (plan-pinned, the
+    // q_media_pipeline discipline). Everything that moves is thin
+    // (ids, anchors, token counts); the assembly windows and the
+    // placement join all share the doc-key partitioning. FULLY
+    // ORACLED: DuckDB regenerates the dHash dedup, the md5 placement
+    // law, and the window assembly.
+    "q_mm_interleave" -> ((s, d) =>
+      mmItems(s, d).orderBy(col("doc_id"), col("seq_idx"))),
+
+    // MULTIMODAL PACKING — the interleaved documents packed into
+    // 2048-token training windows under the q_seq_pack overfill law
+    // (a document lands in the bin where it STARTS; same integer
+    // arithmetic, same two-phase distributed prefix sum via
+    // Corpus.seqPackedOf). A document's cost in the stream is its
+    // text tokens PLUS MmImageTokens per attached image — the
+    // accounting a VLM batch builder needs, published per bin:
+    // doc/image counts and the text/image/total token split. FULLY
+    // ORACLED (running-sum window composed over the interleave
+    // chain); MmSpec pins token conservation vs q_mm_interleave and
+    // the bin start law.
+    "q_mm_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val counts = mmPlacedImages(s, d).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_img"))
+      val costs = docs.join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          col("n_tok").as("text_tok"),
+          coalesce(col("n_img"), lit(0L)).as("n_img"),
+          (col("n_tok") + lit(MmImageTokens) *
+            coalesce(col("n_img"), lit(0L))).as("mm_tok"))
+      val packed = graft.text.Corpus.seqPackedOf(
+        costs.select(col("doc_id"), col("source"),
+          col("mm_tok").as("n_tok")))
+      packed
+        .join(costs.select(col("doc_id"), col("text_tok"), col("n_img")),
+          Seq("doc_id"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_img")).as("n_imgs"),
+          sum(col("text_tok")).as("text_tokens"),
+          (lit(MmImageTokens) * sum(col("n_img"))).as("image_tokens"),
+          sum(col("n_tok")).as("mm_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
     })
   )
 
@@ -541,7 +707,104 @@ object Multimodal {
   // here relies on (XXH64Sql.scala header). The one CHARS-intended
   // length in this file (q_crossmodal_join's caption cap_len, Spark
   // `length()`) uses DuckDB `length()` accordingly.
+  /** Shared CTE prefix for the interleave family: the gated +
+    * pHash-deduped image pool (regenerated dHash, brute-force pairs —
+    * provably equal to the banded join at Hamming ≤ 3), the md5
+    * placement law, and the per-image anchors. Ends with `imgs`
+    * (doc_id, img_id, anchor) and `docs` (doc_id, source, n_tok).
+    */
+  private val mmImgsCte =
+    s"""WITH imgs0 AS (
+       |  SELECT doc_id, text AS p FROM documents WHERE source = 'src0'),
+       |o AS (SELECT max(doc_id) + 1 AS off FROM imgs0),
+       |pool AS (
+       |  SELECT doc_id, p FROM imgs0
+       |  UNION ALL
+       |  SELECT doc_id + off, 'Z' || substr(p, 2) FROM imgs0, o
+       |  WHERE doc_id % 11 = 0),
+       |pre AS (
+       |  SELECT doc_id, p, strlen(p) AS len, greatest(strlen(p), 64) AS n
+       |  FROM pool WHERE strlen(p) >= 64),
+       |hashes AS (
+       |  SELECT doc_id AS img_id, $dhashFromAvgs AS h FROM (
+       |    SELECT doc_id, $dhashAvgs AS av FROM pre) t),
+       |drops AS (
+       |  SELECT DISTINCT y.img_id AS img_id FROM hashes x JOIN hashes y
+       |  ON x.img_id < y.img_id AND bit_count(xor(x.h, y.h)) <= 3),
+       |docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |nd AS (SELECT count(*) AS n FROM docs),
+       |placed AS (
+       |  SELECT k.img_id,
+       |    ('0x' || substr(md5(CAST(k.img_id AS VARCHAR) || ':mm'), 1, 12))::BIGINT
+       |      % (SELECT n FROM nd) AS doc_id
+       |  FROM hashes k WHERE k.img_id NOT IN (SELECT img_id FROM drops)),
+       |imgs AS (
+       |  SELECT p.doc_id, p.img_id,
+       |    ('0x' || substr(md5(CAST(p.img_id AS VARCHAR) || ':pos'), 1, 12))::BIGINT
+       |      % (d.n_tok + 1) AS anchor
+       |  FROM placed p JOIN docs d USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_mm_interleave" ->
+      s"""$mmImgsCte,
+         |withprev AS (
+         |  SELECT doc_id, img_id, anchor,
+         |    coalesce(lag(anchor) OVER (
+         |      PARTITION BY doc_id ORDER BY anchor, img_id),
+         |      CAST(0 AS BIGINT)) AS prev
+         |  FROM imgs),
+         |items AS (
+         |  SELECT doc_id, prev AS start_tok, anchor - prev AS item_tokens,
+         |    CAST(-1 AS BIGINT) AS img_id, 'text' AS item_type
+         |  FROM withprev
+         |  UNION ALL
+         |  SELECT doc_id, anchor, CAST($MmImageTokens AS BIGINT), img_id,
+         |    'image'
+         |  FROM withprev
+         |  UNION ALL
+         |  SELECT d.doc_id, coalesce(m.ma, 0), d.n_tok - coalesce(m.ma, 0),
+         |    CAST(-1 AS BIGINT), 'text'
+         |  FROM docs d LEFT JOIN (
+         |    SELECT doc_id, max(anchor) AS ma FROM imgs GROUP BY doc_id) m
+         |  USING (doc_id)),
+         |live AS (SELECT * FROM items WHERE item_tokens > 0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER w AS BIGINT) AS seq_idx,
+         |  item_type, img_id, CAST(item_tokens AS BIGINT) AS item_tokens,
+         |  CAST(coalesce(sum(item_tokens) OVER (w
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS out_start
+         |FROM live
+         |WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok,
+         |  CASE WHEN item_type = 'image' THEN 0 ELSE 1 END, img_id)
+         |ORDER BY doc_id, seq_idx""".stripMargin,
+
+    "q_mm_pack" ->
+      s"""$mmImgsCte,
+         |counts AS (
+         |  SELECT doc_id, count(*) AS n_img FROM imgs GROUP BY doc_id),
+         |costs AS (
+         |  SELECT d.doc_id, d.source, d.n_tok AS text_tok,
+         |    coalesce(c.n_img, 0) AS n_img,
+         |    d.n_tok + $MmImageTokens * coalesce(c.n_img, 0) AS mm_tok
+         |  FROM docs d LEFT JOIN counts c USING (doc_id)),
+         |binned AS (
+         |  SELECT doc_id, source, text_tok, n_img, mm_tok,
+         |    (CAST(sum(mm_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mm_tok) // 2048 AS bin
+         |  FROM costs)
+         |SELECT source, CAST(bin AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_img) AS BIGINT) AS n_imgs,
+         |  CAST(sum(text_tok) AS BIGINT) AS text_tokens,
+         |  CAST($MmImageTokens * sum(n_img) AS BIGINT) AS image_tokens,
+         |  CAST(sum(mm_tok) AS BIGINT) AS mm_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
     // the oracle hashes every pool image with the generated dHash and
     // brute-forces all pairs — legitimate as an ORACLE because the
     // banded join's recall at Hamming ≤ 3 is exactly 1 (pigeonhole),
