@@ -130,13 +130,41 @@ object Core {
     // ENGINE-CONFORMANCE row: every cross-engine parity class from the
     // round-15 audit (negative-operand div/mod, split edge cases, md5
     // over non-ASCII, codepoint splitting beyond the BMP, double
-    // rounding half cases) evaluated as LIVE expressions on BOTH
-    // engines — the oracle runs the DuckDB half every round, so a
-    // semantic drift in either engine fails the driver gate on the
-    // hostile fixtures themselves, not only on the benign corpus.
+    // rounding half cases) plus the round-16 REGEX and TIMESTAMP
+    // classes, evaluated as LIVE expressions on BOTH engines — the
+    // oracle runs the DuckDB half every round, so a semantic drift in
+    // either engine fails the driver gate on the hostile fixtures
+    // themselves, not only on the benign corpus.
     // (CrossEngineParitySpec additionally pins today's agreed values
     // as committed constants.) Arrays publish as '~'-joined strings —
     // array cells would crash the driver's row sort.
+    //
+    // Regex class (Java regex on Spark vs RE2-family on DuckDB) —
+    // the AGREEING core is pinned live: ASCII-only \d and \w
+    // (Unicode digits/letters match in NEITHER engine by default),
+    // lazy quantifiers, alternation with $, capture-group indexing,
+    // inline (?i), replace-all (Spark's default = DuckDB's 'g'
+    // flag), \s over its common members [ \t\n\f\r], and match
+    // counting. Two MEASURED divergences stay out as documented
+    // non-exposure: (1) Java `$` also matches BEFORE a final
+    // newline, RE2 only at end of text ('b$' on "ab\n": 'b' vs no
+    // match) — no oracle anchors $ against data that can end in a
+    // newline (the binary round-trips handle the trailing \n
+    // explicitly); (2) Java \s includes \x0B (VT) which RE2's
+    // does not — \s is only ever applied to the generator corpus,
+    // which is VT-free, and the agreeing [ \t\n\f\r] core is what
+    // re_ws_core pins. Lookaround is unavailable in RE2 entirely,
+    // so no oracle may use it (none do).
+    //
+    // Timestamp class (UTC sessions on both engines): invalid
+    // calendar dates (try_cast ↔ TRY_CAST both NULL), negative
+    // (pre-epoch) epoch micros incl. the int64-ns deep end,
+    // Monday-start week truncation below the epoch, the ISO
+    // day-of-week mapping law (Spark weekday()+1 = DuckDB isodow —
+    // raw dayofweek() is OFF BY ONE between engines and must never
+    // appear unmapped in an oracle), pattern parsing (dd-MMM-yyyy ↔
+    // %d-%b-%Y), negative-micro timestamp rendering, and pre-epoch
+    // formatting/date casts.
     "q_engine_parity" -> ((s, d) =>
       s.range(1).selectExpr(
         "cast(-7 div 2 as bigint) as div_neg_a",
@@ -154,8 +182,35 @@ object Core {
         "cast(round(cast(2.5 as double)) as double) as round_half",
         "cast(round(cast(-2.5 as double)) as double) as round_neg_half",
         "round(cast(2.675 as double), 2) as round_shortest",
-        "round(cast(0.125 as double), 2) as round_bin_half"))
+        "round(cast(0.125 as double), 2) as round_bin_half",
+        "'٣' rlike '\\\\d' as re_d_unicode",
+        "'é' rlike '\\\\w' as re_w_unicode",
+        "'_' rlike '\\\\w' as re_w_underscore",
+        "regexp_extract('aaa', 'a+?', 0) as re_lazy",
+        "regexp_extract('xaby', 'a(b|$)', 1) as re_alt_anchor",
+        "regexp_extract('a1b22c', '(\\\\d)(\\\\d)', 2) as re_group2",
+        "'abc' rlike '(?i)ABC' as re_inline_ci",
+        "regexp_replace('a1b22c', '\\\\d+', '#') as re_replace_all",
+        s"regexp_replace('$WsFixture', '\\\\s+', '_') as re_ws_core",
+        "cast(size(regexp_extract_all('x1y22z333', '[0-9]+', 0)) as bigint) as re_n_matches",
+        "cast(try_cast('2024-02-30' as date) as string) as ts_bad_date",
+        "cast(try_cast('2024-13-01' as date) as string) as ts_bad_month",
+        "unix_micros(timestamp'1969-12-31 23:59:59.000001') as ts_neg_us",
+        "unix_micros(timestamp'1677-09-21 00:12:43.145224') as ts_deep_neg_us",
+        "cast(cast(date_trunc('week', date'1969-12-28') as date) as string) as ts_trunc_week_pre",
+        "cast(weekday(date'1970-01-01') + 1 as bigint) as ts_isodow_epoch",
+        "cast(to_date('29-Feb-2024', 'dd-MMM-yyyy') as string) as ts_parse_leap",
+        "cast(timestamp_micros(-1) as string) as ts_neg1us_render",
+        "date_format(timestamp'1969-12-31 23:59:59', 'yyyy-MM-dd HH:mm:ss') as ts_fmt_pre_epoch",
+        "cast(cast(timestamp'1969-12-31 12:00:00' as date) as string) as ts_cast_pre_date"))
   )
+
+  /** The \s-agreement fixture: one of each character BOTH regex
+    * engines class as whitespace ([ \t\n\f\r] — Java additionally
+    * includes \x0B, which therefore must NOT appear here or in any
+    * oracle's data; see the q_engine_parity comment).
+    */
+  private val WsFixture = " a\tb\nc\fd\re"
 
   /** xxHash64 of one 8-byte block (Spark's `XXH64.hashLong`) as a
     * generated DuckDB CTE chain — every step is unsigned-64 wrap
@@ -263,7 +318,7 @@ object Core {
         |ORDER BY r_regionkey, r_name""".stripMargin,
     // the DuckDB half of the conformance row — live, not constants
     "q_engine_parity" ->
-      """SELECT CAST(-7 // 2 AS BIGINT) AS div_neg_a,
+      s"""SELECT CAST(-7 // 2 AS BIGINT) AS div_neg_a,
         |  CAST(7 // -2 AS BIGINT) AS div_neg_b,
         |  CAST(-7 % 2 AS BIGINT) AS mod_neg_a,
         |  CAST(7 % -2 AS BIGINT) AS mod_neg_b,
@@ -280,7 +335,31 @@ object Core {
         |  CAST(round(CAST(2.5 AS DOUBLE)) AS DOUBLE) AS round_half,
         |  CAST(round(CAST(-2.5 AS DOUBLE)) AS DOUBLE) AS round_neg_half,
         |  round(CAST(2.675 AS DOUBLE), 2) AS round_shortest,
-        |  round(CAST(0.125 AS DOUBLE), 2) AS round_bin_half""".stripMargin,
+        |  round(CAST(0.125 AS DOUBLE), 2) AS round_bin_half,
+        |  regexp_matches('٣', '\\d') AS re_d_unicode,
+        |  regexp_matches('é', '\\w') AS re_w_unicode,
+        |  regexp_matches('_', '\\w') AS re_w_underscore,
+        |  regexp_extract('aaa', 'a+?', 0) AS re_lazy,
+        |  regexp_extract('xaby', 'a(b|$$)', 1) AS re_alt_anchor,
+        |  regexp_extract('a1b22c', '(\\d)(\\d)', 2) AS re_group2,
+        |  regexp_matches('abc', '(?i)ABC') AS re_inline_ci,
+        |  regexp_replace('a1b22c', '\\d+', '#', 'g') AS re_replace_all,
+        |  regexp_replace('$WsFixture', '\\s+', '_', 'g') AS re_ws_core,
+        |  CAST(len(regexp_extract_all('x1y22z333', '[0-9]+'))
+        |    AS BIGINT) AS re_n_matches,
+        |  TRY_CAST('2024-02-30' AS DATE)::VARCHAR AS ts_bad_date,
+        |  TRY_CAST('2024-13-01' AS DATE)::VARCHAR AS ts_bad_month,
+        |  epoch_us(TIMESTAMP '1969-12-31 23:59:59.000001') AS ts_neg_us,
+        |  epoch_us(TIMESTAMP '1677-09-21 00:12:43.145224') AS ts_deep_neg_us,
+        |  date_trunc('week', DATE '1969-12-28')::VARCHAR AS ts_trunc_week_pre,
+        |  CAST(isodow(DATE '1970-01-01') AS BIGINT) AS ts_isodow_epoch,
+        |  CAST(strptime('29-Feb-2024', '%d-%b-%Y') AS DATE)::VARCHAR
+        |    AS ts_parse_leap,
+        |  make_timestamp(-1)::VARCHAR AS ts_neg1us_render,
+        |  strftime(TIMESTAMP '1969-12-31 23:59:59', '%Y-%m-%d %H:%M:%S')
+        |    AS ts_fmt_pre_epoch,
+        |  CAST(TIMESTAMP '1969-12-31 12:00:00' AS DATE)::VARCHAR
+        |    AS ts_cast_pre_date""".stripMargin,
     // BYTES-intended strlen: the reference's Text cap is 1024 BYTES
     // (types.rs:16) and the Spark side computes octet_length
     "q_text_cap" ->

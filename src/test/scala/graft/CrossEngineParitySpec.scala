@@ -96,4 +96,72 @@ class CrossEngineParitySpec extends AnyFunSuite {
     assert(r.getDouble(2) == 2.68)  // DuckDB 2.68
     assert(r.getDouble(3) == 0.13)  // DuckDB 0.13
   }
+
+  test("regex: the Java-vs-RE2 agreeing core (round-16 audit)") {
+    // both engines default \d and \w to ASCII (Unicode digit '٣' and
+    // letter 'é' match in NEITHER; '_' is \w in both), support lazy
+    // quantifiers, $ inside alternation, 1-based capture groups,
+    // inline (?i), and count/replace all matches identically (Spark's
+    // replace-all default = DuckDB's 'g' flag). The \s agreeing core
+    // is [ \t\n\f\r]. The two MEASURED divergences are pinned to
+    // Spark behavior here with the non-exposure argument in
+    // operators/Core.scala's q_engine_parity comment: Java '$' also
+    // matches before a FINAL newline (RE2: end of text only), and
+    // Java \s additionally contains \x0B.
+    val r = row1("'٣' rlike '\\\\d'", "'é' rlike '\\\\w'",
+      "'_' rlike '\\\\w'", "regexp_extract('aaa', 'a+?', 0)",
+      "regexp_extract('xaby', 'a(b|$)', 1)",
+      "regexp_extract('a1b22c', '(\\\\d)(\\\\d)', 2)",
+      "'abc' rlike '(?i)ABC'",
+      "regexp_replace('a1b22c', '\\\\d+', '#')",
+      "size(regexp_extract_all('x1y22z333', '[0-9]+', 0))",
+      // the two documented divergences, pinned to the Spark side so a
+      // JAVA behavior change is also attributable
+      "regexp_extract('ab\\n', 'b$', 0)",
+      "'' rlike '\\\\s'")
+    assert(!r.getBoolean(0))            // DuckDB false
+    assert(!r.getBoolean(1))            // DuckDB false
+    assert(r.getBoolean(2))             // DuckDB true
+    assert(r.getString(3) == "a")       // DuckDB 'a'
+    assert(r.getString(4) == "b")       // DuckDB 'b'
+    assert(r.getString(5) == "2")       // DuckDB '2'
+    assert(r.getBoolean(6))             // DuckDB true
+    assert(r.getString(7) == "a#b#c")   // DuckDB (with 'g') 'a#b#c'
+    assert(r.getInt(8) == 3)            // DuckDB len(...) = 3
+    assert(r.getString(9) == "b")       // DuckDB: '' — divergent, non-exposed
+    assert(r.getBoolean(10))            // DuckDB: false — divergent, non-exposed
+  }
+
+  test("timestamps: invalid dates, pre-epoch micros, week/iso-dow laws (round-16 audit)") {
+    // UTC sessions on both engines. try_cast of impossible calendar
+    // dates is NULL in both (DuckDB TRY_CAST); epoch micros are exact
+    // at negative (pre-epoch) values down to the int64-ns deep end;
+    // date_trunc('week') is Monday-start on both below the epoch; the
+    // ISO day-of-week LAW is Spark weekday()+1 == DuckDB isodow —
+    // raw dayofweek() is off by one between engines (Spark Thu=5,
+    // DuckDB Thu=4) and must never appear unmapped in an oracle.
+    val r = row1("try_cast('2024-02-30' as date)",
+      "try_cast('2024-13-01' as date)",
+      "unix_micros(timestamp'1969-12-31 23:59:59.000001')",
+      "unix_micros(timestamp'1677-09-21 00:12:43.145224')",
+      "cast(cast(date_trunc('week', date'1969-12-28') as date) as string)",
+      "weekday(date'1970-01-01') + 1",
+      "cast(to_date('29-Feb-2024', 'dd-MMM-yyyy') as string)",
+      "cast(timestamp_micros(-1) as string)",
+      "date_format(timestamp'1969-12-31 23:59:59', 'yyyy-MM-dd HH:mm:ss')",
+      "cast(cast(timestamp'1969-12-31 12:00:00' as date) as string)",
+      "dayofweek(date'1970-01-01')")
+    assert(r.isNullAt(0))                          // DuckDB NULL
+    assert(r.isNullAt(1))                          // DuckDB NULL
+    assert(r.getLong(2) == -999999L)               // DuckDB -999999
+    assert(r.getLong(3) == -9223372036854776L)     // DuckDB equal
+    assert(r.getString(4) == "1969-12-22")         // DuckDB '1969-12-22'
+    assert(r.getInt(5) == 4)                       // DuckDB isodow = 4
+    assert(r.getString(6) == "2024-02-29")         // DuckDB strptime %d-%b-%Y
+    assert(r.getString(7) == "1969-12-31 23:59:59.999999") // make_timestamp(-1)
+    assert(r.getString(8) == "1969-12-31 23:59:59") // strftime equal
+    assert(r.getString(9) == "1969-12-31")         // DuckDB equal
+    assert(r.getInt(10) == 5)                      // DuckDB dayofweek = 4 — OFF
+                                                   // BY ONE, the unmapped trap
+  }
 }
