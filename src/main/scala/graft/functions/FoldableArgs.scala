@@ -11,13 +11,28 @@ import org.apache.spark.sql.types.IntegerType
   * A bare `eval().asInstanceOf[Int]` turns a non-literal or NULL
   * argument into an opaque NullPointerException/ClassCastException;
   * this helper raises Spark's standard NON_FOLDABLE_ARGUMENT
-  * AnalysisException naming the function and parameter instead.
+  * AnalysisException naming the function and parameter instead. A
+  * foldable argument that EVALUATES to NULL (e.g. CAST(NULL AS INT))
+  * is a different failure — the argument folds fine, its value is
+  * just unusable — so it gets INVALID_PARAMETER_VALUE.NULL rather
+  * than a mislabeled non-foldable report.
   */
 object FoldableArgs {
   def intLit(e: Expression, funcName: String, paramName: String): Int = {
-    val v = if (e.foldable && e.dataType == IntegerType) e.eval() else null
-    v match {
+    if (!e.foldable || e.dataType != IntegerType)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$funcName`",
+          "paramName" -> s"`$paramName`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
       case i: java.lang.Integer => i.intValue()
+      case null => throw new AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.NULL",
+        messageParameters = Map(
+          "functionName" -> s"`$funcName`",
+          "parameter" -> s"`$paramName`"))
       case _ => throw new AnalysisException(
         errorClass = "NON_FOLDABLE_ARGUMENT",
         messageParameters = Map(

@@ -1022,7 +1022,7 @@ object Streams {
     // (Chen et al. 2021): an offline-RL trainer conditions each step
     // on the reward still to come, so the serialization is (episode,
     // step, reward, return-to-go = suffix sum of rewards). Episode =
-    // the 30-minute-gap session (the exact q_sessionize law, shared
+    // the 5-minute-gap session (the exact q_sessionize law, shared
     // window arithmetic), step order = (ts, event_id) — total, so the
     // suffix sum is a pure function of the log. Rewards and the
     // suffix sum run in exact DECIMAL (the money discipline: a float

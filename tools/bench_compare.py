@@ -51,8 +51,8 @@ def main(a_path, b_path, thresh=1.5):
     rows = [(qb[q] / qa[q], q) for q in common if qa[q] > 0.05]
     for r, q in sorted(rows, reverse=True):
         if r > thresh or r < 1 / thresh:
-            sa = a.get("spread", {}).get(q, "")
-            sb = b.get("spread", {}).get(q, "")
+            sa = a.get("spread_max_over_min", a.get("spread", {})).get(q, "")
+            sb = b.get("spread_max_over_min", b.get("spread", {})).get(q, "")
             print(f"  {q:28s} A {qa[q]:6.2f}s (sp {sa})  B {qb[q]:6.2f}s (sp {sb})  {r:.2f}x")
 
 
