@@ -1032,19 +1032,10 @@ object Streams {
     // per-episode state is one session's events, KB-bounded by the
     // gap law. Fully oracled.
     "q_episode_returns" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ep = Window.partitionBy(col("user_id"), col("session_idx"))
         .orderBy(col("tus"), col("event_id"))
       val epSuffix = ep.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("tus"), money(col("value")).as("r"))
-        .withColumn("new_s",
-          when(col("tus") - lag(col("tus"), 1).over(w) >= 300000000L, 1)
-            .otherwise(0))
-        .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("long"))
+      episodeStepRows(s, d)
         .withColumn("step", row_number().over(ep).cast("long"))
         .withColumn("ep_len", count(lit(1)).over(
           Window.partitionBy(col("user_id"), col("session_idx"))))
@@ -1053,8 +1044,70 @@ object Streams {
           col("r").cast("double").as("reward"),
           sum(col("r")).over(epSuffix).cast("double").as("return_to_go"))
         .orderBy(col("user_id"), col("session_idx"), col("step"))
-    })
+    }),
+
+    // N-STEP TRUNCATED RETURNS over the same episodes — the other
+    // standard RL return target (Sutton & Barto §7.1): ret_n4(t) =
+    // r(t) + γ·r(t+1) + γ²·r(t+2) + γ³·r(t+3) with rewards past the
+    // episode end zero. The discount powers are a LITERAL table of
+    // exact decimals (γ = 0.9 → 0.9 / 0.81 / 0.729), so every term
+    // is an exact DECIMAL product and the 4-term sum is exact and
+    // summation-order-independent — the q_episode_returns money
+    // discipline; both engines cast the identical exact decimal to
+    // double ONCE at publication. A discounted FULL return is
+    // deliberately not published: γ^t needs t fractional digits, so
+    // beyond DECIMAL(38) horizons it cannot stay exact — the
+    // truncated n-step form is the law that survives any episode
+    // length. Same one user-key exchange (all windows share the
+    // partitioning); per-episode state = one session's events.
+    // Fully oracled; the spec pins the recurrence
+    // ret4(t) = r(t) + γ·ret4(t+1) − γ⁴·r(t+4) and the tail identity
+    // ret4(last) = r(last).
+    "q_episode_nstep" -> ((s, d) =>
+      nstepOf(episodeStepRows(s, d))
+        .orderBy(col("user_id"), col("session_idx"), col("step")))
   )
+
+  /** The n-step return arithmetic over ANY (user_id, event_id, tus,
+    * r, session_idx) step table — exposed so the spec can drive a
+    * synthetic ≥4-step episode through the exact production
+    * arithmetic (the seqPackedOf precedent): the generator corpus's
+    * episodes max out at 2–3 steps (gap law × event density), so the
+    * corpus alone exercises the γ¹/γ² terms and the truncation but
+    * never a full 4-term window.
+    */
+  private[graft] def nstepOf(stepRows: DataFrame): DataFrame = {
+    val ep = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("tus"), col("event_id"))
+    def disc(p: String, k: Int) =
+      lit(new java.math.BigDecimal(p)) *
+        coalesce(lead(col("r"), k).over(ep), money(lit(0)))
+    stepRows
+      .withColumn("step", row_number().over(ep).cast("long"))
+      .withColumn("ret4_dec", col("r") +
+        disc("0.9", 1) + disc("0.81", 2) + disc("0.729", 3))
+      .select(col("user_id"), col("session_idx"), col("step"),
+        col("r").cast("double").as("reward"),
+        col("ret4_dec").cast("double").as("ret_n4"))
+  }
+
+  /** Shared episode assembly for the RL-prep family: events keyed and
+    * sessionized under the exact q_sessionize 5-minute-gap law (shared
+    * window arithmetic), rewards in exact DECIMAL. Columns: (user_id,
+    * event_id, tus, r, new_s, session_idx).
+    */
+  private def episodeStepRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), money(col("value")).as("r"))
+      .withColumn("new_s",
+        when(col("tus") - lag(col("tus"), 1).over(w) >= 300000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("long"))
+  }
 
   private val sessionizeSql =
     """SELECT user_id, session_idx, count(*) AS n_events,
@@ -1248,6 +1301,37 @@ object Streams {
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
         |    AS return_to_go
         |FROM numbered
+        |ORDER BY user_id, session_idx, step""".stripMargin,
+    // exact-decimal discount table (0.9/0.81/0.729): every product and
+    // the 4-term sum are exact, so both engines publish the same
+    // correctly-rounded double
+    "q_episode_nstep" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
+        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  CAST(row_number() OVER ep AS BIGINT) AS step,
+        |  CAST(r AS DOUBLE) AS reward,
+        |  CAST(r + 0.9 * coalesce(lead(r, 1) OVER ep, 0)
+        |         + 0.81 * coalesce(lead(r, 2) OVER ep, 0)
+        |         + 0.729 * coalesce(lead(r, 3) OVER ep, 0) AS DOUBLE)
+        |    AS ret_n4
+        |FROM numbered
+        |WINDOW ep AS (PARTITION BY user_id, session_idx
+        |  ORDER BY tus, event_id)
         |ORDER BY user_id, session_idx, step""".stripMargin
   )
 }

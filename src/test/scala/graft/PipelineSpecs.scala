@@ -686,6 +686,73 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (k, steps) => assert(steps.length == sess(k)) }
   }
 
+  test("episode n-step returns: recurrence, tail identity, episode tiling") {
+    // replay the exact-decimal law: ret4(t) = r(t) + Σ γ^k·r(t+k) for
+    // k ≤ 3 within the episode, with the published double equal to the
+    // exact BigDecimal cast — and the recurrence the scaladoc states,
+    // ret4(t) = r(t) + γ·ret4(t+1) − γ⁴·r(t+4), which only holds if
+    // the discount table really is the exact power sequence
+    val g = Seq("1", "0.9", "0.81", "0.729").map(BigDecimal(_))
+    val g4 = BigDecimal("0.6561")
+    val eps = 1e-9
+    val rows = run("q_episode_nstep").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, steps) =>
+      val r = steps.map(s => BigDecimal(s._2))
+      steps.zipWithIndex.foreach { case ((_, _, ret4), i) =>
+        val exact = (0 to 3).map(k =>
+          if (i + k < r.length) g(k) * r(i + k) else BigDecimal(0)).sum
+        assert(math.abs(ret4 - exact.toDouble) < eps,
+          s"step ${i + 1}: $ret4 vs $exact")
+        // recurrence (skip the last step, whose ret4(t+1) is absent)
+        if (i + 1 < steps.length) {
+          val r4 = if (i + 4 < r.length) r(i + 4) else BigDecimal(0)
+          val rhs = r(i) + BigDecimal("0.9") * BigDecimal(steps(i + 1)._3) -
+            g4 * r4
+          assert(math.abs(ret4 - rhs.toDouble) < 1e-6)
+        }
+      }
+      // tail identity: the last step's n-step return is its own reward
+      assert(math.abs(steps.last._3 - steps.last._2) < eps)
+    }
+    // the corpus exercises truncation but its episodes max out below 4
+    // steps — drive a synthetic 6-step episode (plus a 1-step
+    // neighbor) through the EXACT production arithmetic so the full
+    // 4-term window and the γ⁴ recurrence term are live too
+    assert(rows.values.map(_.length).max >= 2, "corpus episodes too short")
+    val sess = spark
+    import sess.implicits._
+    val synth = Seq(
+      (1L, 1L, 1000L, "10.00", 0L), (1L, 2L, 2000L, "1.00", 0L),
+      (1L, 3L, 3000L, "2.00", 0L), (1L, 4L, 4000L, "4.00", 0L),
+      (1L, 5L, 5000L, "8.00", 0L), (1L, 6L, 6000L, "16.00", 0L),
+      (2L, 7L, 1000L, "5.00", 0L))
+      .toDF("user_id", "event_id", "tus", "r0", "session_idx")
+      .withColumn("r", col("r0").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))
+    val out = streaming.Streams.nstepOf(synth).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // closed form with all four exact-decimal terms:
+    // 10 + .9·1 + .81·2 + .729·4 = 15.436
+    assert(out((1L, 1L))._2 == 15.436)
+    // 1 + .9·2 + .81·4 + .729·8 = 11.872 ; recurrence check:
+    // ret4(1) = r(1) + γ·ret4(2) − γ⁴·r(5) = 10 + .9·11.872 − .6561·8
+    assert(out((1L, 2L))._2 == 11.872)
+    assert(BigDecimal("10.00") + BigDecimal("0.9") * BigDecimal("11.872") -
+      BigDecimal("0.6561") * BigDecimal("8.00") == BigDecimal("15.436"))
+    // truncation at the tail: ret4(6) = r(6); singleton episode = own reward
+    assert(out((1L, 6L))._2 == 16.0)
+    assert(out((2L, 1L))._2 == 5.0)
+    // n-step rows tile the same episodes as returns-to-go
+    val rtg = run("q_episode_returns").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet == rtg)
+  }
+
   test("stream-stream interval join pairs each click only with later in-window purchases") {
     val rows = run("q_stream_stream_join").collect()
     assert(rows.nonEmpty)
