@@ -620,23 +620,8 @@ object Multimodal {
     // ORACLED (running-sum window composed over the interleave
     // chain); MmSpec pins token conservation vs q_mm_interleave and
     // the bin start law.
-    "q_mm_pack" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val counts = mmPlacedImages(s, d).groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_img"))
-      val costs = docs.join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          col("n_tok").as("text_tok"),
-          coalesce(col("n_img"), lit(0L)).as("n_img"),
-          (col("n_tok") + lit(MmImageTokens) *
-            coalesce(col("n_img"), lit(0L))).as("mm_tok"))
-      val packed = graft.text.Corpus.seqPackedOf(
-        costs.select(col("doc_id"), col("source"),
-          col("mm_tok").as("n_tok")))
-      packed
-        .join(costs.select(col("doc_id"), col("text_tok"), col("n_img")),
-          Seq("doc_id"))
+    "q_mm_pack" -> ((s, d) =>
+      mmPacked(s, d)
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_img")).as("n_imgs"),
@@ -645,9 +630,63 @@ object Multimodal {
           sum(col("n_tok")).as("mm_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("source"), col("bin"))
-    })
+        .orderBy(col("source"), col("bin"))),
+
+    // MULTIMODAL TRAINING-SHARD EXPORT — the chain's last mile to
+    // disk, completing interleave → pack → export exactly as the SFT
+    // chain does (q_sft_export): the packed interleaved documents
+    // land in a write-once `mm_shards` layout partitioned by shard
+    // under the SAME shard law as every exporter here (count =
+    // ⌈corpus mm-tokens / budget⌉ as a broadcast 1-row aggregate —
+    // no driver action; shard = 48-bit md5 prefix of the (source,
+    // bin) sequence key, so a 2048-token multimodal training window
+    // NEVER splits across shard files; one hash repartition → each
+    // shard written by one task). Published manifest per shard:
+    // sequence/document/image/token accounting — what a VLM training
+    // job verifies before reading a shard — plus the
+    // order-independent document fingerprint. FULLY ORACLED by
+    // composing the interleave+pack chain with the shard-law SQL.
+    "q_mm_export" -> ((s, d) =>
+      graft.sources.Layouts.ensureLayout(s, d, "mm_shards",
+          partitionCols = Seq("shard")) {
+        val packed = mmPacked(s, d)
+        graft.text.Corpus.withDerivedShard(packed, "n_tok", packed)
+      }
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(col("source"), col("bin")).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_img")).as("n_imgs"),
+          sum(col("text_tok")).as("text_tokens"),
+          sum(col("n_tok")).as("mm_tokens"),
+          (sum(conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard")))
   )
+
+  /** Per-document packed rows for the multimodal chain: (doc_id,
+    * source, n_tok = the mm cost, running, bin, text_tok, n_img) —
+    * q_seq_pack's two-phase prefix sum over text + MmImageTokens·
+    * images costs, with the accounting joined back as thin columns.
+    * Shared by q_mm_pack and the shard exporter.
+    */
+  private[graft] def mmPacked(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val counts = mmPlacedImages(s, d).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_img"))
+    val costs = docs.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("n_tok").as("text_tok"),
+        coalesce(col("n_img"), lit(0L)).as("n_img"),
+        (col("n_tok") + lit(MmImageTokens) *
+          coalesce(col("n_img"), lit(0L))).as("mm_tok"))
+    graft.text.Corpus.seqPackedOf(
+      costs.select(col("doc_id"), col("source"), col("mm_tok").as("n_tok")))
+      .join(costs.select(col("doc_id"), col("text_tok"), col("n_img")),
+        Seq("doc_id"))
+  }
 
   private val vadEnergyTerms = (1 to VadWindowBytes)
     .map(k => s"ascii(substr(text, i*$VadWindowBytes + $k, 1))")
@@ -707,6 +746,9 @@ object Multimodal {
   // here relies on (XXH64Sql.scala header). The one CHARS-intended
   // length in this file (q_crossmodal_join's caption cap_len, Spark
   // `length()`) uses DuckDB `length()` accordingly.
+  /** The exporters' shared per-shard token budget (Corpus law). */
+  private val Budget = graft.text.Corpus.ShardTokenBudget
+
   /** Shared CTE prefix for the interleave family: the gated +
     * pHash-deduped image pool (regenerated dHash, brute-force pairs —
     * provably equal to the banded join at Hamming ≤ 3), the md5
@@ -804,6 +846,44 @@ object Multimodal {
          |  CAST(sum(mm_tok) AS BIGINT) AS mm_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // the pack chain composed with the shard law (the q_shard_export
+    // precedent): count = ceil(corpus mm-tokens / budget), shard =
+    // 48-bit md5 prefix of the (source, bin) sequence key
+    "q_mm_export" ->
+      s"""$mmImgsCte,
+         |counts AS (
+         |  SELECT doc_id, count(*) AS n_img FROM imgs GROUP BY doc_id),
+         |costs AS (
+         |  SELECT d.doc_id, d.source, d.n_tok AS text_tok,
+         |    coalesce(c.n_img, 0) AS n_img,
+         |    d.n_tok + $MmImageTokens * coalesce(c.n_img, 0) AS mm_tok
+         |  FROM docs d LEFT JOIN counts c USING (doc_id)),
+         |binned AS (
+         |  SELECT doc_id, source, text_tok, n_img, mm_tok,
+         |    (CAST(sum(mm_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mm_tok) // 2048 AS bin
+         |  FROM costs),
+         |nsh AS (
+         |  SELECT CAST(GREATEST(1,
+         |    (sum(mm_tok) + ${Budget - 1}) // $Budget) AS BIGINT) AS n
+         |  FROM binned),
+         |a AS (
+         |  SELECT *,
+         |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
+         |      1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM binned)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT source || ':' || CAST(bin AS VARCHAR))
+         |    AS BIGINT) AS n_seqs,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_img) AS BIGINT) AS n_imgs,
+         |  CAST(sum(text_tok) AS BIGINT) AS text_tokens,
+         |  CAST(sum(mm_tok) AS BIGINT) AS mm_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // the oracle hashes every pool image with the generated dHash and
     // brute-forces all pairs — legitimate as an ORACLE because the

@@ -118,7 +118,7 @@ object Corpus {
     * one-file-per-occupied-shard law (ShardExportSpec pins it) without
     * the partition COUNT ever surfacing on the driver.
     */
-  private[text] def withDerivedShard(rows: DataFrame, tokenCol: String,
+  private[graft] def withDerivedShard(rows: DataFrame, tokenCol: String,
       tokenSource: DataFrame): DataFrame = {
     val nsh = tokenSource.agg(greatest(lit(1L),
       expr(s"(sum($tokenCol) + ${ShardTokenBudget - 1}) div " +

@@ -70,6 +70,45 @@ class MmSpec extends SparkSpec {
     assert(pack.filter(col("n_docs") < 1L).count() === 0)
   }
 
+  test("export manifest conserves the packed corpus, keeps windows whole, matches disk") {
+    val man = run("q_mm_export").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(man.nonEmpty && man.length > 1)
+    // conservation vs the pack accounting (docs, images, text, mm)
+    val p = pack.agg(sum("n_docs"), sum("n_imgs"), sum("text_tokens"),
+      sum("mm_tokens")).head()
+    assert(man.map(_._3).sum == p.getLong(0))
+    assert(man.map(_._4).sum == p.getLong(1))
+    assert(man.map(_._5).sum == p.getLong(2))
+    assert(man.map(_._6).sum == p.getLong(3))
+    // shard-count law over MM tokens
+    val nsh = ((p.getLong(3) + text.Corpus.ShardTokenBudget - 1)
+      / text.Corpus.ShardTokenBudget).max(1L)
+    assert(man.length <= nsh.toInt)
+    assert(man.forall { case (s0, _, _, _, _, _) => s0 >= 0 && s0 < nsh })
+    // a 2048-token multimodal window never splits across shard files,
+    // and each occupied shard dir holds exactly one parquet file
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(wh,
+      s"mm_shards_${sources.Layouts.sfSuffix(sf)}")
+    val layout = spark.read.parquet(root.toString)
+      .select(col("source"), col("bin"), col("shard").cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(layout.nonEmpty)
+    layout.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.map(_._2).distinct.length == 1, s"window $k split") }
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dirs.size == man.length)
+    dirs.foreach { d =>
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files")
+    }
+  }
+
   test("plan: no shuffle-inducing node ever consumes payload or text") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Join, Sort, Window => LWindow}
