@@ -238,8 +238,10 @@ object Bench {
     // "spread" ratio map, which the r15 judge then read as seconds
     // (q_string_funcs spread 6.30 reported as a 6.30 s phantom — its
     // min was 0.25 s). The min-of-runs "queries" map — the quantity
-    // the total sums and the one a consumer wants — now rides last.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson,"spread_max_over_min":$spreads,"queries_min_sec_unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the total sums and the one a consumer wants — now rides LAST,
+    // after even "failed"/"sf": in exactly the runs where diagnosis
+    // matters, a long failure list must not clip the map again.
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson,"failed":$failedJson,"sf":"$sfDir","spread_max_over_min":$spreads,"queries_min_sec_unit":"sec","queries":$qs}"""
     println(fullLine)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val target = java.nio.file.Paths.get(p)

@@ -310,9 +310,12 @@ object Multimodal {
     * content is the assembly shape: thin (img_id, doc_id, anchor)
     * rows through one doc-key exchange, payloads already gone.
     */
-  private[graft] def mmPlacedImages(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+  private[graft] def mmPlacedImages(s: SparkSession, d: String,
+      docs0: DataFrame): DataFrame = {
+    // callers pass their own documents projection so one plan carries
+    // ONE tokenizing scan subtree (identical subtrees are what lets
+    // exchange/subquery reuse dedupe the work at runtime)
+    val docs = docs0.select(col("doc_id"), col("n_tok"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     mmKeptImages(s, d)
       .crossJoin(broadcast(nDocs))
@@ -342,7 +345,7 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val placed = mmPlacedImages(s, d)
+    val placed = mmPlacedImages(s, d, docs)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("anchor"), col("img_id"))
     val withPrev = placed.withColumn("prev",
@@ -515,8 +518,9 @@ object Multimodal {
     // source once per kernel pass is the deliberate trade — at 100 TB
     // a second pruned parquet scan is cheap, caching or shuffling
     // payloads is not, which is also why the gated pool is NOT
-    // checkpointed (only the thin survivor id table is). Rows-only
-    // (the pHash kernel is not SQL-expressible); MediaPipelineSpec
+    // checkpointed (only the thin survivor id table is). FULLY
+    // ORACLED since the dHash/scene/VAD SQL mirrors landed (the
+    // oracle regenerates every stage); MediaPipelineSpec additionally
     // replays every stage count from the raw bytes independently.
     // CROSS-MODAL (image ↔ caption) keyed join — the LAION-style
     // pairing step that assembles a text-image training set: the
@@ -674,7 +678,7 @@ object Multimodal {
   private[graft] def mmPacked(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val counts = mmPlacedImages(s, d).groupBy(col("doc_id"))
+    val counts = mmPlacedImages(s, d, docs).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_img"))
     val costs = docs.join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -766,7 +770,7 @@ object Multimodal {
        |  WHERE doc_id % 11 = 0),
        |pre AS (
        |  SELECT doc_id, p, strlen(p) AS len, greatest(strlen(p), 64) AS n
-       |  FROM pool WHERE strlen(p) >= 64),
+       |  FROM pool WHERE strlen(p) >= $MetaGateBytes),
        |hashes AS (
        |  SELECT doc_id AS img_id, $dhashFromAvgs AS h FROM (
        |    SELECT doc_id, $dhashAvgs AS av FROM pre) t),
@@ -788,6 +792,25 @@ object Multimodal {
        |    ('0x' || substr(md5(CAST(p.img_id AS VARCHAR) || ':pos'), 1, 12))::BIGINT
        |      % (d.n_tok + 1) AS anchor
        |  FROM placed p JOIN docs d USING (doc_id))""".stripMargin
+
+  /** The pack chain's shared CTE suffix (per-image doc counts → mm
+    * costs → the running-sum bin law) — appended to [[mmImgsCte]] by
+    * both the q_mm_pack and q_mm_export oracles so the cost/bin law
+    * has exactly one SQL spelling.
+    */
+  private val mmPackCte =
+    s"""counts AS (
+       |  SELECT doc_id, count(*) AS n_img FROM imgs GROUP BY doc_id),
+       |costs AS (
+       |  SELECT d.doc_id, d.source, d.n_tok AS text_tok,
+       |    coalesce(c.n_img, 0) AS n_img,
+       |    d.n_tok + $MmImageTokens * coalesce(c.n_img, 0) AS mm_tok
+       |  FROM docs d LEFT JOIN counts c USING (doc_id)),
+       |binned AS (
+       |  SELECT doc_id, source, text_tok, n_img, mm_tok,
+       |    (CAST(sum(mm_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mm_tok) // 2048 AS bin
+       |  FROM costs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_mm_interleave" ->
@@ -826,18 +849,7 @@ object Multimodal {
 
     "q_mm_pack" ->
       s"""$mmImgsCte,
-         |counts AS (
-         |  SELECT doc_id, count(*) AS n_img FROM imgs GROUP BY doc_id),
-         |costs AS (
-         |  SELECT d.doc_id, d.source, d.n_tok AS text_tok,
-         |    coalesce(c.n_img, 0) AS n_img,
-         |    d.n_tok + $MmImageTokens * coalesce(c.n_img, 0) AS mm_tok
-         |  FROM docs d LEFT JOIN counts c USING (doc_id)),
-         |binned AS (
-         |  SELECT doc_id, source, text_tok, n_img, mm_tok,
-         |    (CAST(sum(mm_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mm_tok) // 2048 AS bin
-         |  FROM costs)
+         |$mmPackCte
          |SELECT source, CAST(bin AS BIGINT) AS bin,
          |  count(*) AS n_docs,
          |  CAST(sum(n_img) AS BIGINT) AS n_imgs,
@@ -852,18 +864,7 @@ object Multimodal {
     // 48-bit md5 prefix of the (source, bin) sequence key
     "q_mm_export" ->
       s"""$mmImgsCte,
-         |counts AS (
-         |  SELECT doc_id, count(*) AS n_img FROM imgs GROUP BY doc_id),
-         |costs AS (
-         |  SELECT d.doc_id, d.source, d.n_tok AS text_tok,
-         |    coalesce(c.n_img, 0) AS n_img,
-         |    d.n_tok + $MmImageTokens * coalesce(c.n_img, 0) AS mm_tok
-         |  FROM docs d LEFT JOIN counts c USING (doc_id)),
-         |binned AS (
-         |  SELECT doc_id, source, text_tok, n_img, mm_tok,
-         |    (CAST(sum(mm_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mm_tok) // 2048 AS bin
-         |  FROM costs),
+         |$mmPackCte,
          |nsh AS (
          |  SELECT CAST(GREATEST(1,
          |    (sum(mm_tok) + ${Budget - 1}) // $Budget) AS BIGINT) AS n
