@@ -1065,8 +1065,61 @@ object Streams {
     // ret4(last) = r(last).
     "q_episode_nstep" -> ((s, d) =>
       nstepOf(episodeStepRows(s, d))
-        .orderBy(col("user_id"), col("session_idx"), col("step")))
+        .orderBy(col("user_id"), col("session_idx"), col("step"))),
+
+    // TRAJECTORY PACKING — the RL family's pack step, completing
+    // assemble → returns → pack exactly as the text/SFT/multimodal
+    // chains do: a decision transformer serializes each step as the
+    // (return, state, action) TRIPLE (Chen et al. 2021), so an
+    // episode costs 3·n_steps tokens, and each user's episode stream
+    // packs greedily in session order into RlWindowTokens training
+    // windows under the q_seq_pack overfill law (an episode lands in
+    // the window where it STARTS — the same two-phase prefix sum,
+    // Corpus.seqPackedOf, with the window width the DT context
+    // K ≈ 21 steps rather than the text 2048). Published per (user,
+    // window): episode/step/token accounting + the exact-DECIMAL
+    // total reward (the money discipline; one double cast at
+    // publication). Packing is PER USER deliberately — a trajectory
+    // window must never mix users (state is user-conditioned);
+    // cross-user mixing happens at the shard level like every
+    // exporter here. One user-key exchange end to end. Fully
+    // oracled; spec pins window tiling, token/reward conservation vs
+    // q_episode_returns, and the overfill start law.
+    "q_episode_pack" -> ((s, d) => {
+      val eps = episodeStepRows(s, d)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_steps"), sum(col("r")).as("ep_reward"))
+        .select(col("session_idx").as("doc_id"),
+          col("user_id").cast("string").as("source"),
+          (lit(RlStepTokens) * col("n_steps")).as("n_tok"),
+          col("n_steps"), col("ep_reward"))
+      graft.text.Corpus.seqPackedOf(
+          eps.select(col("doc_id"), col("source"), col("n_tok")),
+          binTokens = RlWindowTokens)
+        .join(eps.select(col("doc_id"), col("source"),
+          col("n_steps"), col("ep_reward")), Seq("source", "doc_id"))
+        .groupBy(col("source").cast("long").as("user_id"), col("bin"))
+        .agg(count(lit(1)).as("n_episodes"),
+          sum(col("n_steps")).as("n_steps"),
+          sum(col("n_tok")).as("rl_tokens"),
+          sum(col("ep_reward")).cast("double").as("total_reward"),
+          min(col("doc_id")).as("first_episode"),
+          max(col("doc_id")).as("last_episode"))
+        .orderBy(col("user_id"), col("bin"))
+    })
   )
+
+  /** Decision-transformer serialization cost: one step = the
+    * (return-to-go, state, action) token triple (Chen et al. 2021).
+    */
+  val RlStepTokens = 3L
+
+  /** Trajectory training-window width in tokens: the DT context
+    * length (K ≈ 21 steps × 3 tokens) — NOT the text family's 2048;
+    * a trajectory window is a model context, and DT contexts are
+    * tens of steps.
+    */
+  val RlWindowTokens = 64L
 
   /** The n-step return arithmetic over ANY (user_id, event_id, tus,
     * r, session_idx) step table — exposed so the spec can drive a
@@ -1332,6 +1385,47 @@ object Streams {
         |FROM numbered
         |WINDOW ep AS (PARTITION BY user_id, session_idx
         |  ORDER BY tus, event_id)
-        |ORDER BY user_id, session_idx, step""".stripMargin
+        |ORDER BY user_id, session_idx, step""".stripMargin,
+    // per-user running sum over session order mirrors the two-phase
+    // prefix sum exactly (the q_seq_pack precedent); 3 tokens/step,
+    // 64-token DT windows
+    "q_episode_pack" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
+        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM flagged),
+        |eps AS (
+        |  SELECT user_id, session_idx, count(*) AS n_steps,
+        |    sum(r) AS ep_reward
+        |  FROM numbered GROUP BY user_id, session_idx),
+        |packed AS (
+        |  SELECT user_id, session_idx, n_steps, ep_reward,
+        |    ${RlStepTokens} * n_steps AS n_tok,
+        |    CAST(sum(${RlStepTokens} * n_steps) OVER (
+        |      PARTITION BY user_id ORDER BY session_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |  FROM eps)
+        |SELECT user_id, (running - n_tok) // ${RlWindowTokens} AS bin,
+        |  count(*) AS n_episodes,
+        |  CAST(sum(n_steps) AS BIGINT) AS n_steps,
+        |  CAST(sum(n_tok) AS BIGINT) AS rl_tokens,
+        |  CAST(sum(ep_reward) AS DOUBLE) AS total_reward,
+        |  min(session_idx) AS first_episode,
+        |  max(session_idx) AS last_episode
+        |FROM packed
+        |GROUP BY user_id, (running - n_tok) // ${RlWindowTokens}
+        |ORDER BY user_id, bin""".stripMargin
   )
 }

@@ -71,7 +71,8 @@ object Corpus {
     * table — exposed so specs can drive multi-bin synthetic corpora
     * through the exact production arithmetic.
     */
-  private[graft] def seqPackedOf(docs0: DataFrame): DataFrame = {
+  private[graft] def seqPackedOf(docs0: DataFrame,
+      binTokens: Long = 2048L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = docs0
       .withColumn("sub", expr(s"doc_id div $SubShardDocs"))
@@ -86,7 +87,7 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, 0)
     docs.join(broadcast(offsets), Seq("source", "sub"))
       .withColumn("running", col("off") + sum(col("n_tok")).over(wLoc))
-      .withColumn("bin", expr("(running - n_tok) div 2048"))
+      .withColumn("bin", expr(s"(running - n_tok) div $binTokens"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("running"), col("bin"))
   }

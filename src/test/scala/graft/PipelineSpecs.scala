@@ -753,6 +753,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.keySet == rtg)
   }
 
+  test("trajectory packing: windows tile episodes, conserve steps/reward, obey the overfill start law") {
+    val man = run("q_episode_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+    assert(man.nonEmpty)
+    val eps = run("q_episode_returns").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(v => (v.head._2._1, v.map(_._2._2).sum))
+      .toMap
+    // conservation: every episode exactly once, steps and rewards equal
+    assert(man.map(_._3).sum == eps.size.toLong, "episodes not conserved")
+    assert(man.map(_._4).sum == eps.values.map(_._1).sum, "steps not conserved")
+    assert(man.map(_._5).sum == streaming.Streams.RlStepTokens *
+      eps.values.map(_._1).sum, "tokens != 3 x steps")
+    assert(math.abs(man.map(_._6).sum - eps.values.map(_._2).sum) < 1e-6,
+      "reward not conserved")
+    man.foreach { case (u, bin, _, _, _, _, first, last) =>
+      assert(bin >= 0 && first <= last, s"user $u window $bin")
+    }
+    // overfill start law, replayed per user: an episode's window is
+    // (running - cost) div RlWindowTokens over session order
+    val perUser = eps.toSeq.map { case ((u, si), (n, _)) => (u, si, n) }
+      .groupBy(_._1)
+    perUser.foreach { case (u, es) =>
+      var running = 0L
+      val expect = es.sortBy(_._2).map { case (_, si, n) =>
+        val cost = streaming.Streams.RlStepTokens * n
+        running += cost
+        (si, (running - cost) / streaming.Streams.RlWindowTokens)
+      }.groupBy(_._2).view
+        .mapValues(v => (v.size.toLong, v.map(_._1).min, v.map(_._1).max))
+        .toMap
+      val got = man.filter(_._1 == u)
+        .map(m => m._2 -> ((m._3, m._7, m._8))).toMap
+      assert(got == expect, s"user $u windows diverge")
+    }
+    // windows must never mix users (keyed output makes it structural,
+    // but the replay above also proves the per-user prefix sums agree)
+  }
+
   test("stream-stream interval join pairs each click only with later in-window purchases") {
     val rows = run("q_stream_stream_join").collect()
     assert(rows.nonEmpty)
