@@ -1085,19 +1085,8 @@ object Streams {
     // exporter here. One user-key exchange end to end. Fully
     // oracled; spec pins window tiling, token/reward conservation vs
     // q_episode_returns, and the overfill start law.
-    "q_episode_pack" -> ((s, d) => {
-      val eps = episodeStepRows(s, d)
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_steps"), sum(col("r")).as("ep_reward"))
-        .select(col("session_idx").as("doc_id"),
-          col("user_id").cast("string").as("source"),
-          (lit(RlStepTokens) * col("n_steps")).as("n_tok"),
-          col("n_steps"), col("ep_reward"))
-      graft.text.Corpus.seqPackedOf(
-          eps.select(col("doc_id"), col("source"), col("n_tok")),
-          binTokens = RlWindowTokens)
-        .join(eps.select(col("doc_id"), col("source"),
-          col("n_steps"), col("ep_reward")), Seq("source", "doc_id"))
+    "q_episode_pack" -> ((s, d) =>
+      episodePacked(s, d)
         .groupBy(col("source").cast("long").as("user_id"), col("bin"))
         .agg(count(lit(1)).as("n_episodes"),
           sum(col("n_steps")).as("n_steps"),
@@ -1105,9 +1094,61 @@ object Streams {
           sum(col("ep_reward")).cast("double").as("total_reward"),
           min(col("doc_id")).as("first_episode"),
           max(col("doc_id")).as("last_episode"))
-        .orderBy(col("user_id"), col("bin"))
-    })
+        .orderBy(col("user_id"), col("bin"))),
+
+    // TRAJECTORY SHARD EXPORT — the RL chain's last mile to disk,
+    // ending the chain the way every chain here ends (q_shard_export
+    // / q_sft_export / q_mm_export): the packed trajectory windows
+    // land in a write-once `rl_shards` layout under the SHARED shard
+    // law (count = ⌈rl-tokens / budget⌉ as a broadcast 1-row
+    // aggregate; shard = 48-bit md5 of the (user, window) sequence
+    // key, so a trajectory window — and therefore a user's episodes
+    // within it — NEVER splits across shard files; one hash
+    // repartition → one task per shard). Manifest per shard:
+    // window/episode/step/token accounting, the exact-DECIMAL total
+    // reward (an offline-RL loader verifies reward mass before
+    // training), and the order-independent episode fingerprint
+    // (md5 of the user:session key — session_idx alone is not
+    // globally unique). FULLY ORACLED by composing the pack chain
+    // with the shard-law SQL.
+    "q_episode_export" -> ((s, d) =>
+      graft.sources.Layouts.ensureLayout(s, d, "rl_shards",
+          partitionCols = Seq("shard")) {
+        val packed = episodePacked(s, d)
+        graft.text.Corpus.withDerivedShard(packed, "n_tok", packed)
+      }
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(col("source"), col("bin")).as("n_windows"),
+          count(lit(1)).as("n_episodes"),
+          sum(col("n_steps")).as("n_steps"),
+          sum(col("n_tok")).as("rl_tokens"),
+          sum(col("ep_reward")).cast("double").as("total_reward"),
+          (sum(conv(substring(md5(concat(col("source"), lit(":"),
+              col("doc_id").cast("string")).cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard")))
   )
+
+  /** Per-episode trajectory-packed rows (doc_id = session_idx,
+    * source = the user key, n_tok = 3·steps, running, bin, n_steps,
+    * ep_reward) — the q_episode_pack body, shared with the shard
+    * exporter.
+    */
+  private[graft] def episodePacked(s: SparkSession, d: String): DataFrame = {
+    val eps = episodeStepRows(s, d)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_steps"), sum(col("r")).as("ep_reward"))
+      .select(col("session_idx").as("doc_id"),
+        col("user_id").cast("string").as("source"),
+        (lit(RlStepTokens) * col("n_steps")).as("n_tok"),
+        col("n_steps"), col("ep_reward"))
+    graft.text.Corpus.seqPackedOf(
+        eps.select(col("doc_id"), col("source"), col("n_tok")),
+        binTokens = RlWindowTokens)
+      .join(eps.select(col("doc_id"), col("source"),
+        col("n_steps"), col("ep_reward")), Seq("source", "doc_id"))
+  }
 
   /** Decision-transformer serialization cost: one step = the
     * (return-to-go, state, action) token triple (Chen et al. 2021).
@@ -1120,6 +1161,9 @@ object Streams {
     * tens of steps.
     */
   val RlWindowTokens = 64L
+
+  /** The exporters' shared per-shard token budget (Corpus law). */
+  private val Budget = graft.text.Corpus.ShardTokenBudget
 
   /** The n-step return arithmetic over ANY (user_id, event_id, tus,
     * r, session_idx) step table — exposed so the spec can drive a
@@ -1426,6 +1470,61 @@ object Streams {
         |  max(session_idx) AS last_episode
         |FROM packed
         |GROUP BY user_id, (running - n_tok) // ${RlWindowTokens}
-        |ORDER BY user_id, bin""".stripMargin
+        |ORDER BY user_id, bin""".stripMargin,
+    // the pack chain composed with the shared shard law (the
+    // q_shard_export precedent), sequence key = user:window
+    "q_episode_export" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
+        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM flagged),
+        |eps AS (
+        |  SELECT user_id, session_idx, count(*) AS n_steps,
+        |    sum(r) AS ep_reward
+        |  FROM numbered GROUP BY user_id, session_idx),
+        |packed AS (
+        |  SELECT user_id, session_idx, n_steps, ep_reward,
+        |    ${RlStepTokens} * n_steps AS n_tok,
+        |    CAST(sum(${RlStepTokens} * n_steps) OVER (
+        |      PARTITION BY user_id ORDER BY session_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |  FROM eps),
+        |b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS source, session_idx,
+        |    n_steps, ep_reward, n_tok,
+        |    (running - n_tok) // ${RlWindowTokens} AS bin
+        |  FROM packed),
+        |nsh AS (
+        |  SELECT CAST(GREATEST(1,
+        |    (sum(n_tok) + ${Budget - 1}) // $Budget) AS BIGINT) AS n
+        |  FROM b),
+        |a AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
+        |      1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+        |  FROM b)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(DISTINCT source || ':' || CAST(bin AS VARCHAR))
+        |    AS BIGINT) AS n_windows,
+        |  count(*) AS n_episodes,
+        |  CAST(sum(n_steps) AS BIGINT) AS n_steps,
+        |  CAST(sum(n_tok) AS BIGINT) AS rl_tokens,
+        |  CAST(sum(ep_reward) AS DOUBLE) AS total_reward,
+        |  CAST(CAST(sum(('0x' || substr(md5(source || ':' ||
+        |      CAST(session_idx AS VARCHAR)), 1, 8))::BIGINT) AS HUGEINT)
+        |    % 1000000000000000000 AS BIGINT) AS fingerprint
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -793,6 +793,47 @@ class StreamingSpec extends SparkSpec {
     // but the replay above also proves the per-user prefix sums agree)
   }
 
+  test("trajectory export conserves the packed windows, keeps them whole, matches disk") {
+    import scala.jdk.CollectionConverters._
+    val man = run("q_episode_export").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(man.nonEmpty)
+    val packTot = run("q_episode_pack")
+      .agg(count(lit(1)), sum("n_episodes"), sum("n_steps"),
+        sum("rl_tokens"), sum("total_reward")).head()
+    // window/episode/step/token/reward conservation vs the pack
+    assert(man.map(_._2).sum == packTot.getLong(0))
+    assert(man.map(_._3).sum == packTot.getLong(1))
+    assert(man.map(_._4).sum == packTot.getLong(2))
+    assert(man.map(_._5).sum == packTot.getLong(3))
+    assert(math.abs(man.map(_._6).sum - packTot.getDouble(4)) < 1e-6)
+    // shard-count law over rl tokens
+    val nsh = ((packTot.getLong(3) + text.Corpus.ShardTokenBudget - 1)
+      / text.Corpus.ShardTokenBudget).max(1L)
+    assert(man.length <= nsh.toInt)
+    assert(man.forall { case (s0, _, _, _, _, _) => s0 >= 0 && s0 < nsh })
+    // a trajectory window never splits across shard files; one parquet
+    // file per occupied shard dir
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(wh,
+      s"rl_shards_${sources.Layouts.sfSuffix(sf)}")
+    val layout = spark.read.parquet(root.toString)
+      .select(col("source"), col("bin"), col("shard").cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(layout.nonEmpty)
+    layout.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.map(_._2).distinct.length == 1, s"window $k split") }
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dirs.size == man.length)
+    dirs.foreach { p =>
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$p has $files files")
+    }
+  }
+
   test("stream-stream interval join pairs each click only with later in-window purchases") {
     val rows = run("q_stream_stream_join").collect()
     assert(rows.nonEmpty)
