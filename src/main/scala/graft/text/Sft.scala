@@ -39,6 +39,15 @@ object Sft {
   private val TStart = "<|im_start|>"
   private val TEnd   = "<|im_end|>"
 
+  /** q_pass_at_k success threshold in score micro-units: a sample
+    * "passes" when its micro-quantized quality score is ≥ 0.55 — the
+    * deterministic stand-in for "passes its unit tests", chosen to
+    * SPLIT the corpus pools (measured: group pass counts span 0..n,
+    * so every branch of the estimator — c = 0, interior, c = n — is
+    * live at test SF).
+    */
+  val PassThresholdMicro = 550000L
+
   /** Shared turn derivation: one window pass on the conversation key
     * assigns turn numbers; role alternates from the first turn (the
     * user speaks first). `row_number` over (ts, event_id) is total —
@@ -305,6 +314,59 @@ object Sft {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // PASS@K — the OTHER standard sampling eval (Chen et al. 2021,
+    // the HumanEval estimator): given n pooled samples per task of
+    // which c pass, the unbiased probability that at least one of k
+    // drawn samples passes is pass@k = 1 − C(n−c, k) / C(n, k).
+    // Task = the (lang, source) comparison group (as q_best_of_n);
+    // pool = the same deterministic 16-member hash-ordered sample
+    // (salted ':pak', so the two evals' pools are independent);
+    // "passes" = the micro-quantized quality score clears
+    // [[PassThresholdMicro]] — the deterministic stand-in for "the
+    // sample passes its unit tests".
+    //
+    // Cross-engine exactness — ALL-INTEGER throughout (the
+    // q_best_of_n discipline): one IEEE quantization of the score,
+    // integer threshold compare, BIGINT binomials via factorial div
+    // (n ≤ 16, so every factorial and 2·10⁶·C(n,k) fit a long), and
+    // the half-up integer division (2·10⁶·(C−C′) + C) div (2·C) —
+    // no float op after the quantization. Published in micro-units
+    // for k ∈ {1,2,4,8} (NULL where k > n). pass@1 = c/n and the
+    // curve is monotone in k (spec-pinned, plus an exact BigInt
+    // replay). Scale shape: score is a zero-shuffle kernel
+    // projection; thin rows, one group-key exchange, constant
+    // per-group state — identical to q_best_of_n.
+    "q_pass_at_k" -> ((s, d) => {
+      val ks = Seq(1, 2, 4, 8)
+      val grp = Window.partitionBy(col("lang"), col("source"))
+      val sampOrd = grp.orderBy(
+        md5(concat(col("doc_id").cast("string"), lit(":pak")).cast("binary")),
+        col("doc_id"))
+      def binom(nExpr: String, k: Int) =
+        s"(factorial(cast(($nExpr) as int)) div (factorial($k)" +
+          s" * factorial(cast(($nExpr) - $k as int))))"
+      val pool = TextOps.qualityScored(s, d)
+        .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+        .withColumn("samp", row_number().over(sampOrd))
+        .filter(col("samp") <= 16)
+      pool.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s6i") >= PassThresholdMicro, 1L).otherwise(0L))
+            .as("c"))
+        .select(Seq(col("lang"), col("source"),
+          col("n").cast("long").as("pool_n"),
+          col("c").cast("long").as("n_pass")) ++ ks.map { k =>
+          when(col("n") >= k, expr(
+            s"cast((2 * 1000000 * (${binom("n", k)}" +
+              s" - (case when n - c >= $k then ${binom("n - c", k)}" +
+              s" else 0 end)) + ${binom("n", k)})" +
+              s" div (2 * ${binom("n", k)}) as bigint)"))
+            .as(s"pak_${k}_micro")
+        }: _*)
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // PREFERENCE-PAIR mining — DPO/RLHF pair construction: within
     // each comparison group, the best- and worst-scoring documents
     // under the q_quality_logistic model become (chosen, rejected).
@@ -507,6 +569,38 @@ object Sft {
          |  FROM r GROUP BY lang, source)
          |SELECT lang, source, CAST(k AS BIGINT) AS pool_k,
          |$bonCols
+         |FROM a ORDER BY lang, source""".stripMargin
+    },
+    "q_pass_at_k" -> {
+      val ks = Seq(1, 2, 4, 8)
+      def binom(nExpr: String, k: Int) =
+        s"CAST(factorial(CAST(($nExpr) AS INT)) // (factorial($k)" +
+          s" * factorial(CAST(($nExpr) - $k AS INT))) AS BIGINT)"
+      val pakCols = ks.map { k =>
+        s"""CASE WHEN n >= $k THEN
+           |  CAST((2 * 1000000 * (${binom("n", k)}
+           |    - (CASE WHEN n - c >= $k THEN ${binom("n - c", k)}
+           |       ELSE 0 END)) + ${binom("n", k)})
+           |  // (2 * ${binom("n", k)}) AS BIGINT)
+           |END AS pak_${k}_micro""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
+         |  FROM (${TextOps.qualityScoredSql}) q),
+         |pool AS (
+         |  SELECT lang, source, doc_id, s6i FROM (
+         |    SELECT lang, source, doc_id, s6i,
+         |      row_number() OVER (PARTITION BY lang, source
+         |        ORDER BY md5(doc_id || ':pak'), doc_id) AS samp
+         |    FROM s) t WHERE samp <= 16),
+         |a AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN s6i >= $PassThresholdMicro
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM pool GROUP BY lang, source)
+         |SELECT lang, source, n AS pool_n, c AS n_pass,
+         |$pakCols
          |FROM a ORDER BY lang, source""".stripMargin
     },
     "q_pref_pairs" ->

@@ -172,6 +172,46 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("pass@k: exact binomial replay, monotone curve, boundary identities") {
+    val rows = run("q_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    def binom(n: Long, k: Int): BigInt =
+      if (n < k) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product /
+        (BigInt(1) to BigInt(k)).product
+    var sawZero, sawInterior, sawFull = false
+    rows.foreach { r =>
+      val n = r.getAs[Long]("pool_n")
+      val c = r.getAs[Long]("n_pass")
+      assert(c >= 0 && c <= n)
+      if (c == 0) sawZero = true
+      else if (c == n) sawFull = true
+      else sawInterior = true
+      val curve = Seq(1, 2, 4, 8).flatMap { k =>
+        Option(r.getAs[java.lang.Long](s"pak_${k}_micro")).map(_.toLong)
+          .map { got =>
+            // exact replay of the unbiased estimator in BigInt, with
+            // the same half-up integer division
+            val cnk = binom(n, k)
+            val miss = binom(n - c, k)
+            val expect =
+              ((BigInt(2000000) * (cnk - miss) + cnk) / (cnk * 2)).toLong
+            assert(got == expect, s"n=$n c=$c k=$k: $got vs $expect")
+            got
+          }
+      }
+      // monotone in k; boundary identities
+      assert(curve == curve.sorted, s"pass@k curve not monotone: $curve")
+      if (c == 0) curve.foreach(v => assert(v == 0L))
+      if (c == n) curve.foreach(v => assert(v == 1000000L))
+      // pass@1 is exactly the half-up pass rate c/n
+      assert(curve.head == (2000000L * c + n) / (2 * n))
+    }
+    // the threshold must keep every estimator branch live at test SF
+    assert(sawZero && sawInterior && sawFull,
+      s"branches: zero=$sawZero interior=$sawInterior full=$sawFull")
+  }
+
   test("sft export: manifest conserves the pack; whole bins; one file per shard") {
     val man = run("q_sft_export").collect()
     assert(man.nonEmpty)
