@@ -750,9 +750,6 @@ object Multimodal {
   // here relies on (XXH64Sql.scala header). The one CHARS-intended
   // length in this file (q_crossmodal_join's caption cap_len, Spark
   // `length()`) uses DuckDB `length()` accordingly.
-  /** The exporters' shared per-shard token budget (Corpus law). */
-  private val Budget = graft.text.Corpus.ShardTokenBudget
-
   /** Shared CTE prefix for the interleave family: the gated +
     * pHash-deduped image pool (regenerated dHash, brute-force pairs —
     * provably equal to the banded join at Hamming ≤ 3), the md5
@@ -865,10 +862,7 @@ object Multimodal {
     "q_mm_export" ->
       s"""$mmImgsCte,
          |$mmPackCte,
-         |nsh AS (
-         |  SELECT CAST(GREATEST(1,
-         |    (sum(mm_tok) + ${Budget - 1}) // $Budget) AS BIGINT) AS n
-         |  FROM binned),
+         |${graft.text.Corpus.nshSql("mm_tok", "binned")},
          |a AS (
          |  SELECT *,
          |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),

@@ -1162,8 +1162,47 @@ object Streams {
     */
   val RlWindowTokens = 64L
 
-  /** The exporters' shared per-shard token budget (Corpus law). */
-  private val Budget = graft.text.Corpus.ShardTokenBudget
+  /** The sessionize law (5-minute gap) as ONE shared oracle CTE chain
+    * — e (keyed micro-timestamps + exact-DECIMAL rewards) → flagged
+    * (gap flags) → numbered (running session_idx) — the SQL mirror of
+    * [[episodeStepRows]]. Single definition site for every
+    * episode-family oracle, so a gap-law change propagates to all of
+    * them at once.
+    */
+  private val episodeStepsSql =
+    """e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(value AS DECIMAL(18,2)) AS r
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
+      |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |numbered AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_idx
+      |  FROM flagged)""".stripMargin
+
+  /** The trajectory pack chain (eps → packed) over the sessionized
+    * steps — the SQL mirror of [[episodePacked]], shared by the pack
+    * and export oracles.
+    */
+  private val episodePackedSql =
+    s"""eps AS (
+       |  SELECT user_id, session_idx, count(*) AS n_steps,
+       |    sum(r) AS ep_reward
+       |  FROM numbered GROUP BY user_id, session_idx),
+       |packed AS (
+       |  SELECT user_id, session_idx, n_steps, ep_reward,
+       |    ${RlStepTokens} * n_steps AS n_tok,
+       |    CAST(sum(${RlStepTokens} * n_steps) OVER (
+       |      PARTITION BY user_id ORDER BY session_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+       |  FROM eps)""".stripMargin
 
   /** The n-step return arithmetic over ANY (user_id, event_id, tus,
     * r, session_idx) step table — exposed so the spec can drive a
@@ -1371,23 +1410,8 @@ object Streams {
          |ORDER BY user_id, session_idx""".stripMargin,
     // the sessionize law + per-episode suffix sums in exact DECIMAL
     "q_episode_returns" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-        |    CAST(value AS DECIMAL(18,2)) AS r
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
-        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |numbered AS (
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-        |      ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_idx
-        |  FROM flagged)
-        |SELECT user_id, session_idx,
+      (s"WITH $episodeStepsSql\n" +
+      """SELECT user_id, session_idx,
         |  CAST(row_number() OVER (PARTITION BY user_id, session_idx
         |    ORDER BY tus, event_id) AS BIGINT) AS step,
         |  CAST(count(*) OVER (PARTITION BY user_id, session_idx)
@@ -1398,28 +1422,13 @@ object Streams {
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
         |    AS return_to_go
         |FROM numbered
-        |ORDER BY user_id, session_idx, step""".stripMargin,
+        |ORDER BY user_id, session_idx, step""".stripMargin),
     // exact-decimal discount table (0.9/0.81/0.729): every product and
     // the 4-term sum are exact, so both engines publish the same
     // correctly-rounded double
     "q_episode_nstep" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-        |    CAST(value AS DECIMAL(18,2)) AS r
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
-        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |numbered AS (
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-        |      ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_idx
-        |  FROM flagged)
-        |SELECT user_id, session_idx,
+      (s"WITH $episodeStepsSql\n" +
+      """SELECT user_id, session_idx,
         |  CAST(row_number() OVER ep AS BIGINT) AS step,
         |  CAST(r AS DOUBLE) AS reward,
         |  CAST(r + 0.9 * coalesce(lead(r, 1) OVER ep, 0)
@@ -1429,39 +1438,13 @@ object Streams {
         |FROM numbered
         |WINDOW ep AS (PARTITION BY user_id, session_idx
         |  ORDER BY tus, event_id)
-        |ORDER BY user_id, session_idx, step""".stripMargin,
+        |ORDER BY user_id, session_idx, step""".stripMargin),
     // per-user running sum over session order mirrors the two-phase
     // prefix sum exactly (the q_seq_pack precedent); 3 tokens/step,
     // 64-token DT windows
     "q_episode_pack" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-        |    CAST(value AS DECIMAL(18,2)) AS r
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
-        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |numbered AS (
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-        |      ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_idx
-        |  FROM flagged),
-        |eps AS (
-        |  SELECT user_id, session_idx, count(*) AS n_steps,
-        |    sum(r) AS ep_reward
-        |  FROM numbered GROUP BY user_id, session_idx),
-        |packed AS (
-        |  SELECT user_id, session_idx, n_steps, ep_reward,
-        |    ${RlStepTokens} * n_steps AS n_tok,
-        |    CAST(sum(${RlStepTokens} * n_steps) OVER (
-        |      PARTITION BY user_id ORDER BY session_idx
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
-        |  FROM eps)
-        |SELECT user_id, (running - n_tok) // ${RlWindowTokens} AS bin,
+      (s"WITH $episodeStepsSql,\n$episodePackedSql\n" +
+      s"""SELECT user_id, (running - n_tok) // ${RlWindowTokens} AS bin,
         |  count(*) AS n_episodes,
         |  CAST(sum(n_steps) AS BIGINT) AS n_steps,
         |  CAST(sum(n_tok) AS BIGINT) AS rl_tokens,
@@ -1470,46 +1453,17 @@ object Streams {
         |  max(session_idx) AS last_episode
         |FROM packed
         |GROUP BY user_id, (running - n_tok) // ${RlWindowTokens}
-        |ORDER BY user_id, bin""".stripMargin,
+        |ORDER BY user_id, bin""".stripMargin),
     // the pack chain composed with the shared shard law (the
     // q_shard_export precedent), sequence key = user:window
     "q_episode_export" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-        |    CAST(value AS DECIMAL(18,2)) AS r
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN tus - lag(tus, 1) OVER
-        |      (PARTITION BY user_id ORDER BY tus, event_id) >= 300000000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |numbered AS (
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-        |      ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_idx
-        |  FROM flagged),
-        |eps AS (
-        |  SELECT user_id, session_idx, count(*) AS n_steps,
-        |    sum(r) AS ep_reward
-        |  FROM numbered GROUP BY user_id, session_idx),
-        |packed AS (
-        |  SELECT user_id, session_idx, n_steps, ep_reward,
-        |    ${RlStepTokens} * n_steps AS n_tok,
-        |    CAST(sum(${RlStepTokens} * n_steps) OVER (
-        |      PARTITION BY user_id ORDER BY session_idx
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
-        |  FROM eps),
-        |b AS (
+      (s"WITH $episodeStepsSql,\n$episodePackedSql,\n" +
+      s"""b AS (
         |  SELECT CAST(user_id AS VARCHAR) AS source, session_idx,
         |    n_steps, ep_reward, n_tok,
         |    (running - n_tok) // ${RlWindowTokens} AS bin
         |  FROM packed),
-        |nsh AS (
-        |  SELECT CAST(GREATEST(1,
-        |    (sum(n_tok) + ${Budget - 1}) // $Budget) AS BIGINT) AS n
-        |  FROM b),
+        |${graft.text.Corpus.nshSql("n_tok", "b")},
         |a AS (
         |  SELECT *,
         |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
@@ -1525,6 +1479,6 @@ object Streams {
         |  CAST(CAST(sum(('0x' || substr(md5(source || ':' ||
         |      CAST(session_idx AS VARCHAR)), 1, 8))::BIGINT) AS HUGEINT)
         |    % 1000000000000000000 AS BIGINT) AS fingerprint
-        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }

@@ -58,6 +58,19 @@ object Corpus {
     */
   val ShardTokenBudget = 8192L
 
+  /** The shard-count law as an oracle CTE — ⌈sum(tokenCol) / budget⌉
+    * floored at 1, the SQL mirror of [[withDerivedShard]]'s 1-row
+    * aggregate. One definition site for every exporter oracle (text /
+    * wrapped / SFT / multimodal / RL), so a budget or law change
+    * propagates to all of them at once.
+    */
+  private[graft] def nshSql(tokenCol: String, from: String): String =
+    s"""nsh AS (
+       |  SELECT CAST(GREATEST(1,
+       |    (sum($tokenCol) + ${ShardTokenBudget - 1}) // $ShardTokenBudget)
+       |    AS BIGINT) AS n
+       |  FROM $from)""".stripMargin
+
   /** The packed-sequence table (doc_id, source, n_tok, running, bin) —
     * q_seq_pack's body, shared with the shard exporter. Two-phase
     * distributed prefix sum; see the q_seq_pack comment.
@@ -1307,11 +1320,7 @@ object Corpus {
          |  SELECT doc_id, source, n_tok,
          |    (running - n_tok) // 2048 AS bin
          |  FROM packed),
-         |nsh AS (
-         |  SELECT CAST(GREATEST(1,
-         |    (sum(n_tok) + $ShardTokenBudget - 1) // $ShardTokenBudget)
-         |    AS BIGINT) AS n
-         |  FROM b),
+         |${nshSql("n_tok", "b")},
          |a AS (
          |  SELECT doc_id, source, n_tok, bin,
          |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
@@ -1399,11 +1408,7 @@ object Corpus {
          |    CAST(LEAST(s0 + n_tok, (bin + 1) * 2048)
          |      - GREATEST(s0, bin * 2048) AS BIGINT) AS seg_tokens
          |  FROM seg),
-         |nsh AS (
-         |  SELECT CAST(GREATEST(1,
-         |    (sum(seg_tokens) + $ShardTokenBudget - 1) // $ShardTokenBudget)
-         |    AS BIGINT) AS n
-         |  FROM segs),
+         |${nshSql("seg_tokens", "segs")},
          |a AS (
          |  SELECT doc_id, source, bin, seg_tokens,
          |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),

@@ -48,6 +48,20 @@ object Sft {
     */
   val PassThresholdMicro = 550000L
 
+  /** Pool size for the sampling evals (q_best_of_n / q_pass_at_k):
+    * the deterministic hash-ordered sample standing in for "n i.i.d.
+    * samples per task". HARD BOUND: both estimators build their
+    * binomials from `factorial()`, which is exact only through 20!
+    * (Spark returns NULL above 20; DuckDB's result no longer fits
+    * BIGINT) — so the pool may never exceed 20 without rewriting the
+    * binomials as multiplicative products. The require makes raising
+    * it past the validity bound a loud failure instead of silently
+    * NULL bon/pak columns.
+    */
+  val SamplePoolK = 16
+  require(SamplePoolK <= 20,
+    s"SamplePoolK=$SamplePoolK exceeds factorial()'s 20! exactness bound")
+
   /** Shared turn derivation: one window pass on the conversation key
     * assigns turn numbers; role alternates from the first turn (the
     * user speaks first). `row_number` over (ts, event_id) is total —
@@ -289,7 +303,7 @@ object Sft {
         .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
           .cast("long"))
         .withColumn("samp", row_number().over(sampOrd))
-        .filter(col("samp") <= 16)
+        .filter(col("samp") <= SamplePoolK)
       val ranked = pool
         .withColumn("k", count(lit(1)).over(grp))
         .withColumn("i", row_number().over(
@@ -349,7 +363,7 @@ object Sft {
         .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
           .cast("long"))
         .withColumn("samp", row_number().over(sampOrd))
-        .filter(col("samp") <= 16)
+        .filter(col("samp") <= SamplePoolK)
       pool.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("s6i") >= PassThresholdMicro, 1L).otherwise(0L))
@@ -457,12 +471,8 @@ object Sft {
     // `||` concat operators inside it.
     "q_sft_export" ->
       (s"WITH $packChainSql,\n" +
-      s"""nsh AS (
-         |  SELECT CAST(GREATEST(1,
-         |    (sum(conv_tokens) + ${Corpus.ShardTokenBudget - 1})
-         |      // ${Corpus.ShardTokenBudget}) AS BIGINT) AS n
-         |  FROM b),
-         |a AS (
+        Corpus.nshSql("conv_tokens", "b") + ",\n" +
+      s"""a AS (
          |  SELECT *, ('0x' || substr(md5('sft:' || CAST(bin AS VARCHAR)),
          |    1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
          |  FROM b)
@@ -556,7 +566,7 @@ object Sft {
          |    SELECT lang, source, doc_id, s6i,
          |      row_number() OVER (PARTITION BY lang, source
          |        ORDER BY md5(doc_id || ':bon'), doc_id) AS samp
-         |    FROM s) t WHERE samp <= 16),
+         |    FROM s) t WHERE samp <= $SamplePoolK),
          |r AS (
          |  SELECT lang, source, s6i,
          |    count(*) OVER (PARTITION BY lang, source) AS k,
@@ -593,7 +603,7 @@ object Sft {
          |    SELECT lang, source, doc_id, s6i,
          |      row_number() OVER (PARTITION BY lang, source
          |        ORDER BY md5(doc_id || ':pak'), doc_id) AS samp
-         |    FROM s) t WHERE samp <= 16),
+         |    FROM s) t WHERE samp <= $SamplePoolK),
          |a AS (
          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(CASE WHEN s6i >= $PassThresholdMicro

@@ -130,8 +130,12 @@ class MmSpec extends SparkSpec {
       shufflers.foreach { n =>
         val dirty = n.children.filter(_.output.exists(a =>
           a.name.contains("payload") || a.name == "text"))
+        // the child must actually CARRY the 1-row audit columns: an
+        // empty output set is a subset of anything, so a zero-column
+        // join child must not excuse the other side's shuffle
         val excused = n.isInstanceOf[Join] &&
-          n.children.exists(_.output.map(_.name).toSet.subsetOf(oneRowAudit))
+          n.children.exists(c => c.output.nonEmpty &&
+            c.output.map(_.name).toSet.subsetOf(oneRowAudit))
         assert(dirty.isEmpty || excused,
           q + ": " + n.nodeName + " consumes: " +
             dirty.flatMap(_.output.map(_.name)).mkString(","))
