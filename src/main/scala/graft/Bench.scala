@@ -11,6 +11,18 @@ import org.apache.spark.sql.SparkSession
   * pressure by the ratio of its canary to the committed reference
   * canary in BASELINE.md.
   *
+  * MID-SESSION pressure is additionally sampled: on full shared-mode
+  * runs one canary trial fires every [[ProbeEvery]] queries, and the
+  * per-probe values ship as `canary_probe_after`/`canary_probe_sec`
+  * (positions include the start/end pair at 0 and N). Queries whose
+  * BRACKETING probes both read > [[PressureRatio]]× the session's
+  * best probe are listed in `suspect_pressure` — start/end canaries
+  * alone cannot flag pressure that arrives and leaves mid-session
+  * (the r16 driver artifact carried an 11.1 s q_graph_pagerank whose
+  * isolated cost was 3.6 s, with both trials inside a pressure window
+  * invisible to the start/end pair; these fields make that case
+  * self-adjudicating).
+  *
   * Each query is fully materialized through the `noop` sink (not
   * `.count()`, which would let Catalyst prune away projections and
   * under-report the real work).
@@ -48,6 +60,20 @@ import org.apache.spark.sql.SparkSession
   *    moves this number even when the min looks healthy.
   */
 object Bench {
+
+  /** Mid-session probe cadence: one canary trial per this many timed
+    * queries on a full shared-mode run (~7 probes × <1 s over a 280-
+    * query session — the same cost class as the start/end pair).
+    */
+  val ProbeEvery = 40
+
+  /** A query is pressure-suspect when the probes bracketing it BOTH
+    * exceed this ratio of the session's best probe. 1.5 sits above
+    * the ambient start/end spread on record (up to ~1.47 across the
+    * five committed r16 sessions) and well below the ≥2× a session
+    * loaded enough to distort timings reads.
+    */
+  val PressureRatio = 1.5
 
   /** Session-lifecycle family in fresh mode (also the warmup grouping):
     * streaming (state stores, RocksDB), dedup (shingle layouts), sim
@@ -174,6 +200,10 @@ object Bench {
     val canaryOn = filter == Seq("") && nameSet.isEmpty
     var canaryStart = -1.0
     var canaryEnd = -1.0
+    // (queries-completed, sec) for each mid-session probe; shared
+    // mode only — fresh mode's per-family sessions are already
+    // bracketed by their own isolated start/end canaries
+    val midProbes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
 
     val results: Seq[(String, Double, Double, Boolean)] = mode match {
       case "fresh" =>
@@ -207,7 +237,9 @@ object Bench {
         if (canaryOn) canaryStart = canaryBest(s)
         warmups.flatMap(w => all.toMap.get(w))
           .foreach(fn => runOnce(s, fn, "warmup"))
-        val out = all.map { case (n, fn) =>
+        val out = all.zipWithIndex.map { case ((n, fn), i) =>
+          if (canaryOn && i > 0 && i % ProbeEvery == 0)
+            midProbes += ((i, canaryOnce(s)))
           val (sec, spread, ok) = timeQuery(s, n, fn)
           (n, sec, spread, ok)
         }
@@ -232,6 +264,32 @@ object Bench {
     // so pressure that arrives mid-session is visible as start≠end.
     val canarySec = math.min(canaryStart, canaryEnd)
     val canaryJson = f""""canary_sec":$canarySec%.3f,"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f"""
+    // The full probe ladder with positions (0 = start pair, N = end
+    // pair), plus the mechanical suspect derivation: a query is
+    // flagged when the probes on BOTH sides of it ran pressured, i.e.
+    // its whole timing window sat inside a load spike the start/end
+    // pair can't see. Sub-0.5 s queries are left unflagged — at that
+    // magnitude the artifact can't mislead a round-over-round reader.
+    val probeLadder: Seq[(Int, Double)] =
+      if (canaryOn && mode != "fresh")
+        (0, canaryStart) +: midProbes.toSeq :+ (all.size, canaryEnd)
+      else Seq.empty
+    val suspects: Seq[String] =
+      if (probeLadder.size >= 3) {
+        val minProbe = probeLadder.map(_._2).min
+        results.zipWithIndex.collect {
+          case ((n, sec, _, _), i) if sec >= 0.5 &&
+              probeLadder.filter(_._1 <= i).last._2 > PressureRatio * minProbe &&
+              probeLadder.find(_._1 > i).exists(_._2 > PressureRatio * minProbe) =>
+            "\"" + n + "\""
+        }
+      } else Seq.empty
+    val probesJson =
+      if (probeLadder.nonEmpty)
+        s""","canary_probe_after":${probeLadder.map(_._1).mkString("[", ",", "]")}""" +
+          s""","canary_probe_sec":${probeLadder.map(p => f"${p._2}%.3f").mkString("[", ",", "]")}""" +
+          s""","suspect_pressure":${suspects.mkString("[", ",", "]")}"""
+      else ""
     // Field order matters for the driver artifact: its captured tail
     // keeps the END of this (long) line, so whatever map rides last is
     // what survives truncation. Through r15 that was the max/min
@@ -241,7 +299,11 @@ object Bench {
     // the total sums and the one a consumer wants — now rides LAST,
     // after even "failed"/"sf": in exactly the runs where diagnosis
     // matters, a long failure list must not clip the map again.
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson,"failed":$failedJson,"sf":"$sfDir","spread_max_over_min":$spreads,"queries_min_sec_unit":"sec","queries":$qs}"""
+    // ("queries" values are min-over-trials SECONDS — the unit rides
+    // in the top-level "unit" field; the r16 "queries_min_sec_unit"
+    // sidecar string was dropped as misparse-prone, schema change
+    // documented in BASELINE.md)
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson$probesJson,"failed":$failedJson,"sf":"$sfDir","spread_max_over_min":$spreads,"queries":$qs}"""
     println(fullLine)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val target = java.nio.file.Paths.get(p)
@@ -254,7 +316,7 @@ object Bench {
     // Short trailer with the headline total: the per-query line above
     // outgrew the driver's captured tail in rounds 2-4, losing the
     // total; this line is always last and always fits.
-    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson,"n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson$probesJson,"n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact per-query signal for the expensive head: the full
     // queries/spread dicts outgrew the driver's 2 KB captured tail in
     // round 7, leaving no per-query driver seconds at all. This line
