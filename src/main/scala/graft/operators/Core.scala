@@ -165,6 +165,28 @@ object Core {
     // appear unmapped in an oracle), pattern parsing (dd-MMM-yyyy ↔
     // %d-%b-%Y), negative-micro timestamp rendering, and pre-epoch
     // formatting/date casts.
+    //
+    // Timezone/DST class (round-17 audit; java.time tzdb on Spark vs
+    // ICU on DuckDB): the AGREEING core is pinned live — named-zone
+    // conversion both directions (Spark from/to_utc_timestamp ↔
+    // DuckDB's two-step AT TIME ZONE idiom: naive@'UTC' → instant,
+    // instant@zone → naive wall time), the spring-forward boundary
+    // (06:59:59Z → 01:59:59 EST, 07:00:00Z → 03:00:00 EDT — the
+    // 02:xx hour never appears as output), BOTH fall-back instants
+    // mapping to the SAME 01:30 wall time, the NONEXISTENT local
+    // time 02:30 on the spring-forward day shifting FORWARD by the
+    // gap in both engines (→ 07:30Z), a zone roundtrip recovering
+    // the exact instant, zone-aware date casts across midnight, and
+    // sub-hour base offsets (Adelaide +10:30, Kathmandu +5:45).
+    // One MEASURED divergence stays out as documented non-exposure:
+    // an AMBIGUOUS local wall time (01:30 on the fall-back day)
+    // resolves to the EARLIER offset in Spark (java.time: EDT,
+    // 05:30Z) but the LATER in DuckDB (ICU: EST, 06:30Z) — no oracle
+    // in this repo converts local wall-clock data in a DST zone
+    // (both sessions run UTC and every `ts` column is naive UTC), so
+    // like the regex `$`/\x0B classes the divergent case cannot
+    // straddle an oracle; CrossEngineParitySpec pins Spark's side so
+    // a java.time behavior change stays attributable.
     "q_engine_parity" -> ((s, d) =>
       s.range(1).selectExpr(
         "cast(-7 div 2 as bigint) as div_neg_a",
@@ -202,7 +224,19 @@ object Core {
         "cast(to_date('29-Feb-2024', 'dd-MMM-yyyy') as string) as ts_parse_leap",
         "cast(timestamp_micros(-1) as string) as ts_neg1us_render",
         "date_format(timestamp'1969-12-31 23:59:59', 'yyyy-MM-dd HH:mm:ss') as ts_fmt_pre_epoch",
-        "cast(cast(timestamp'1969-12-31 12:00:00' as date) as string) as ts_cast_pre_date"))
+        "cast(cast(timestamp'1969-12-31 12:00:00' as date) as string) as ts_cast_pre_date",
+        "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'America/New_York') as string) as tz_futc_std",
+        "cast(from_utc_timestamp(timestamp'2024-07-15 12:00:00', 'America/New_York') as string) as tz_futc_dst",
+        "cast(from_utc_timestamp(timestamp'2024-03-10 06:59:59', 'America/New_York') as string) as tz_spring_before",
+        "cast(from_utc_timestamp(timestamp'2024-03-10 07:00:00', 'America/New_York') as string) as tz_spring_after",
+        "cast(from_utc_timestamp(timestamp'2024-11-03 05:30:00', 'America/New_York') as string) as tz_fall_first",
+        "cast(from_utc_timestamp(timestamp'2024-11-03 06:30:00', 'America/New_York') as string) as tz_fall_second",
+        "cast(to_utc_timestamp(timestamp'2024-01-15 07:00:00', 'America/New_York') as string) as tz_tutc_std",
+        "cast(to_utc_timestamp(timestamp'2024-03-10 02:30:00', 'America/New_York') as string) as tz_tutc_gap",
+        "unix_micros(to_utc_timestamp(from_utc_timestamp(timestamp'2024-03-10 07:00:00', 'America/New_York'), 'America/New_York')) as tz_roundtrip_us",
+        "cast(cast(from_utc_timestamp(timestamp'2024-01-15 20:00:00', 'Asia/Tokyo') as date) as string) as tz_date_cast",
+        "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'Australia/Adelaide') as string) as tz_half_offset",
+        "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'Asia/Kathmandu') as string) as tz_q45_offset"))
   )
 
   /** The \s-agreement fixture: one of each character BOTH regex
@@ -359,7 +393,33 @@ object Core {
         |  strftime(TIMESTAMP '1969-12-31 23:59:59', '%Y-%m-%d %H:%M:%S')
         |    AS ts_fmt_pre_epoch,
         |  CAST(TIMESTAMP '1969-12-31 12:00:00' AS DATE)::VARCHAR
-        |    AS ts_cast_pre_date""".stripMargin,
+        |    AS ts_cast_pre_date,
+        |  timezone('America/New_York', TIMESTAMP '2024-01-15 12:00:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_futc_std,
+        |  timezone('America/New_York', TIMESTAMP '2024-07-15 12:00:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_futc_dst,
+        |  timezone('America/New_York', TIMESTAMP '2024-03-10 06:59:59'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_spring_before,
+        |  timezone('America/New_York', TIMESTAMP '2024-03-10 07:00:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_spring_after,
+        |  timezone('America/New_York', TIMESTAMP '2024-11-03 05:30:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_fall_first,
+        |  timezone('America/New_York', TIMESTAMP '2024-11-03 06:30:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_fall_second,
+        |  timezone('UTC', TIMESTAMP '2024-01-15 07:00:00'
+        |    AT TIME ZONE 'America/New_York')::VARCHAR AS tz_tutc_std,
+        |  timezone('UTC', TIMESTAMP '2024-03-10 02:30:00'
+        |    AT TIME ZONE 'America/New_York')::VARCHAR AS tz_tutc_gap,
+        |  epoch_us(timezone('UTC',
+        |    timezone('America/New_York', TIMESTAMP '2024-03-10 07:00:00'
+        |      AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'America/New_York')) AS tz_roundtrip_us,
+        |  CAST(timezone('Asia/Tokyo', TIMESTAMP '2024-01-15 20:00:00'
+        |    AT TIME ZONE 'UTC') AS DATE)::VARCHAR AS tz_date_cast,
+        |  timezone('Australia/Adelaide', TIMESTAMP '2024-01-15 12:00:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_half_offset,
+        |  timezone('Asia/Kathmandu', TIMESTAMP '2024-01-15 12:00:00'
+        |    AT TIME ZONE 'UTC')::VARCHAR AS tz_q45_offset""".stripMargin,
     // BYTES-intended strlen: the reference's Text cap is 1024 BYTES
     // (types.rs:16) and the Spark side computes octet_length
     "q_text_cap" ->

@@ -164,4 +164,50 @@ class CrossEngineParitySpec extends AnyFunSuite {
     assert(r.getInt(10) == 5)                      // DuckDB dayofweek = 4 — OFF
                                                    // BY ONE, the unmapped trap
   }
+
+  test("timezone/DST: named-zone conversion agreeing core (round-17 audit)") {
+    // java.time (Spark) vs ICU (DuckDB), both on the IANA tzdb. The
+    // agreeing core measured this round: conversion both directions,
+    // the spring-forward boundary (the 02:xx hour never appears as
+    // output), both fall-back UTC instants collapsing onto the same
+    // 01:30 wall time, the NONEXISTENT local 02:30 shifting forward by
+    // the gap in both engines, instant-exact zone roundtrips, and
+    // sub-hour offsets (+10:30 Adelaide, +5:45 Kathmandu). The ONE
+    // measured divergence is pinned at the bottom to Spark's side: an
+    // AMBIGUOUS wall time (fall-back 01:30) resolves to the EARLIER
+    // offset in java.time (EDT → 05:30Z) and the LATER in ICU (EST →
+    // 06:30Z). Non-exposure: both engines run UTC sessions and every
+    // ts column is naive UTC — no oracle converts local wall-clock
+    // data in a DST zone, so only q_engine_parity's pinned core may
+    // use these functions (the md5-invalid-bytes precedent).
+    val r = row1(
+      "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'America/New_York') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-07-15 12:00:00', 'America/New_York') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-03-10 06:59:59', 'America/New_York') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-03-10 07:00:00', 'America/New_York') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-11-03 05:30:00', 'America/New_York') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-11-03 06:30:00', 'America/New_York') as string)",
+      "cast(to_utc_timestamp(timestamp'2024-01-15 07:00:00', 'America/New_York') as string)",
+      "cast(to_utc_timestamp(timestamp'2024-03-10 02:30:00', 'America/New_York') as string)",
+      "unix_micros(to_utc_timestamp(from_utc_timestamp(timestamp'2024-03-10 07:00:00', 'America/New_York'), 'America/New_York'))",
+      "cast(cast(from_utc_timestamp(timestamp'2024-01-15 20:00:00', 'Asia/Tokyo') as date) as string)",
+      "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'Australia/Adelaide') as string)",
+      "cast(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'Asia/Kathmandu') as string)",
+      // the documented divergence, pinned to the Spark side
+      "cast(to_utc_timestamp(timestamp'2024-11-03 01:30:00', 'America/New_York') as string)")
+    assert(r.getString(0) == "2024-01-15 07:00:00")  // DuckDB equal (EST −5)
+    assert(r.getString(1) == "2024-07-15 08:00:00")  // DuckDB equal (EDT −4)
+    assert(r.getString(2) == "2024-03-10 01:59:59")  // DuckDB equal
+    assert(r.getString(3) == "2024-03-10 03:00:00")  // DuckDB equal — 02:xx skipped
+    assert(r.getString(4) == "2024-11-03 01:30:00")  // DuckDB equal (EDT side)
+    assert(r.getString(5) == "2024-11-03 01:30:00")  // DuckDB equal (EST side)
+    assert(r.getString(6) == "2024-01-15 12:00:00")  // DuckDB equal
+    assert(r.getString(7) == "2024-03-10 07:30:00")  // DuckDB equal — gap shifts fwd
+    assert(r.getLong(8) == 1710054000000000L)        // DuckDB equal — exact instant
+    assert(r.getString(9) == "2024-01-16")           // DuckDB equal — next day in JST
+    assert(r.getString(10) == "2024-01-15 22:30:00") // DuckDB equal (+10:30)
+    assert(r.getString(11) == "2024-01-15 17:45:00") // DuckDB equal (+5:45)
+    assert(r.getString(12) == "2024-11-03 05:30:00") // DuckDB: 06:30:00 — DIVERGENT,
+                                                     // non-exposed (UTC sessions)
+  }
 }
