@@ -39,6 +39,22 @@ object Sft {
   private val TStart = "<|im_start|>"
   private val TEnd   = "<|im_end|>"
 
+  /** Tool-call span sentinels — the function-calling markers open
+    * agentic stacks render INSIDE an assistant turn (the Hermes /
+    * Qwen-style <tool_call> convention).
+    */
+  private val TCallStart = "<|tool_call|>"
+  private val TCallEnd   = "<|/tool_call|>"
+
+  /** Event types whose assistant turns invoke a tool — the
+    * deterministic stand-in for "this assistant turn emits a function
+    * call" (the corpus's action-shaped events; `view`/`error`/`signup`
+    * read as plain text turns). A pure function of the event, so both
+    * engines derive identical role sequences; measured at test SF the
+    * split keeps call and non-call assistant turns both live.
+    */
+  val ToolEventTypes = Seq("click", "purchase")
+
   /** q_pass_at_k success threshold in score micro-units: a sample
     * "passes" when its micro-quantized quality score is ≥ 0.55 — the
     * deterministic stand-in for "passes its unit tests", chosen to
@@ -77,6 +93,139 @@ object Sft {
       .withColumn("role",
         when(col("rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
   }
+
+  /** Agentic turn derivation over ANY keyed event table with
+    * (conv_id, ts, event_id, event_type, ...) — exposed so the spec
+    * can drive synthetic conversations (consecutive calls, a call on
+    * the final turn, a call-FREE conversation) through the exact
+    * production role law: the corpus's conversations are long enough
+    * that every one contains a call, so the agentic-subset filter and
+    * the trailing-call edge need the synthetic drive (the nstepOf
+    * precedent).
+    *
+    * Role law (STATELESS — one conversation-key window pass, no
+    * sequential state machine): even turns are assistant; an even
+    * turn is a TOOL CALL when its event is action-shaped
+    * ([[ToolEventTypes]]); the turn after a calling assistant turn is
+    * the tool RESULT (role `tool`) — it consumes the slot base parity
+    * would give the user, which is how an agentic trace reads (user
+    * asks, assistant calls, environment answers, assistant continues,
+    * the user speaks again). Stateless because is_call depends only
+    * on (rn parity, event_type) and role only on (rn parity,
+    * lag(is_call)) — both engines derive identical sequences from one
+    * window.
+    */
+  private[graft] def toolTurnsOf(keyed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("event_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_call", col("rn") % 2 === 0 &&
+        col("event_type").isin(ToolEventTypes: _*))
+      .withColumn("role",
+        when(col("rn") % 2 === 0, lit("assistant"))
+          .when(coalesce(lag(col("is_call"), 1).over(w), lit(false)),
+            lit("tool"))
+          .otherwise(lit("user")))
+  }
+
+  /** The production keyed-event view for the tool family (same
+    * conversation model as [[turns]]: conversation = user_id, order =
+    * (ts, event_id), content = event_type + props; args of a tool
+    * call = props — the JSON the assistant "emits").
+    */
+  private[graft] def toolKeyed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id").as("conv_id"), col("ts"), col("event_id"),
+        col("event_type"), col("props"),
+        concat(col("event_type"), lit(" "), col("props")).as("content"))
+
+  /** The tool-span cost/mask arithmetic over any turn table carrying
+    * (n_tok, props_tok, is_call, role) — ONE definition site shared
+    * by the mask and pack paths (and the spec's synthetic replay).
+    * Convention (extends q_sft_mask's): every turn costs n_tok + 2
+    * sentinels; a CALLING assistant turn additionally renders its
+    * call span (props args + 2 call markers). Trainable = what the
+    * model emits: assistant content + im_end (+ the full call span,
+    * markers included); user turns AND tool-result turns train
+    * nothing — a tool result is an environment observation injected
+    * into the context, the mask distinction that makes agentic traces
+    * a different operator from plain SFT.
+    */
+  private[graft] def withToolCosts(t: DataFrame): DataFrame =
+    t.withColumn("args_tok",
+        when(col("is_call"), col("props_tok")).otherwise(lit(0L)))
+      .withColumn("call_sent",
+        when(col("is_call"), lit(2L)).otherwise(lit(0L)))
+      .withColumn("cost",
+        col("n_tok") + lit(2L) + col("args_tok") + col("call_sent"))
+      .withColumn("trainable",
+        when(col("role") === "assistant",
+          col("n_tok") + lit(1L) + col("args_tok") + col("call_sent"))
+          .otherwise(lit(0L)))
+
+  /** q_tool_mask's body over any derived turn table — exposed for the
+    * synthetic-conversation spec drive.
+    */
+  private[graft] def toolMaskOf(turnsDf: DataFrame): DataFrame =
+    withToolCosts(turnsDf)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool"),
+        sum(when(col("is_call"), 1L).otherwise(0L)).as("n_calls"),
+        sum(col("cost")).as("total_tokens"),
+        sum(col("trainable")).as("trainable_tokens"),
+        sum(when(col("role") === "user", col("cost")).otherwise(0L))
+          .as("masked_user_tokens"),
+        sum(when(col("role") === "tool", col("cost")).otherwise(0L))
+          .as("masked_tool_tokens"))
+      .select(col("conv_id"), col("n_turns"), col("n_user"),
+        col("n_assistant"), col("n_tool"), col("n_calls"),
+        col("total_tokens"), col("trainable_tokens"),
+        col("masked_user_tokens"), col("masked_tool_tokens"),
+        expr("trainable_tokens * 1000 div total_tokens").as("mask_pm"))
+
+  /** The packed agentic-trajectory table behind q_tool_pack and the
+    * tool-shard exporter — exposed (over any turn table) so the spec
+    * can prove the agentic-subset filter drops a call-free
+    * conversation. Only conversations with >= 1 tool call enter the
+    * trajectory corpus; they pack greedily in conv order into
+    * 2048-token windows under the shared overfill law
+    * (Corpus.seqPackedOf). Columns: (doc_id, source='tool', n_tok,
+    * running, bin, conv_trainable, conv_masked_tool, render_fp).
+    */
+  private[graft] def toolPackedOf(turnsDf: DataFrame): DataFrame = {
+    val at = withToolCosts(turnsDf
+        .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+        .withColumn("props_tok", size(split(col("props"), " ")).cast("long")))
+      .withColumn("turn", concat(lit(TStart), col("role"), lit("\n"),
+        col("content"),
+        when(col("is_call"), concat(lit("\n" + TCallStart), col("props"),
+          lit(TCallEnd))).otherwise(lit("")),
+        lit(TEnd), lit("\n")))
+    val convs = at
+      .groupBy(col("conv_id"))
+      .agg(sum(when(col("is_call"), 1L).otherwise(0L)).as("n_calls"),
+        sum(col("cost")).as("conv_tokens"),
+        sum(col("trainable")).as("conv_trainable"),
+        sum(when(col("role") === "tool", col("cost")).otherwise(0L))
+          .as("conv_masked_tool"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(rn, turn))), x -> x.turn)"))
+          .cast("binary")).as("render_fp"))
+      .filter(col("n_calls") >= 1)
+      .select(col("conv_id").as("doc_id"), col("conv_tokens"),
+        col("conv_trainable"), col("conv_masked_tool"), col("render_fp"))
+    val packed = Corpus.seqPackedOf(convs.select(col("doc_id"),
+      lit("tool").as("source"), col("conv_tokens").as("n_tok")))
+    packed.join(convs, Seq("doc_id"))
+  }
+
+  private[graft] def toolPacked(s: SparkSession, d: String): DataFrame =
+    toolPackedOf(toolTurnsOf(toolKeyed(s, d)))
 
   /** The packed-conversation table behind q_sft_pack and the SFT
     * shard exporter: one row per PROMPT-DEDUPED conversation with its
@@ -258,6 +407,83 @@ object Sft {
           count(lit(1)).as("n_convs"),
           sum(col("n_tok")).as("n_tokens"),
           sum(col("conv_trainable")).as("trainable_tokens"),
+          (sum(conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard"))),
+
+    // AGENTIC TOOL-USE LOSS MASKS — the post-training data shape where
+    // multi-turn conversations embed tool calls: the model must LEARN
+    // to emit the call (call spans train, markers included) but must
+    // NOT learn to hallucinate the environment's answer (tool-result
+    // turns mask, exactly like user turns — but a training job budgets
+    // and reports the two masked classes separately, which is why the
+    // accounting splits masked_user from masked_tool). Role law +
+    // span convention in [[toolTurnsOf]]/[[withToolCosts]].
+    //
+    // Scale shape — TEXT NEVER SHUFFLES here: token counts are
+    // zero-shuffle map-side projections and content/props are DROPPED
+    // before the one conversation-key exchange, so the window + the
+    // aggregate move only thin (ids, event_type, two ints) rows —
+    // stronger than q_sft_mask's shape and plan-pinned by ToolSpec.
+    // Fully oracled (the role/lag law mirrors in DuckDB one-to-one).
+    "q_tool_mask" -> ((s, d) =>
+      toolMaskOf(toolTurnsOf(
+        toolKeyed(s, d)
+          .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+          .withColumn("props_tok",
+            size(split(col("props"), " ")).cast("long"))
+          .drop("content", "props")))
+        .orderBy(col("conv_id"))),
+
+    // AGENTIC TRAJECTORY PACKING — the tool family's pack step (the
+    // chain law of this repo: every family runs assemble → transform →
+    // pack → export): conversations containing at least one tool call
+    // — the agentic subset; call-free conversations are plain SFT and
+    // stay out of the trajectory corpus — pack greedily in conv order
+    // into 2048-token windows under the SHARED overfill law
+    // (Corpus.seqPackedOf). Per window: integer accounting (tokens,
+    // trainable, masked-tool — what a trainer budgets per context)
+    // plus the composed render fingerprint; rendered text stays
+    // inside the per-conversation aggregate, content crosses exactly
+    // ONE exchange (the q_sft_pack shape). Fully oracled.
+    "q_tool_pack" -> ((s, d) =>
+      toolPacked(s, d)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          sum(col("conv_trainable")).as("trainable_tokens"),
+          sum(col("conv_masked_tool")).as("masked_tool_tokens"),
+          min(col("doc_id")).as("first_conv"),
+          max(col("doc_id")).as("last_conv"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(doc_id, render_fp))), x -> x.render_fp)"))
+            .cast("binary")).as("bin_fp"))
+        .orderBy(col("bin"))),
+
+    // AGENTIC TRAJECTORY SHARD EXPORT — the chain's last mile, under
+    // the SHARED shard law (count = ⌈corpus tokens / budget⌉ as a
+    // broadcast 1-row aggregate; shard = 48-bit md5 prefix of the
+    // (source, window) key, so a training window never splits across
+    // shard files; one hash repartition → one task per shard) into a
+    // write-once `tool_shards` layout. Manifest per shard: window/
+    // conversation/token/trainable/masked-tool accounting + the
+    // order-independent conversation fingerprint — what a trainer
+    // verifies before reading a shard. Fully oracled by composing the
+    // pack chain with the shard-law SQL (the q_sft_export precedent).
+    "q_tool_export" -> ((s, d) =>
+      graft.sources.Layouts.ensureLayout(s, d, "tool_shards",
+          partitionCols = Seq("shard")) {
+        val packed = toolPacked(s, d)
+        Corpus.withDerivedShard(packed, "n_tok", packed)
+      }
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(col("bin")).as("n_seqs"),
+          count(lit(1)).as("n_convs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("conv_trainable")).as("trainable_tokens"),
+          sum(col("conv_masked_tool")).as("masked_tool_tokens"),
           (sum(conv(substring(
               md5(col("doc_id").cast("string").cast("binary")), 1, 8),
               16, 10).cast("decimal(38,0)"))
@@ -464,7 +690,123 @@ object Sft {
        |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
        |  FROM run)""".stripMargin
 
+  /** The tool-family turn chain (mirrors [[toolTurnsOf]] +
+    * [[withToolCosts]]): tt (keyed) → tc (is_call) → tr (role) → ta
+    * (per-turn cost/trainable). role ORDER BY rn ≡ (ts, event_id) —
+    * rn is derived from exactly that order.
+    */
+  private val toolTurnsSql = {
+    val toolEventsIn = ToolEventTypes.map("'" + _ + "'").mkString(", ")
+    s"""tt AS (
+       |  SELECT user_id AS conv_id, event_id, event_type, props,
+       |    event_type || ' ' || props AS content,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events),
+       |tc AS (
+       |  SELECT *, (rn % 2 = 0 AND event_type IN ($toolEventsIn))
+       |    AS is_call
+       |  FROM tt),
+       |tr AS (
+       |  SELECT *, CASE WHEN rn % 2 = 0 THEN 'assistant'
+       |      WHEN coalesce(lag(is_call) OVER (PARTITION BY conv_id
+       |        ORDER BY rn), false) THEN 'tool'
+       |      ELSE 'user' END AS role
+       |  FROM tc),
+       |ta AS (
+       |  SELECT conv_id, rn, role, is_call, props, content,
+       |    n_tok, args_tok, call_sent,
+       |    n_tok + 2 + args_tok + call_sent AS cost,
+       |    CASE WHEN role = 'assistant'
+       |      THEN n_tok + 1 + args_tok + call_sent ELSE 0 END AS trainable
+       |  FROM (
+       |    SELECT *,
+       |      CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tok,
+       |      CASE WHEN is_call
+       |        THEN CAST(len(string_split(props, ' ')) AS BIGINT)
+       |        ELSE 0 END AS args_tok,
+       |      CASE WHEN is_call THEN CAST(2 AS BIGINT)
+       |        ELSE CAST(0 AS BIGINT) END AS call_sent
+       |    FROM tr) x)""".stripMargin
+  }
+
+  /** The tool pack chain through `b` (binned agentic conversations),
+    * shared by the pack and export oracles: cv (per-conv accounting +
+    * render fp with the inline call span) → ag (the agentic subset,
+    * n_calls >= 1) → run/b (the greedy overfill binning).
+    */
+  private val toolPackChainSql =
+    s"""$toolTurnsSql,
+       |cv AS (
+       |  SELECT conv_id,
+       |    CAST(sum(CASE WHEN is_call THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_calls,
+       |    CAST(sum(cost) AS BIGINT) AS conv_tokens,
+       |    CAST(sum(trainable) AS BIGINT) AS conv_trainable,
+       |    CAST(sum(CASE WHEN role = 'tool' THEN cost ELSE 0 END)
+       |      AS BIGINT) AS conv_masked_tool,
+       |    md5(string_agg('<|im_start|>' || role || chr(10) || content
+       |      || CASE WHEN is_call THEN chr(10) || '<|tool_call|>' || props
+       |           || '<|/tool_call|>' ELSE '' END
+       |      || '<|im_end|>' || chr(10), '' ORDER BY rn)) AS render_fp
+       |  FROM ta GROUP BY conv_id),
+       |ag AS (SELECT * FROM cv WHERE n_calls >= 1),
+       |run AS (
+       |  SELECT conv_id, conv_tokens, conv_trainable, conv_masked_tool,
+       |    render_fp,
+       |    sum(conv_tokens) OVER (ORDER BY conv_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM ag),
+       |b AS (
+       |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
+       |  FROM run)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_tool_mask" ->
+      (s"WITH $toolTurnsSql\n" +
+      """SELECT conv_id, count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_user,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_assistant,
+        |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tool,
+        |  CAST(sum(CASE WHEN is_call THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_calls,
+        |  CAST(sum(cost) AS BIGINT) AS total_tokens,
+        |  CAST(sum(trainable) AS BIGINT) AS trainable_tokens,
+        |  CAST(sum(CASE WHEN role = 'user' THEN cost ELSE 0 END)
+        |    AS BIGINT) AS masked_user_tokens,
+        |  CAST(sum(CASE WHEN role = 'tool' THEN cost ELSE 0 END)
+        |    AS BIGINT) AS masked_tool_tokens,
+        |  CAST(sum(trainable) * 1000 // sum(cost) AS BIGINT) AS mask_pm
+        |FROM ta GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "q_tool_pack" ->
+      (s"WITH $toolPackChainSql\n" +
+      """SELECT bin, count(*) AS n_convs,
+        |  CAST(sum(conv_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(sum(conv_trainable) AS BIGINT) AS trainable_tokens,
+        |  CAST(sum(conv_masked_tool) AS BIGINT) AS masked_tool_tokens,
+        |  min(conv_id) AS first_conv, max(conv_id) AS last_conv,
+        |  md5(string_agg(render_fp, ',' ORDER BY conv_id)) AS bin_fp
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+    "q_tool_export" ->
+      (s"WITH $toolPackChainSql,\n" +
+        Corpus.nshSql("conv_tokens", "b") + ",\n" +
+      s"""a AS (
+         |  SELECT *, ('0x' || substr(md5('tool:' || CAST(bin AS VARCHAR)),
+         |    1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT bin) AS BIGINT) AS n_seqs,
+         |  count(*) AS n_convs,
+         |  CAST(sum(conv_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(conv_trainable) AS BIGINT) AS trainable_tokens,
+         |  CAST(sum(conv_masked_tool) AS BIGINT) AS masked_tool_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(conv_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin),
     // pack chain + the derived-shard law (the q_shard_export mirror).
     // Concatenated, not interpolated: packChainSql is already
     // margin-stripped, and a second stripMargin would eat the leading
