@@ -1067,6 +1067,31 @@ object Streams {
       nstepOf(episodeStepRows(s, d))
         .orderBy(col("user_id"), col("session_idx"), col("step"))),
 
+    // GAE ADVANTAGES (Schulman et al. 2016, the PPO-standard target)
+    // over the same episodes — λ-weighted TD-residual sums, truncated
+    // at four δ-terms exactly like q_episode_nstep so the arithmetic
+    // stays EXACT at any horizon (the full infinite-λ-sum needs (γλ)^t
+    // precision that outgrows DECIMAL(38); truncation is the form
+    // that survives, and TD(λ) implementations truncate at the
+    // context boundary anyway). δ(t) = r(t) + γ·V(t+1) − V(t) with
+    // the CRITIC STUBBED deterministically as V(t) = 0.5·r(t) (the
+    // media fake-decode discipline: a value head isn't computable
+    // from a log, but the GAE LAW — the δ structure and the λ-ladder
+    // — is what the operator owns, and the stub keeps δ's three-term
+    // shape live instead of degenerating to a reward sum at V ≡ 0);
+    // terminal V is zero, so δ(t) = 0.5·r(t) + 0.45·r(t+1). All
+    // coefficients are LITERAL exact decimals (γλ = 0.855, (γλ)² =
+    // 0.731025, (γλ)³ = 0.625026375), every product and sum exact
+    // DECIMAL, one double cast per published column — both engines
+    // emit identical bits. Same one user-key exchange (both window
+    // passes share the partitioning). Fully oracled; the spec drives
+    // a synthetic 6-step episode through [[gaeOf]] and pins the
+    // recurrence A(t) = δ(t) + γλ·A(t+1) − (γλ)⁴·δ(t+4) and the tail
+    // identity A(last) = δ(last) = 0.5·r(last).
+    "q_episode_gae" -> ((s, d) =>
+      gaeOf(episodeStepRows(s, d))
+        .orderBy(col("user_id"), col("session_idx"), col("step"))),
+
     // TRAJECTORY PACKING — the RL family's pack step, completing
     // assemble → returns → pack exactly as the text/SFT/multimodal
     // chains do: a decision transformer serializes each step as the
@@ -1225,6 +1250,35 @@ object Streams {
       .select(col("user_id"), col("session_idx"), col("step"),
         col("r").cast("double").as("reward"),
         col("ret4_dec").cast("double").as("ret_n4"))
+  }
+
+  /** The GAE arithmetic over ANY (user_id, event_id, tus, r,
+    * session_idx) step table — exposed for the synthetic ≥4-step
+    * spec drive (the nstepOf precedent; corpus episodes max out at
+    * 2–3 steps, so the λ-ladder's deep terms and the recurrence need
+    * the synthetic episode). Two window passes (δ, then the ladder
+    * over δ) share the episode partitioning — one exchange.
+    */
+  private[graft] def gaeOf(stepRows: DataFrame): DataFrame = {
+    val ep = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("tus"), col("event_id"))
+    def dec(p: String) = lit(new java.math.BigDecimal(p))
+    def leadDelta(k: Int) =
+      coalesce(lead(col("delta_dec"), k).over(ep),
+        lit(java.math.BigDecimal.ZERO))
+    stepRows
+      .withColumn("step", row_number().over(ep).cast("long"))
+      .withColumn("delta_dec",
+        dec("0.5") * col("r") +
+          dec("0.45") * coalesce(lead(col("r"), 1).over(ep), money(lit(0))))
+      .withColumn("gae_dec", col("delta_dec") +
+        dec("0.855") * leadDelta(1) +
+        dec("0.731025") * leadDelta(2) +
+        dec("0.625026375") * leadDelta(3))
+      .select(col("user_id"), col("session_idx"), col("step"),
+        col("r").cast("double").as("reward"),
+        col("delta_dec").cast("double").as("delta"),
+        col("gae_dec").cast("double").as("gae"))
   }
 
   /** Shared episode assembly for the RL-prep family: events keyed and
@@ -1437,6 +1491,29 @@ object Streams {
         |    AS ret_n4
         |FROM numbered
         |WINDOW ep AS (PARTITION BY user_id, session_idx
+        |  ORDER BY tus, event_id)
+        |ORDER BY user_id, session_idx, step""".stripMargin),
+    // the δ table then the λ-ladder, all literal exact decimals —
+    // both windows in session order; one double cast per column
+    "q_episode_gae" ->
+      (s"WITH $episodeStepsSql,\n" +
+      """d AS (
+        |  SELECT user_id, session_idx, tus, event_id, r,
+        |    row_number() OVER ep AS step,
+        |    0.5 * r + 0.45 * coalesce(lead(r, 1) OVER ep, 0) AS delta
+        |  FROM numbered
+        |  WINDOW ep AS (PARTITION BY user_id, session_idx
+        |    ORDER BY tus, event_id))
+        |SELECT user_id, session_idx, CAST(step AS BIGINT) AS step,
+        |  CAST(r AS DOUBLE) AS reward,
+        |  CAST(delta AS DOUBLE) AS delta,
+        |  CAST(delta
+        |    + 0.855 * coalesce(lead(delta, 1) OVER ep2, 0)
+        |    + 0.731025 * coalesce(lead(delta, 2) OVER ep2, 0)
+        |    + 0.625026375 * coalesce(lead(delta, 3) OVER ep2, 0)
+        |    AS DOUBLE) AS gae
+        |FROM d
+        |WINDOW ep2 AS (PARTITION BY user_id, session_idx
         |  ORDER BY tus, event_id)
         |ORDER BY user_id, session_idx, step""".stripMargin),
     // per-user running sum over session order mirrors the two-phase

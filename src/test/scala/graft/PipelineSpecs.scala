@@ -753,6 +753,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows.keySet == rtg)
   }
 
+  test("gae: δ law and λ-ladder replay; recurrence + tail on a synthetic 6-step episode") {
+    // replay the exact-decimal law corpus-wide: δ(t) = 0.5·r(t) +
+    // 0.45·r(t+1) (the stubbed-critic TD residual) and A(t) =
+    // Σ (γλ)^k · δ(t+k) for k ≤ 3 within the episode, published
+    // doubles equal to the exact BigDecimal casts
+    val lam = Seq("1", "0.855", "0.731025", "0.625026375").map(BigDecimal(_))
+    val eps = 1e-9
+    val rows = run("q_episode_gae").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, steps) =>
+      val r = steps.map(s => BigDecimal(s._2))
+      val delta = r.indices.map(i => BigDecimal("0.5") * r(i) +
+        (if (i + 1 < r.length) BigDecimal("0.45") * r(i + 1)
+         else BigDecimal(0)))
+      steps.zipWithIndex.foreach { case ((_, _, d, a), i) =>
+        assert(math.abs(d - delta(i).toDouble) < eps, s"δ at step ${i + 1}")
+        val exact = (0 to 3).map(k =>
+          if (i + k < delta.length) lam(k) * delta(i + k)
+          else BigDecimal(0)).sum
+        assert(math.abs(a - exact.toDouble) < eps, s"A at step ${i + 1}")
+      }
+      // tail identity: the last step's advantage IS its δ (= 0.5·r)
+      assert(steps.last._3 == steps.last._4)
+    }
+    // the corpus's episodes max out below 4 steps — drive the same
+    // synthetic 6-step episode as the n-step test through the EXACT
+    // production arithmetic so the deep λ-ladder terms and the (γλ)⁴
+    // recurrence are live
+    val sess = spark
+    import sess.implicits._
+    val synth = Seq(
+      (1L, 1L, 1000L, "10.00", 0L), (1L, 2L, 2000L, "1.00", 0L),
+      (1L, 3L, 3000L, "2.00", 0L), (1L, 4L, 4000L, "4.00", 0L),
+      (1L, 5L, 5000L, "8.00", 0L), (1L, 6L, 6000L, "16.00", 0L),
+      (2L, 7L, 1000L, "5.00", 0L))
+      .toDF("user_id", "event_id", "tus", "r0", "session_idx")
+      .withColumn("r", col("r0").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))
+    val out = streaming.Streams.gaeOf(synth).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getDouble(4), r.getDouble(5)))).toMap
+    // hand-computed exact table: rewards 10,1,2,4,8,16 give
+    // δ = 5.45, 1.4, 2.8, 5.6, 11.2, 8 and the λ-ladder sums below
+    assert(out((1L, 1L)) == ((5.45, 12.1940177)))
+    assert(out((1L, 2L)) == ((1.4, 14.8880354)))
+    assert(out((1L, 3L)) == ((2.8, 20.775691)))
+    assert(out((1L, 4L)) == ((5.6, 21.0242)))
+    assert(out((1L, 5L)) == ((11.2, 18.04)))
+    assert(out((1L, 6L)) == ((8.0, 8.0)))
+    // a singleton episode: no successor anywhere, A = δ = 0.5·r
+    assert(out((2L, 1L)) == ((2.5, 2.5)))
+    // the scaladoc recurrence with the exact (γλ)⁴ = 0.534397550625:
+    // A(1) = δ(1) + γλ·A(2) − (γλ)⁴·δ(5), exactly in BigDecimal
+    assert(BigDecimal("5.45") + BigDecimal("0.855") * BigDecimal("14.8880354")
+      - BigDecimal("0.534397550625") * BigDecimal("11.2")
+      == BigDecimal("12.1940177"))
+  }
+
   test("trajectory packing: windows tile episodes, conserve steps/reward, obey the overfill start law") {
     val man = run("q_episode_pack").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
