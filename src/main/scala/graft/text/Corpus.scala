@@ -160,6 +160,41 @@ object Corpus {
       withDerivedShard(packed, "n_tok", packed)
     }
 
+  /** The end-to-end pipeline KEEP SET: one representative per
+    * near-dup cluster (q_dedup_apply's law — largest doc, doc_id
+    * tiebreak — over the shared written cluster-label layout)
+    * intersected with the Gopher rule keep set (q_quality_gopher's
+    * law). This is the corpus a pre-training job actually packs after
+    * cleaning; every column in the dataflow is id-width (doc_id,
+    * n_chars, the boolean) — no payload ever enters.
+    */
+  private[graft] def pipelineSurvivors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = graft.dedup.Dedup.clusterLabels(s, d)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val reps = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster_keeper"), col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"))
+    reps.join(Quality.gopherTable(s, d).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "leftsemi")
+  }
+
+  /** The packed SURVIVOR corpus behind q_pipeline_export: the shared
+    * two-phase prefix-sum packing over the pipeline keep set. Token
+    * counts collapse at the scan projection (text → n_tok BEFORE the
+    * keep-set join), so the join and everything above it move only
+    * (doc_id, source, n_tok).
+    */
+  private[graft] def pipelinePacked(s: SparkSession, d: String): DataFrame =
+    seqPackedOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(pipelineSurvivors(s, d), Seq("doc_id"), "leftsemi"))
+
   /** The wrapped-packing segment table (doc_id, source, bin, seg_off,
     * seg_tokens) — q_pack_wrap's body, shared with the wrapped shard
     * exporter. A document straddling a 2048-token bin boundary SPLITS
@@ -576,6 +611,44 @@ object Corpus {
     // repartition into shards (plan-pinned by ShardExportSpec).
     "q_shard_export" -> ((s, d) =>
       shardLayout(s, d)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(countDistinct(concat(col("source"), lit(":"),
+            col("bin").cast("string"))).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (sum(conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("decimal(38,0)"))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint"))
+        .orderBy(col("shard"))),
+
+    // END-TO-END PIPELINE EXPORT — the composed production pass:
+    // near-dup DEDUP (one representative per cluster, q_dedup_apply's
+    // law over the shared written label layout) → Gopher QUALITY
+    // filter (q_quality_gopher's law) → the shared two-phase PACK →
+    // the shared shard-law EXPORT, in ONE dataflow ending in a
+    // write-once `pipeline_shards` layout. Each stage is individually
+    // oracled elsewhere; this query oracles their COMPOSITION — stage
+    // laws interact (dedup changes which docs the quality filter
+    // sees packed; the keep set changes every bin boundary), so
+    // hash-matching the composed manifest is strictly stronger
+    // evidence than four green stages.
+    //
+    // Scale shape: text collapses at the scan in BOTH consumers
+    // (n_tok projection for packing; the Gopher kernel is a
+    // zero-shuffle projection), so every exchange in the composed
+    // plan moves id-width rows — the whole 100 TB cleaning pass
+    // shuffles a few percent of corpus bytes. The expensive CC
+    // fixpoint is the shared write-once label layout (built once per
+    // corpus at ingest, amortized across every dedup consumer). The
+    // composed wall and per-stage exchange counts are measured at ×50
+    // by graft.PipelineRehearsal (BASELINE.md).
+    "q_pipeline_export" -> ((s, d) =>
+      graft.sources.Layouts.ensureLayout(s, d, "pipeline_shards",
+          partitionCols = Seq("shard")) {
+        val packed = pipelinePacked(s, d)
+        withDerivedShard(packed, "n_tok", packed)
+      }
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(countDistinct(concat(col("source"), lit(":"),
             col("bin").cast("string"))).as("n_seqs"),
@@ -1316,6 +1389,48 @@ object Corpus {
          |  FROM (SELECT doc_id, source,
          |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
          |        FROM documents) t),
+         |b AS (
+         |  SELECT doc_id, source, n_tok,
+         |    (running - n_tok) // 2048 AS bin
+         |  FROM packed),
+         |${nshSql("n_tok", "b")},
+         |a AS (
+         |  SELECT doc_id, source, n_tok, bin,
+         |    ('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)),
+         |      1, 12))::BIGINT % (SELECT n FROM nsh) AS shard
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT source || ':' || CAST(bin AS VARCHAR))
+         |    AS BIGINT) AS n_seqs,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS HUGEINT)
+         |    % 1000000000000000000 AS BIGINT) AS fingerprint
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // the composed pipeline: cluster reps (the q_dedup_apply CTE) ∩
+    // Gopher keeps, then the seq-pack prefix sum and the shared
+    // shard law over the SURVIVOR corpus only
+    "q_pipeline_export" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes},
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |      row_number() OVER (
+         |        PARTITION BY coalesce(l.cluster_keeper, d.doc_id)
+         |        ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id) t
+         |  WHERE rk = 1),
+         |gk AS (SELECT doc_id FROM (${Quality.gopherSql}) g WHERE keep),
+         |sv AS (SELECT doc_id FROM reps
+         |  WHERE doc_id IN (SELECT doc_id FROM gk)),
+         |packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM (SELECT d.doc_id, d.source,
+         |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |        FROM documents d JOIN sv USING (doc_id)) t),
          |b AS (
          |  SELECT doc_id, source, n_tok,
          |    (running - n_tok) // 2048 AS bin

@@ -3127,3 +3127,91 @@ class ScaleFixtureSpec extends SparkSpec {
     }
   }
 }
+
+/** The composed end-to-end pipeline (q_pipeline_export): dedup reps ∩
+  * Gopher keeps → pack → shard export in one dataflow. The stage laws
+  * are each oracled alone; these pins cover what only the COMPOSITION
+  * can get wrong — the keep-set intersection, conservation through
+  * the chain, and the payload/exchange discipline of the fused plan.
+  */
+class PipelineExportSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("keep set is exactly cluster-reps ∩ gopher-keeps (brute-force replay)") {
+    val labels = dedup.Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val reps = docs.groupBy { case (id, _) => labels.getOrElse(id, id) }
+      .values.map(_.minBy { case (id, nc) => (-nc, id) }._1).toSet
+    val gopherKeeps = text.Quality.gopherTable(spark, sf)
+      .filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = reps intersect gopherKeeps
+    val actual = text.Corpus.pipelineSurvivors(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(actual == expected)
+    // both stages must be LIVE at this SF, or the composition pins
+    // nothing: dedup collapses at least one cluster and the quality
+    // filter drops at least one rep
+    assert(reps.size < docs.length, "no multi-member cluster at this SF")
+    assert(expected.size < reps.size, "gopher filter dropped no rep")
+  }
+
+  test("manifest conserves the survivor corpus; sequences stay whole on disk") {
+    val man = run("q_pipeline_export").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(man.nonEmpty)
+    val sv = text.Corpus.pipelineSurvivors(spark, sf)
+    val svDocs = Tables.documents(spark, sf)
+      .join(sv, Seq("doc_id"), "leftsemi")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(_.getLong(0))
+    assert(man.map(_._3).sum == svDocs.length.toLong, "docs not conserved")
+    assert(man.map(_._4).sum == svDocs.sum, "tokens not conserved")
+    // shard-count law over SURVIVOR tokens (not corpus tokens)
+    val nsh = ((svDocs.sum + text.Corpus.ShardTokenBudget - 1)
+      / text.Corpus.ShardTokenBudget).max(1L)
+    assert(man.length <= nsh.toInt)
+    assert(man.forall { case (s0, _, _, _) => s0 >= 0 && s0 < nsh })
+    // whole sequences + one parquet file per occupied shard dir
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(wh,
+      s"pipeline_shards_${sources.Layouts.sfSuffix(sf)}")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    assert(dirs.size == man.length)
+    dirs.foreach { p =>
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$p has $files files")
+    }
+  }
+
+  test("composed plan: no exchange carries text; one shard repartition") {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // the FULLY-PREPARED plan (AQE off so EnsureRequirements'
+    // inserted shuffles are visible, not just explicit repartitions)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val packed = text.Corpus.pipelinePacked(spark, sf)
+      val composed = text.Corpus.withDerivedShard(packed, "n_tok", packed)
+      val ex = composed.queryExecution.executedPlan.collect {
+        case e: Exchange => e
+      }
+      assert(ex.nonEmpty)
+      ex.foreach { e =>
+        assert(!e.output.exists(_.name == "text"), e.toString)
+      }
+      val reps = composed.queryExecution.optimizedPlan.collect {
+        case r: RepartitionByExpression => r
+      }
+      assert(reps.length == 1)
+      assert(reps.head.partitionExpressions.exists(
+        _.references.exists(_.name == "shard")), reps.head.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
