@@ -608,6 +608,68 @@ object Similarity {
       knnTop5(s, d, knnCandidates(s, d))
     }
 
+  /** The RETRO assembly law over ANY (graph, labels, lens) triple —
+    * exposed for the synthetic spec drive: this corpus's embeddings
+    * are generated independently of text, so a near-dup's vector is
+    * NOT near its twin's and same-cluster neighbors are rare at test
+    * SF (with a real encoder they would dominate — that is exactly
+    * why RETRO filters them); RetroAssembleSpec forces consecutive-
+    * excluded / trailing-excluded / graph-absent cases through this
+    * exact production arithmetic (the nstepOf precedent).
+    *
+    * graph: (vid, rk, nid) — each doc's ranked neighbor list;
+    * labels: (doc_id, cluster_keeper) — the near-dup CC labels;
+    * lens: (doc_id, dl) — per-doc token counts.
+    *
+    * Law: a neighbor is EXCLUDED when it sits in the query doc's
+    * near-dup cluster (singleton cluster = the doc itself, so self
+    * can never be retrieved either); the 2 lowest-rank survivors are
+    * the example's context chunks. Cost convention matches the
+    * SFT/tool families: each context chunk costs dl + 2 sentinels and
+    * MASKS (retrieved context is conditioning input, never a target);
+    * the target doc costs dl + 2 and trains content + closing
+    * sentinel (dl + 1). Docs with no surviving neighbor publish the
+    * retro-off row (nbr = -1, ctx 0) — conservation over the corpus.
+    */
+  private[graft] def retroOf(graph: DataFrame, labels: DataFrame,
+      lens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = labels.select(col("doc_id").as("vid"),
+      col("cluster_keeper").as("qck"))
+    val nc = labels.select(col("doc_id").as("nid"),
+      col("cluster_keeper").as("nck"))
+    val flagged = graph.select(col("vid"), col("rk"), col("nid"))
+      .join(qc, Seq("vid"), "left")
+      .join(nc, Seq("nid"), "left")
+      .withColumn("excl",
+        coalesce(col("qck"), col("vid")) === coalesce(col("nck"), col("nid")))
+    // kept-before-excluded, graph order within: row_number over
+    // (excl, rk) ranks the survivors 1..k without a second filter
+    val w = Window.partitionBy(col("vid")).orderBy(col("excl"), col("rk"))
+    val ranked = flagged.withColumn("crk", row_number().over(w))
+      .join(lens.select(col("doc_id").as("nid"), col("dl").as("ndl")), "nid")
+    val kept = !col("excl") && col("crk") <= 2
+    val ctx = ranked.groupBy(col("vid"))
+      .agg(sum(when(col("excl"), 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_ctx"),
+        sum(when(kept, col("ndl") + lit(2L)).otherwise(0L)).as("ctx_tokens"),
+        min(when(!col("excl") && col("crk") === 1, col("nid"))).as("nbr1"),
+        min(when(!col("excl") && col("crk") === 2, col("nid"))).as("nbr2"))
+    lens.join(ctx, lens("doc_id") === ctx("vid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbr1"), lit(-1L)).as("nbr1"),
+        coalesce(col("nbr2"), lit(-1L)).as("nbr2"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
+        coalesce(col("n_ctx"), lit(0L)).as("n_ctx"),
+        coalesce(col("ctx_tokens"), lit(0L)).as("ctx_tokens"),
+        col("dl").as("tgt_tokens"),
+        (coalesce(col("ctx_tokens"), lit(0L)) + col("dl") + lit(2L))
+          .as("total_tokens"),
+        (col("dl") + lit(1L)).as("trainable_tokens"))
+      .withColumn("mask_pm",
+        expr("trainable_tokens * 1000 div total_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
     "q_sim_topk" -> ((s, d) => {
@@ -1058,6 +1120,31 @@ object Similarity {
     // re-attach-not-rebuild.
     "q_sim_knn_graph" -> ((s, d) =>
       knnGraphLayout(s, d).orderBy(col("vid"), col("rk"))),
+
+    // RETRO ASSEMBLY (Borgeaud et al. 2022 — retrieval-augmented
+    // pretraining data prep): for every training document, its top-2
+    // retrieved corpus neighbors from the WRITTEN knn_graph layout,
+    // after the paper's LEAKAGE filter — a neighbor in the query
+    // doc's near-dup cluster is excluded (retrieving a duplicate of
+    // the target lets the model copy instead of generalize; RETRO
+    // §2.4 filters exactly this), composing the dedup family's CC
+    // labels with the similarity family's graph. Published per doc:
+    // surviving neighbor ids (rank order), the exclusion/survivor
+    // counts, and the trainer's mask accounting (context chunks mask,
+    // target trains — the SFT cost convention). Law + spec drive in
+    // [[retroOf]].
+    //
+    // Scale shape: BOTH inputs are write-once layouts (graph: the LSH
+    // build paid once per corpus; labels: the CC fixpoint likewise),
+    // so assembly itself is id-width joins + ONE vid-key window/agg
+    // pass over ≤ 5-row partitions — no embedding and no text ever
+    // enters this plan (plan-pinned). FULLY ORACLED by composing the
+    // generated LSH SQL with the recursive cluster CTE.
+    "q_retro_assemble" -> ((s, d) =>
+      retroOf(knnGraphLayout(s, d),
+        graft.dedup.Dedup.clusterLabels(s, d),
+        graft.text.TextOps.docStats(s, d))
+        .orderBy(col("doc_id"))),
 
     // INCREMENTAL KNN-graph maintenance — the q_sim_ivf_append twin
     // for the graph layout: a delta batch of arriving vectors probes
@@ -1589,6 +1676,51 @@ object Similarity {
          |ranked AS (${lshRankedSql("kcand", "vid")})
          |SELECT vid, rk, nid, round(cos_sim, 6) AS cos_sim
          |FROM ranked WHERE rk <= 5 ORDER BY vid, rk""".stripMargin,
+
+    // the graph CTE + the recursive cluster labels; the exclusion,
+    // survivor re-rank and cost law mirror retroOf column-for-column
+    "q_retro_assemble" ->
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes},
+         |$lshCtes,
+         |g AS (SELECT vid, rk, nid
+         |      FROM (${lshRankedSql("kcand", "vid")}) r WHERE rk <= 5),
+         |fl AS (
+         |  SELECT g.vid, g.rk, g.nid,
+         |    coalesce(ql.cluster_keeper, g.vid)
+         |      = coalesce(nl.cluster_keeper, g.nid) AS excl
+         |  FROM g LEFT JOIN labels ql ON ql.doc_id = g.vid
+         |  LEFT JOIN labels nl ON nl.doc_id = g.nid),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |rk2 AS (
+         |  SELECT fl.*, ndl.dl AS ndl,
+         |    row_number() OVER (PARTITION BY vid ORDER BY excl, rk) AS crk
+         |  FROM fl JOIN dl ndl ON ndl.doc_id = fl.nid),
+         |ctx AS (
+         |  SELECT vid,
+         |    CAST(sum(CASE WHEN excl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_excluded,
+         |    CAST(sum(CASE WHEN NOT excl AND crk <= 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ctx,
+         |    CAST(sum(CASE WHEN NOT excl AND crk <= 2 THEN ndl + 2
+         |      ELSE 0 END) AS BIGINT) AS ctx_tokens,
+         |    min(CASE WHEN NOT excl AND crk = 1 THEN nid END) AS nbr1,
+         |    min(CASE WHEN NOT excl AND crk = 2 THEN nid END) AS nbr2
+         |  FROM rk2 GROUP BY vid)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nbr1, -1) AS BIGINT) AS nbr1,
+         |  CAST(coalesce(nbr2, -1) AS BIGINT) AS nbr2,
+         |  CAST(coalesce(n_excluded, 0) AS BIGINT) AS n_excluded,
+         |  CAST(coalesce(n_ctx, 0) AS BIGINT) AS n_ctx,
+         |  CAST(coalesce(ctx_tokens, 0) AS BIGINT) AS ctx_tokens,
+         |  d.dl AS tgt_tokens,
+         |  coalesce(ctx_tokens, 0) + d.dl + 2 AS total_tokens,
+         |  d.dl + 1 AS trainable_tokens,
+         |  (d.dl + 1) * 1000 // (coalesce(ctx_tokens, 0) + d.dl + 2)
+         |    AS mask_pm
+         |FROM dl d LEFT JOIN ctx ON ctx.vid = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // incremental append: delta probes against the corpus index; the
     // audit column certifies inc ≡ the written graph's rows for the
