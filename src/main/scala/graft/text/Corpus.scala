@@ -160,6 +160,89 @@ object Corpus {
       withDerivedShard(packed, "n_tok", packed)
     }
 
+  /** q_niah_build grid: context lengths × needle depths (per-mille of
+    * the insert range) × replicates per length — 3·5·4 = 60 eval
+    * examples, a BOUNDED eval set by design at any corpus size.
+    * Test-scale lengths; a deployment sets 4k–1M and the ladder, not
+    * the constants, is the law.
+    */
+  val NiahLens: Seq[Long] = Seq(512L, 1024L, 2048L)
+  val NiahDepthsPm: Seq[Long] = Seq(0L, 250L, 500L, 750L, 1000L)
+  val NiahReps = 4L
+
+  /** Haystack pool: the first [[NiahPoolDocs]] docs by id — the
+    * doc_id predicate reaches the parquet scan, so eval construction
+    * reads a CONSTANT number of documents no matter the corpus size.
+    * 256 docs × ≥10 tokens each covers NiahReps × max(NiahLens)
+    * (8,192) tokens with slack at every SF (NiahSpec pins every
+    * window fully formed).
+    */
+  val NiahPoolDocs = 256L
+
+  /** The fixed 7-token needle: needle key <k> holds value <v> end. */
+  val NiahNeedleLen = 7L
+
+  /** The NIAH example builder over ANY (doc_id, toks, n_tok) pool —
+    * exposed for the spec's synthetic drive and replay. Law: per
+    * context length L, the pool packs into exact-L token windows
+    * (the wrap-pack zero-spill law at bin size L); window `rep` is
+    * bin rep < [[NiahReps]]. Per (L, depth, rep): the needle — a
+    * deterministic 7-token fact whose key/answer derive from
+    * md5(L:depth:rep) — REPLACES the 7 window tokens at
+    * insert_pos = (L−7)·depth/1000, so the rendered context stays
+    * exactly L tokens at every depth. Published as fingerprints +
+    * the answer a grader checks — the whole example set is a pure
+    * function of (corpus, grid), identical in both engines.
+    */
+  private[graft] def niahOf(pool: DataFrame): DataFrame = {
+    val wins = NiahLens.map { l =>
+      val packed = seqPackedOf(pool.select(col("doc_id"),
+        lit("all").as("source"), col("n_tok")), binTokens = l)
+      wrapPackedOf(packed, binTokens = l)
+        .filter(col("bin") < NiahReps)
+        .join(pool.select(col("doc_id"), col("toks")), "doc_id")
+        .select(col("bin"), struct(col("doc_id"),
+          expr("slice(toks, CAST(seg_off + 1 AS INT), CAST(seg_tokens AS INT))")
+            .as("seg")).as("ds"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          flatten(expr("transform(array_sort(collect_list(ds)), x -> x.seg)"))
+            .as("win"))
+        .select(lit(l).as("ctx_len"), col("bin").as("rep"),
+          col("n_docs"), col("win"))
+    }.reduce(_ unionAll _)
+    wins
+      .select(col("ctx_len"), col("rep"), col("n_docs"), col("win"),
+        explode(array(NiahDepthsPm.map(lit(_)): _*)).as("depth_pm"))
+      .withColumn("insert_pos",
+        expr(s"(ctx_len - $NiahNeedleLen) * depth_pm div 1000"))
+      .withColumn("key", substring(md5(concat(
+        col("ctx_len").cast("string"), lit(":"),
+        col("depth_pm").cast("string"), lit(":"),
+        col("rep").cast("string")).cast("binary")), 1, 8))
+      .withColumn("answer",
+        conv(substring(md5(col("key").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 1000)
+      .withColumn("needle", expr(
+        "array('needle', 'key', key, 'holds', 'value', " +
+          "CAST(answer AS STRING), 'end')"))
+      .withColumn("render", expr(
+        s"""concat(slice(win, 1, CAST(insert_pos AS INT)), needle,
+           |  slice(win, CAST(insert_pos + $NiahNeedleLen + 1 AS INT),
+           |    CAST(ctx_len - insert_pos - $NiahNeedleLen AS INT)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("ctx_len"), col("depth_pm"), col("rep"), col("n_docs"),
+        col("insert_pos"), col("key"), col("answer"),
+        md5(concat_ws(" ", col("win")).cast("binary")).as("haystack_fp"),
+        md5(concat_ws(" ", col("render")).cast("binary")).as("render_fp"))
+  }
+
+  private[graft] def niahPool(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < NiahPoolDocs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+
   /** The end-to-end pipeline KEEP SET: one representative per
     * near-dup cluster (q_dedup_apply's law — largest doc, doc_id
     * tiebreak — over the shared written cluster-label layout)
@@ -206,7 +289,8 @@ object Corpus {
     wrapPackedOf(seqPacked(s, d))
 
   /** The wrap/split interval math over ANY seqPacked-shaped table. */
-  private[graft] def wrapPackedOf(packed: DataFrame): DataFrame =
+  private[graft] def wrapPackedOf(packed: DataFrame,
+      binTokens: Long = 2048L): DataFrame =
     packed
       // n_tok >= 1 invariant, enforced rather than assumed: for a
       // 0-token row Spark's sequence(a, a-1) would yield a DESCENDING
@@ -218,13 +302,13 @@ object Corpus {
         (col("running") - col("n_tok")).as("s0"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("s0"),
         explode(expr(
-          "sequence(s0 div 2048, (s0 + n_tok - 1) div 2048)"))
+          s"sequence(s0 div $binTokens, (s0 + n_tok - 1) div $binTokens)"))
           .as("bin"))
       .select(col("doc_id"), col("source"), col("bin"),
-        (greatest(col("s0"), col("bin") * 2048) - col("s0"))
+        (greatest(col("s0"), col("bin") * binTokens) - col("s0"))
           .as("seg_off"),
-        (least(col("s0") + col("n_tok"), (col("bin") + 1) * 2048) -
-          greatest(col("s0"), col("bin") * 2048)).as("seg_tokens"))
+        (least(col("s0") + col("n_tok"), (col("bin") + 1) * binTokens) -
+          greatest(col("s0"), col("bin") * binTokens)).as("seg_tokens"))
 
   /** The wrapped-packing training-shard layout — the export path a
     * trainer should actually consume: q_shard_export's layout ships
@@ -659,6 +743,33 @@ object Corpus {
               16, 10).cast("decimal(38,0)"))
             % lit(1000000000000000000L)).cast("long").as("fingerprint"))
         .orderBy(col("shard"))),
+
+    // NEEDLE-IN-A-HAYSTACK eval construction (Kamradt 2023 — the
+    // standard long-context retrieval eval every context-extension
+    // report runs): a (context length × needle depth × replicate)
+    // grid of eval examples built from the corpus — haystacks are
+    // exact-L token windows (the wrap-pack zero-spill law at bin
+    // size L over a BOUNDED doc pool), the needle is a deterministic
+    // 7-token fact that REPLACES the window tokens at the depth
+    // point (so the rendered context is exactly L tokens at every
+    // depth), and the published row carries what a grader needs:
+    // the key, the expected answer, and the haystack/render
+    // fingerprints. No RNG anywhere — the example set is a pure
+    // function of (corpus, grid), reproducible across engines and
+    // runs, which is what makes a long-context score comparable
+    // between model checkpoints.
+    //
+    // Scale shape: the pool predicate (doc_id < 256) reaches the
+    // parquet scan, so eval construction reads a CONSTANT number of
+    // documents at ANY corpus size; each length's prefix sum and
+    // window aggregate run over that bounded pool (one exchange per
+    // length, 4 windows each); the depth grid is a literal explode.
+    // Eval-build cost is O(grid), not O(corpus) — plan-pinned.
+    // FULLY ORACLED (md5 keys, integer positions, fingerprint
+    // renders mirror token-for-token in DuckDB).
+    "q_niah_build" -> ((s, d) =>
+      niahOf(niahPool(s, d))
+        .orderBy(col("ctx_len"), col("depth_pm"), col("rep"))),
 
     // FILL-IN-MIDDLE transform (Bavarian et al. 2022 — the FIM
     // augmentation code models train with): for a deterministic
@@ -1408,6 +1519,66 @@ object Corpus {
          |      1, 8))::BIGINT) AS HUGEINT)
          |    % 1000000000000000000 AS BIGINT) AS fingerprint
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // per-length wrap-pack windows over the bounded pool, the literal
+    // depth grid, and the needle-replacement render — token-for-token
+    "q_niah_build" -> {
+      val winCtes = NiahLens.map { l =>
+        s"""p$l AS (
+           |  SELECT doc_id, toks, n_tok,
+           |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+           |  FROM pool),
+           |s$l AS (
+           |  SELECT doc_id, toks, n_tok, running - n_tok AS s0,
+           |    unnest(generate_series((running - n_tok) // $l,
+           |      (running - 1) // $l)) AS bin
+           |  FROM p$l),
+           |w$l AS (
+           |  SELECT CAST($l AS BIGINT) AS ctx_len, CAST(bin AS BIGINT) AS rep,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    flatten(list(
+           |      toks[GREATEST(s0, bin * $l) - s0 + 1 :
+           |           LEAST(s0 + n_tok, (bin + 1) * $l) - s0]
+           |      ORDER BY doc_id)) AS win
+           |  FROM s$l WHERE bin < $NiahReps GROUP BY bin)""".stripMargin
+      }.mkString(",\n")
+      val winUnion = NiahLens.map(l => s"SELECT * FROM w$l")
+        .mkString(" UNION ALL ")
+      val depthValues = NiahDepthsPm.map(p => s"($p)").mkString(",")
+      s"""WITH pool AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents WHERE doc_id < $NiahPoolDocs),
+         |$winCtes,
+         |wall AS ($winUnion),
+         |grid AS (
+         |  SELECT wall.*, CAST(d.depth_pm AS BIGINT) AS depth_pm
+         |  FROM wall, (VALUES $depthValues) d(depth_pm)),
+         |ex AS (
+         |  SELECT *,
+         |    (ctx_len - $NiahNeedleLen) * depth_pm // 1000 AS insert_pos,
+         |    substr(md5(ctx_len || ':' || depth_pm || ':' || rep), 1, 8)
+         |      AS key
+         |  FROM grid),
+         |ex2 AS (
+         |  SELECT *, ('0x' || substr(md5(key), 1, 4))::BIGINT % 1000
+         |    AS answer
+         |  FROM ex),
+         |ex3 AS (
+         |  SELECT *,
+         |    win[1 : CAST(insert_pos AS BIGINT)]
+         |      || ['needle', 'key', key, 'holds', 'value',
+         |          CAST(answer AS VARCHAR), 'end']
+         |      || win[CAST(insert_pos + $NiahNeedleLen + 1 AS BIGINT) :
+         |             CAST(ctx_len AS BIGINT)] AS render
+         |  FROM ex2)
+         |SELECT ctx_len, depth_pm, rep, n_docs,
+         |  CAST(insert_pos AS BIGINT) AS insert_pos, key,
+         |  CAST(answer AS BIGINT) AS answer,
+         |  md5(array_to_string(win, ' ')) AS haystack_fp,
+         |  md5(array_to_string(render, ' ')) AS render_fp
+         |FROM ex3 ORDER BY ctx_len, depth_pm, rep""".stripMargin
+    },
     // the composed pipeline: cluster reps (the q_dedup_apply CTE) ∩
     // Gopher keeps, then the seq-pack prefix sum and the shared
     // shard law over the SURVIVOR corpus only

@@ -90,3 +90,62 @@ class RetroAssembleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
+
+/** NIAH eval construction (q_niah_build): full brute-force replay of
+  * the window tiling, needle law, and fingerprints from raw text,
+  * plus the bounded-pool pushdown pin that makes eval-build cost
+  * O(grid) instead of O(corpus).
+  */
+class NiahSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("grid, tiling, needle and fingerprints replay from raw text") {
+    val rows = run("q_niah_build").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6),
+          r.getString(7), r.getString(8)))).toMap
+    assert(rows.size ==
+      text.Corpus.NiahLens.size * text.Corpus.NiahDepthsPm.size *
+        text.Corpus.NiahReps.toInt, "grid incomplete")
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < text.Corpus.NiahPoolDocs)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val toks = docs.map { case (id, t) => (id, t.split(" ").toSeq) }
+    val stream = toks.flatMap(_._2)
+    // doc boundaries for the n_docs replay
+    val spans = toks.scanLeft((0L, 0L, 0L)) { case ((_, _, end), (id, tk)) =>
+      (id, end, end + tk.length)
+    }.drop(1)
+    for (l <- text.Corpus.NiahLens; rep <- 0L until text.Corpus.NiahReps) {
+      val win = stream.slice((rep * l).toInt, ((rep + 1) * l).toInt)
+      assert(win.length == l, s"window ($l, $rep) not fully formed")
+      val nd = spans.count { case (_, s0, e) => s0 < (rep + 1) * l && e > rep * l }
+      for (depth <- text.Corpus.NiahDepthsPm) {
+        val pos = ((l - 7) * depth / 1000).toInt
+        val key = md5hex(s"$l:$depth:$rep").take(8)
+        val answer = java.lang.Long.parseLong(md5hex(key).take(4), 16) % 1000
+        val needle = Seq("needle", "key", key, "holds", "value",
+          answer.toString, "end")
+        val render = win.take(pos) ++ needle ++ win.drop(pos + 7)
+        assert(render.length == l, "needle replacement must preserve L")
+        val got = rows((l, depth, rep))
+        assert(got == ((nd, pos.toLong, key, answer,
+          md5hex(win.mkString(" ")), md5hex(render.mkString(" ")))),
+          s"example ($l, $depth, $rep)")
+      }
+    }
+  }
+
+  test("pool predicate reaches the parquet scan: eval build is O(grid), not O(corpus)") {
+    val df = text.Corpus.niahOf(text.Corpus.niahPool(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains(s"LessThan(doc_id,${text.Corpus.NiahPoolDocs}"),
+      "doc_id pool bound not pushed to the scan")
+  }
+}
