@@ -315,8 +315,16 @@ object Bench {
     }
     // Short trailer with the headline total: the per-query line above
     // outgrew the driver's captured tail in rounds 2-4, losing the
-    // total; this line is always last and always fits.
-    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson$probesJson,"n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // total; this line is always last and always fits — so it carries
+    // only a BOUNDED probe summary (count + worst ratio), never the
+    // ladder arrays or the unbounded suspect name list (those ride in
+    // the full line; a heavily pressured run must not clip this one).
+    val probeSummary =
+      if (probeLadder.nonEmpty) {
+        val worst = probeLadder.map(_._2).max / probeLadder.map(_._2).min
+        f""","suspect_n":${suspects.size},"probe_max_over_min":$worst%.2f"""
+      } else ""
+    println(f"""{"metric":"total_only","value":$total%.3f,"unit":"sec","mode":"$modeLabel",$canaryJson$probeSummary,"n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact per-query signal for the expensive head: the full
     // queries/spread dicts outgrew the driver's 2 KB captured tail in
     // round 7, leaving no per-query driver seconds at all. This line

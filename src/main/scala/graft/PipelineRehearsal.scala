@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *  - each stage is timed twice: ISOLATED (input checkpointed, so the
   *    stage's own plan is measured alone) and as part of the COMPOSED
   *    single dataflow ending in the shard-assigned table;
-  *  - exchange counts come from the pre-AQE physical plan
-  *    (`queryExecution.sparkPlan`), isolated vs composed — shape
-  *    drift under composition would show as composed ≠ Σ isolated
-  *    beyond the expected keep-set reuse;
+  *  - exchange counts come from the FULLY-PREPARED physical plan
+  *    (`executedPlan` with AQE off — `sparkPlan` alone misses the
+  *    EnsureRequirements-inserted shuffles; see [[exchanges]]),
+  *    isolated vs composed — shape drift under composition would
+  *    show as composed ≠ Σ isolated beyond the expected keep-set
+  *    reuse;
   *  - the payload discipline is re-checked at this scale: no exchange
   *    in the composed plan may output a `text` column.
   *
@@ -47,9 +49,14 @@ object PipelineRehearsal {
     * AQE off (runtime conf, restored after) yields the complete
     * static plan without the AdaptiveSparkPlanExec wrapper.
     */
-  private def exchanges(s: SparkSession, build: => DataFrame): (Int, Int) = {
+  private def withAqeOff[T](s: SparkSession)(f: => T): T = {
+    val prior = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try f finally s.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  private def exchanges(s: SparkSession, build: => DataFrame): (Int, Int) =
+    withAqeOff(s) {
       val plan = build.queryExecution.executedPlan
       val sh = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
@@ -58,17 +65,15 @@ object PipelineRehearsal {
         case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
       }.length
       (sh, bc)
-    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
-  }
+    }
 
-  private def payloadExchanges(s: SparkSession, build: => DataFrame): Int = {
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try build.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange
-          if e.output.exists(_.name == "text") => e
-    }.length
-    finally s.conf.set("spark.sql.adaptive.enabled", "true")
-  }
+  private def payloadExchanges(s: SparkSession, build: => DataFrame): Int =
+    withAqeOff(s) {
+      build.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+            if e.output.exists(_.name == "text") => e
+      }.length
+    }
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

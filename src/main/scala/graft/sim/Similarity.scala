@@ -644,10 +644,16 @@ object Similarity {
       .withColumn("excl",
         coalesce(col("qck"), col("vid")) === coalesce(col("nck"), col("nid")))
     // kept-before-excluded, graph order within: row_number over
-    // (excl, rk) ranks the survivors 1..k without a second filter
+    // (excl, rk) ranks the survivors 1..k without a second filter.
+    // The lens join runs BEFORE the rank (mirroring the oracle's CTE
+    // order): if a graph row ever references a doc absent from lens
+    // (a stale write-once layout against a regenerated corpus), both
+    // engines renumber AFTER the drop instead of Spark silently
+    // consuming a rank on the vanished row
     val w = Window.partitionBy(col("vid")).orderBy(col("excl"), col("rk"))
-    val ranked = flagged.withColumn("crk", row_number().over(w))
+    val ranked = flagged
       .join(lens.select(col("doc_id").as("nid"), col("dl").as("ndl")), "nid")
+      .withColumn("crk", row_number().over(w))
     val kept = !col("excl") && col("crk") <= 2
     val ctx = ranked.groupBy(col("vid"))
       .agg(sum(when(col("excl"), 1L).otherwise(0L)).as("n_excluded"),

@@ -173,9 +173,13 @@ object Corpus {
   /** Haystack pool: the first [[NiahPoolDocs]] docs by id — the
     * doc_id predicate reaches the parquet scan, so eval construction
     * reads a CONSTANT number of documents no matter the corpus size.
-    * 256 docs × ≥10 tokens each covers NiahReps × max(NiahLens)
-    * (8,192) tokens with slack at every SF (NiahSpec pins every
-    * window fully formed).
+    * Covering the full grid needs pool tokens ≥ NiahReps ×
+    * max(NiahLens) = 8,192, i.e. a ≥ 32-token AVERAGE over the 256
+    * docs — the driver corpora average ~54 (measured 13.7k–14.3k pool
+    * tokens at every SF). The builder is defensive anyway: a window
+    * short of exactly L tokens is DROPPED, never rendered sub-L
+    * (both engines filter len(win) = L), and NiahSpec pins the grid
+    * complete at test SFs.
     */
   val NiahPoolDocs = 256L
 
@@ -208,6 +212,9 @@ object Corpus {
         .agg(count(lit(1)).as("n_docs"),
           flatten(expr("transform(array_sort(collect_list(ds)), x -> x.seg)"))
             .as("win"))
+        // defensive exact-L law: a pool too small to fill a window
+        // drops the cell rather than rendering a sub-L context
+        .filter(expr(s"size(win) = $l"))
         .select(lit(l).as("ctx_len"), col("bin").as("rep"),
           col("n_docs"), col("win"))
     }.reduce(_ unionAll _)
@@ -251,20 +258,11 @@ object Corpus {
     * cleaning; every column in the dataflow is id-width (doc_id,
     * n_chars, the boolean) — no payload ever enters.
     */
-  private[graft] def pipelineSurvivors(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val labels = graft.dedup.Dedup.clusterLabels(s, d)
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val reps = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster", coalesce(col("cluster_keeper"), col("doc_id")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"))
-    reps.join(Quality.gopherTable(s, d).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "leftsemi")
-  }
+  private[graft] def pipelineSurvivors(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.clusterReps(s, d)
+      .select(col("rep").as("doc_id"))
+      .join(Quality.gopherTable(s, d).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "leftsemi")
 
   /** The packed SURVIVOR corpus behind q_pipeline_export: the shared
     * two-phase prefix-sum packing over the pipeline keep set. Token
@@ -1542,7 +1540,10 @@ object Corpus {
            |      ORDER BY doc_id)) AS win
            |  FROM s$l WHERE bin < $NiahReps GROUP BY bin)""".stripMargin
       }.mkString(",\n")
-      val winUnion = NiahLens.map(l => s"SELECT * FROM w$l")
+      // the defensive exact-L filter mirrors the Spark side: an
+      // underfilled pool drops the cell, never renders sub-L
+      val winUnion = NiahLens.map(l =>
+          s"SELECT * FROM w$l WHERE len(win) = $l")
         .mkString(" UNION ALL ")
       val depthValues = NiahDepthsPm.map(p => s"($p)").mkString(",")
       s"""WITH pool AS (
@@ -1585,12 +1586,7 @@ object Corpus {
     "q_pipeline_export" ->
       s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes},
          |reps AS (
-         |  SELECT doc_id FROM (
-         |    SELECT d.doc_id,
-         |      row_number() OVER (
-         |        PARTITION BY coalesce(l.cluster_keeper, d.doc_id)
-         |        ORDER BY d.n_chars DESC, d.doc_id) AS rk
-         |    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id) t
+         |  SELECT doc_id FROM (${graft.dedup.Dedup.clusterRankedSql}) t
          |  WHERE rk = 1),
          |gk AS (SELECT doc_id FROM (${Quality.gopherSql}) g WHERE keep),
          |sv AS (SELECT doc_id FROM reps

@@ -3195,6 +3195,7 @@ class PipelineExportSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.Exchange
     // the FULLY-PREPARED plan (AQE off so EnsureRequirements'
     // inserted shuffles are visible, not just explicit repartitions)
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val packed = text.Corpus.pipelinePacked(spark, sf)
@@ -3212,6 +3213,6 @@ class PipelineExportSpec extends SparkSpec {
       assert(reps.length == 1)
       assert(reps.head.partitionExpressions.exists(
         _.references.exists(_.name == "shard")), reps.head.toString)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 }

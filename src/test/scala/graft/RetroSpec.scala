@@ -73,6 +73,7 @@ class RetroAssembleSpec extends SparkSpec {
   }
 
   test("assemble plan is thin: no exchange outputs text or embedding") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = sim.Similarity.retroOf(
@@ -87,7 +88,7 @@ class RetroAssembleSpec extends SparkSpec {
         assert(!e.output.exists(a =>
           a.name == "text" || a.name == "embedding"), e.toString)
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 }
 
