@@ -262,6 +262,182 @@ object Sft {
     packed.join(kept, Seq("doc_id"))
   }
 
+  /** q_verify_rewards grader battery — the RLVR / IFEval shape
+    * (Zhou et al. 2022 IFEval; Lambert et al. 2024 Tülu 3's
+    * "verifiable rewards"): each check is a PURE FUNCTION of the
+    * response trace, so the reward is reproducible by any grader.
+    * Thresholds are calibrated so every check splits the driver
+    * corpora BOTH ways at every SF (measured at sf0.001/0.01/0.1:
+    * keyword 10/15 · 63/150 · 740/1500; norepeat 11/15 · 78/150 ·
+    * 835/1500; length 7/15 · 68/150 · 660/1500; parity 5/15 ·
+    * 74/150 · ~740/1500) — a grader that always passes or always
+    * fails tests nothing.
+    */
+  val VrMinRespTokens = 100L
+  val VrMinKeywordHits = 7L
+  val VrMaxRepeats = 6L
+
+  /** The check names, in assignment-index order (assigned check =
+    * fp(conv_id + ':vrc') mod 4 — salted independently of the
+    * keyword derivation's ':vr').
+    */
+  val VrChecks: Seq[String] = Seq("length", "keyword", "parity", "norepeat")
+
+  /** The event-type vocabulary the keyword constraint draws from
+    * (fp(conv_id + ':vr') mod 5) — the corpus's closed event set.
+    */
+  val VrKeywords: Seq[String] =
+    Seq("click", "view", "purchase", "error", "signup")
+
+  /** q_verify_rewards' body over any keyed event table (conv_id, ts,
+    * event_id, event_type, props, content) — exposed so the spec can
+    * drive synthetic conversations through each grader's flip point
+    * (the toolTurnsOf precedent). The response = the conversation's
+    * assistant turns (even rn — [[turns]]' role law); every grader is
+    * exact integer/boolean arithmetic (the one regex is the ASCII
+    * `\d` capture class, parity-proven live by q_engine_parity).
+    */
+  private[graft] def verifyRewardsOf(keyed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def fp(salt: String) =
+      conv(substring(md5(concat(col("conv_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    val asst = keyed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") % 2 === 0)
+      .withColumn("prev", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("conv_id")).orderBy(col("rn"))))
+      .withColumn("n_tok", size(split(col("content"), " ")).cast("long"))
+      .withColumn("kv",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .withColumn("required_kw", element_at(
+        array(VrKeywords.map(lit(_)): _*), (fp(":vr") % 5 + 1).cast("int")))
+      .withColumn("assigned_check", element_at(
+        array(VrChecks.map(lit(_)): _*), (fp(":vrc") % 4 + 1).cast("int")))
+    asst
+      .groupBy(col("conv_id"), col("required_kw"), col("assigned_check"))
+      .agg(count(lit(1)).as("n_assistant"),
+        sum(col("n_tok")).as("resp_tokens"),
+        sum(when(col("event_type") === col("required_kw"), 1L)
+          .otherwise(0L)).as("kw_hits"),
+        sum(when(col("event_type") === col("prev"), 1L).otherwise(0L))
+          .as("rep_n"),
+        expr("max_by(kv, rn)").as("last_k"))
+      .withColumn("g_length", col("resp_tokens") >= VrMinRespTokens)
+      .withColumn("g_keyword", col("kw_hits") >= VrMinKeywordHits)
+      .withColumn("g_parity", col("last_k") % 2 === 0)
+      .withColumn("g_norepeat", col("rep_n") <= VrMaxRepeats)
+      .withColumn("n_pass",
+        Seq("g_length", "g_keyword", "g_parity", "g_norepeat")
+          .map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("reward",
+        when(col("assigned_check") === "length", col("g_length"))
+          .when(col("assigned_check") === "keyword", col("g_keyword"))
+          .when(col("assigned_check") === "parity", col("g_parity"))
+          .otherwise(col("g_norepeat")).cast("long"))
+      .select(col("conv_id"), col("n_assistant"), col("resp_tokens"),
+        col("required_kw"), col("kw_hits"), col("rep_n"), col("last_k"),
+        col("g_length"), col("g_keyword"), col("g_parity"),
+        col("g_norepeat"), col("n_pass"), col("assigned_check"),
+        col("reward"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** The shared deterministic sample pool (the q_best_of_n /
+    * q_pass_at_k machinery, single-homed): per (lang, source) task,
+    * the first [[SamplePoolK]] members in salted-hash order, each
+    * carrying the ONE-IEEE-quantization micro reward s6i. Distinct
+    * salts keep the evals' pools independent.
+    */
+  private[graft] def samplePool(s: SparkSession, d: String,
+      salt: String): DataFrame = {
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    val sampOrd = grp.orderBy(
+      md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary")),
+      col("doc_id"))
+    TextOps.qualityScored(s, d)
+      .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .withColumn("samp", row_number().over(sampOrd))
+      .filter(col("samp") <= SamplePoolK)
+  }
+
+  /** q_grpo_advantage's body over any pool (lang, source, doc_id,
+    * samp, s6i) — exposed for the spec's synthetic zero-variance and
+    * BigInt-replay drives. Exact-arithmetic form of the GRPO
+    * group-relative advantage (Shao et al. 2024, DeepSeekMath):
+    *   adv_i = (r_i − mean(r)) / std_pop(r)
+    * computed as adv_num / sqrt(var_num) with
+    *   adv_num = n·r_i − Σr          (exact BIGINT; Σ over the group)
+    *   var_num = n·Σr² − (Σr)²       (exact BIGINT = n²·σ²_pop ≥ 0)
+    * so every published column except the final adv_micro is exact,
+    * and adv_micro itself is a deterministic IEEE triple on exact
+    * integers — adv_num·10⁶ (< 2⁵³, exact) / sqrt(var_num) (both
+    * correctly rounded), then the half-up floor. A zero-variance
+    * group (all rewards equal) publishes adv_micro = 0, the GRPO
+    * convention that keeps the gradient finite.
+    */
+  private[graft] def grpoOf(pool: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    pool
+      .withColumn("group_n", count(lit(1)).over(grp))
+      .withColumn("sum_r", sum(col("s6i")).over(grp))
+      .withColumn("sum_r2", sum(col("s6i") * col("s6i")).over(grp))
+      .withColumn("adv_num", col("group_n") * col("s6i") - col("sum_r"))
+      .withColumn("var_num",
+        col("group_n") * col("sum_r2") - col("sum_r") * col("sum_r"))
+      .select(col("lang"), col("source"), col("doc_id"), col("samp"),
+        col("s6i").as("reward_micro"), col("group_n").cast("long"),
+        col("adv_num"), col("var_num"),
+        when(col("var_num") > 0,
+          floor(col("adv_num").cast("double") * lit(1000000.0) /
+            sqrt(col("var_num").cast("double")) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("adv_micro"))
+      .orderBy(col("lang"), col("source"), col("samp"))
+  }
+
+  /** q_self_consistency's body over any pool — exposed for the spec's
+    * synthetic tie drive. Majority vote (Wang et al. 2022,
+    * self-consistency): each sample's "final answer" is its reward
+    * decile (s6i div 100000 — the deterministic small-cardinality
+    * stand-in for a parsed chain-of-thought answer); the group's
+    * published answer is the modal decile, ties broken toward the
+    * SMALLEST answer (dense_rank on (votes DESC, answer ASC) — total,
+    * so both engines elect identically). agree_best asks whether the
+    * vote matches the single best-reward sample's answer — the
+    * measurable gap between "sample many and vote" and "trust the top
+    * sample" that the technique exists to exploit. All-integer.
+    */
+  private[graft] def selfConsistencyOf(pool: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    val agrp = Window.partitionBy(col("lang"), col("source"), col("answer"))
+    val withVotes = pool
+      .withColumn("answer", expr("s6i div 100000"))
+      .withColumn("votes", count(lit(1)).over(agrp))
+      .withColumn("vrk", dense_rank().over(
+        grp.orderBy(col("votes").desc, col("answer"))))
+      .withColumn("brk", row_number().over(
+        grp.orderBy(col("s6i").desc, col("doc_id"))))
+    withVotes
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("pool_n"),
+        countDistinct(col("answer")).as("n_answers"),
+        max(when(col("vrk") === 1, col("answer"))).as("vote_answer"),
+        max(when(col("vrk") === 1, col("votes"))).as("vote_n"),
+        coalesce(max(when(col("vrk") === 2, col("votes"))), lit(0L))
+          .as("runner_n"),
+        max(when(col("brk") === 1, col("answer"))).as("best_answer"))
+      .select(col("lang"), col("source"), col("pool_n"), col("n_answers"),
+        col("vote_answer"), col("vote_n"), col("runner_n"),
+        (col("vote_n") - col("runner_n")).as("margin"),
+        expr("vote_n * 1000 div pool_n").as("vote_pm"),
+        (col("vote_n") * 2 > col("pool_n")).as("consistent"),
+        (col("vote_answer") === col("best_answer")).as("agree_best"),
+        col("best_answer"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CHAT-TEMPLATE rendering — the serialization step every SFT run
@@ -522,15 +698,7 @@ object Sft {
     "q_best_of_n" -> ((s, d) => {
       val ns = Seq(1, 2, 4, 8)
       val grp = Window.partitionBy(col("lang"), col("source"))
-      val sampOrd = grp.orderBy(
-        md5(concat(col("doc_id").cast("string"), lit(":bon")).cast("binary")),
-        col("doc_id"))
-      val pool = TextOps.qualityScored(s, d)
-        .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
-          .cast("long"))
-        .withColumn("samp", row_number().over(sampOrd))
-        .filter(col("samp") <= SamplePoolK)
-      val ranked = pool
+      val ranked = samplePool(s, d, ":bon")
         .withColumn("k", count(lit(1)).over(grp))
         .withColumn("i", row_number().over(
           grp.orderBy(col("s6i"), col("doc_id"))))
@@ -578,19 +746,10 @@ object Sft {
     // per-group state — identical to q_best_of_n.
     "q_pass_at_k" -> ((s, d) => {
       val ks = Seq(1, 2, 4, 8)
-      val grp = Window.partitionBy(col("lang"), col("source"))
-      val sampOrd = grp.orderBy(
-        md5(concat(col("doc_id").cast("string"), lit(":pak")).cast("binary")),
-        col("doc_id"))
       def binom(nExpr: String, k: Int) =
         s"(factorial(cast(($nExpr) as int)) div (factorial($k)" +
           s" * factorial(cast(($nExpr) - $k as int))))"
-      val pool = TextOps.qualityScored(s, d)
-        .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
-          .cast("long"))
-        .withColumn("samp", row_number().over(sampOrd))
-        .filter(col("samp") <= SamplePoolK)
-      pool.groupBy(col("lang"), col("source"))
+      samplePool(s, d, ":pak").groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("s6i") >= PassThresholdMicro, 1L).otherwise(0L))
             .as("c"))
@@ -644,7 +803,55 @@ object Sft {
           col("rejected_doc"), round(col("rs"), 6).as("rejected_score"),
           round(col("cs") - col("rs"), 6).as("margin"))
         .orderBy(col("lang"), col("source"))
-    }))
+    }),
+
+    // VERIFIABLE REWARDS — the RLVR grader battery (IFEval's shape,
+    // Zhou et al. 2022; the binary-reward construction of Tülu 3 /
+    // R1-style RL): four deterministic checks over each
+    // conversation's assistant turns — a length floor, a
+    // hash-assigned required keyword with a hit floor, a final-answer
+    // parity (format) check, and a no-immediate-repetition cap — each
+    // a pure function of the response trace, so the reward is
+    // reproducible by ANY grader (the property that lets RLVR skip
+    // the reward model). One hash-assigned check per conversation is
+    // the RL reward; the full battery publishes alongside for rubric
+    // use. Thresholds measured to split the corpus both ways at every
+    // SF (constants' scaladoc). Exact integers/booleans end to end —
+    // the one regex is the parity-proven ASCII \d capture. Scale
+    // shape: the graders ride the SAME single conversation-key
+    // exchange as q_sft_mask; per-conversation state is the turn
+    // list; nothing downstream scales with event count. Fully oracled.
+    "q_verify_rewards" -> ((s, d) => verifyRewardsOf(toolKeyed(s, d))),
+
+    // GRPO ADVANTAGES — group-relative policy optimization's
+    // normalization (Shao et al. 2024, DeepSeekMath): a group of K
+    // sampled responses per task, each response's advantage =
+    // (r_i − mean)/std_pop over ITS OWN group — no value model, the
+    // group is the baseline. Task = (lang, source); pool = the
+    // deterministic 16-member hash-ordered sample (salt ':grpo' —
+    // independent of ':bon'/':pak'/':sc'); reward = the
+    // micro-quantized quality score (swap in q_verify_rewards'
+    // binary reward and the operator is unchanged — one column).
+    // Published as exact BIGINT numerators (adv_num = n·r−Σr,
+    // var_num = n·Σr²−(Σr)², both from ONE pass of group sums)
+    // plus ONE deterministic-IEEE adv_micro at publication
+    // (helper scaladoc proves the exactness budget). Scale shape:
+    // score is a zero-shuffle kernel projection; thin rows into ONE
+    // group-key exchange shared by pool selection and group sums;
+    // per-group state = K = 16 rows, constant. Fully oracled.
+    "q_grpo_advantage" -> ((s, d) => grpoOf(samplePool(s, d, ":grpo"))),
+
+    // SELF-CONSISTENCY — majority voting over sampled answers (Wang
+    // et al. 2022): per task, the pool's K samples each emit a
+    // discrete answer (the reward decile — the parsed-final-answer
+    // stand-in); the published answer is the modal one, ties to the
+    // smallest answer (a TOTAL order, so both engines elect
+    // identically); margin, vote share, and the agree-with-best-
+    // sample flag quantify when voting diverges from top-1. Same
+    // pool machinery (salt ':sc'), all-integer, one group-key
+    // exchange, constant per-group state. Fully oracled.
+    "q_self_consistency" -> ((s, d) =>
+      selfConsistencyOf(samplePool(s, d, ":sc"))))
 
   /** Shared turn CTE for the DuckDB oracles (mirrors `turns`). */
   private val turnsSql =
@@ -761,7 +968,137 @@ object Sft {
        |  SELECT *, CAST((running - conv_tokens) // 2048 AS BIGINT) AS bin
        |  FROM run)""".stripMargin
 
+  /** The shared sample-pool CTE (mirrors [[samplePool]], one
+    * definition site for all four sampling evals): s — the ONE IEEE
+    * micro-quantization of the score — then the salted-hash-ordered
+    * first-K pool. Kept margin-stripped HERE; concatenate, don't
+    * re-interpolate into a stripMargin string (the `||` concat
+    * operators would be eaten — the packChainSql lesson).
+    */
+  private def poolSql(salt: String): String =
+    s"""s AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
+       |  FROM (${TextOps.qualityScoredSql}) q),
+       |pool AS (
+       |  SELECT lang, source, doc_id, s6i, samp FROM (
+       |    SELECT lang, source, doc_id, s6i,
+       |      row_number() OVER (PARTITION BY lang, source
+       |        ORDER BY md5(doc_id || '$salt'), doc_id) AS samp
+       |    FROM s) t WHERE samp <= $SamplePoolK)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the grader battery mirrored check-for-check; the lag runs AFTER
+    // the assistant filter in both engines (SQL window-after-WHERE ≡
+    // Spark filter-then-lag), so `prev` is the previous ASSISTANT turn
+    "q_verify_rewards" -> {
+      val kwList = VrKeywords.map("'" + _ + "'").mkString(",")
+      val ckList = VrChecks.map("'" + _ + "'").mkString(",")
+      s"""WITH t AS (
+         |  SELECT user_id AS conv_id, event_id, event_type, props,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         |  FROM events),
+         |a AS (
+         |  SELECT *,
+         |    lag(event_type) OVER (PARTITION BY conv_id ORDER BY rn)
+         |      AS prev,
+         |    CAST(len(string_split(event_type || ' ' || props, ' '))
+         |      AS BIGINT) AS n_tok,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS kv,
+         |    [$kwList][CAST(('0x' || substr(md5(conv_id || ':vr'), 1, 8))
+         |      ::BIGINT % 5 AS INT) + 1] AS required_kw,
+         |    [$ckList][CAST(('0x' || substr(md5(conv_id || ':vrc'), 1, 8))
+         |      ::BIGINT % 4 AS INT) + 1] AS assigned_check
+         |  FROM t WHERE rn % 2 = 0),
+         |g AS (
+         |  SELECT conv_id, required_kw, assigned_check,
+         |    count(*) AS n_assistant,
+         |    CAST(sum(n_tok) AS BIGINT) AS resp_tokens,
+         |    CAST(sum(CASE WHEN event_type = required_kw THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS kw_hits,
+         |    CAST(sum(CASE WHEN event_type = prev THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rep_n,
+         |    max_by(kv, rn) AS last_k
+         |  FROM a GROUP BY conv_id, required_kw, assigned_check),
+         |b AS (
+         |  SELECT *,
+         |    resp_tokens >= $VrMinRespTokens AS g_length,
+         |    kw_hits >= $VrMinKeywordHits AS g_keyword,
+         |    last_k % 2 = 0 AS g_parity,
+         |    rep_n <= $VrMaxRepeats AS g_norepeat
+         |  FROM g)
+         |SELECT conv_id, n_assistant, resp_tokens, required_kw, kw_hits,
+         |  rep_n, last_k, g_length, g_keyword, g_parity, g_norepeat,
+         |  CAST((CASE WHEN g_length THEN 1 ELSE 0 END)
+         |    + (CASE WHEN g_keyword THEN 1 ELSE 0 END)
+         |    + (CASE WHEN g_parity THEN 1 ELSE 0 END)
+         |    + (CASE WHEN g_norepeat THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  assigned_check,
+         |  CAST(CASE assigned_check WHEN 'length' THEN g_length
+         |    WHEN 'keyword' THEN g_keyword WHEN 'parity' THEN g_parity
+         |    ELSE g_norepeat END AS BIGINT) AS reward
+         |FROM b ORDER BY conv_id""".stripMargin
+    },
+    // exact integer numerators from one pass of group sums; the one
+    // IEEE triple (×10⁶, /sqrt, half-up floor) only at publication
+    "q_grpo_advantage" ->
+      (s"WITH ${poolSql(":grpo")},\n" +
+      """w AS (
+        |  SELECT lang, source, doc_id, samp, s6i,
+        |    count(*) OVER (PARTITION BY lang, source) AS group_n,
+        |    sum(s6i) OVER (PARTITION BY lang, source) AS sum_r,
+        |    sum(s6i * s6i) OVER (PARTITION BY lang, source) AS sum_r2
+        |  FROM pool),
+        |x AS (
+        |  SELECT *, group_n * s6i - sum_r AS adv_num,
+        |    group_n * sum_r2 - sum_r * sum_r AS var_num
+        |  FROM w)
+        |SELECT lang, source, doc_id, CAST(samp AS BIGINT) AS samp,
+        |  s6i AS reward_micro, CAST(group_n AS BIGINT) AS group_n,
+        |  CAST(adv_num AS BIGINT) AS adv_num,
+        |  CAST(var_num AS BIGINT) AS var_num,
+        |  CASE WHEN var_num > 0
+        |    THEN CAST(floor(adv_num * 1000000.0 / sqrt(var_num) + 0.5)
+        |      AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS adv_micro
+        |FROM x ORDER BY lang, source, samp""".stripMargin),
+    // modal answer with the total (votes DESC, answer ASC) tiebreak
+    "q_self_consistency" ->
+      (s"WITH ${poolSql(":sc")},\n" +
+      """v AS (
+        |  SELECT lang, source, doc_id, s6i, s6i // 100000 AS answer
+        |  FROM pool),
+        |w AS (
+        |  SELECT *, count(*) OVER (PARTITION BY lang, source, answer)
+        |    AS votes
+        |  FROM v),
+        |x AS (
+        |  SELECT *,
+        |    dense_rank() OVER (PARTITION BY lang, source
+        |      ORDER BY votes DESC, answer) AS vrk,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY s6i DESC, doc_id) AS brk
+        |  FROM w),
+        |g AS (
+        |  SELECT lang, source, count(*) AS pool_n,
+        |    count(DISTINCT answer) AS n_answers,
+        |    max(CASE WHEN vrk = 1 THEN answer END) AS vote_answer,
+        |    max(CASE WHEN vrk = 1 THEN votes END) AS vote_n,
+        |    coalesce(max(CASE WHEN vrk = 2 THEN votes END), 0) AS runner_n,
+        |    max(CASE WHEN brk = 1 THEN answer END) AS best_answer
+        |  FROM x GROUP BY lang, source)
+        |SELECT lang, source, CAST(pool_n AS BIGINT) AS pool_n,
+        |  CAST(n_answers AS BIGINT) AS n_answers,
+        |  CAST(vote_answer AS BIGINT) AS vote_answer,
+        |  CAST(vote_n AS BIGINT) AS vote_n,
+        |  CAST(runner_n AS BIGINT) AS runner_n,
+        |  CAST(vote_n - runner_n AS BIGINT) AS margin,
+        |  CAST(vote_n * 1000 // pool_n AS BIGINT) AS vote_pm,
+        |  vote_n * 2 > pool_n AS consistent,
+        |  vote_answer = best_answer AS agree_best,
+        |  CAST(best_answer AS BIGINT) AS best_answer
+        |FROM g ORDER BY lang, source""".stripMargin),
     "q_tool_mask" ->
       (s"WITH $toolTurnsSql\n" +
       """SELECT conv_id, count(*) AS n_turns,
@@ -899,17 +1236,8 @@ object Sft {
            |  (2 * num_$n + $c) // (2 * $c)
            |END AS bon_${n}_micro""".stripMargin
       }.mkString(",\n")
-      s"""WITH s AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
-         |  FROM (${TextOps.qualityScoredSql}) q),
-         |pool AS (
-         |  SELECT lang, source, doc_id, s6i FROM (
-         |    SELECT lang, source, doc_id, s6i,
-         |      row_number() OVER (PARTITION BY lang, source
-         |        ORDER BY md5(doc_id || ':bon'), doc_id) AS samp
-         |    FROM s) t WHERE samp <= $SamplePoolK),
-         |r AS (
+      s"WITH ${poolSql(":bon")},\n" +
+      s"""r AS (
          |  SELECT lang, source, s6i,
          |    count(*) OVER (PARTITION BY lang, source) AS k,
          |    row_number() OVER (PARTITION BY lang, source
@@ -936,17 +1264,8 @@ object Sft {
            |  // (2 * ${binom("n", k)}) AS BIGINT)
            |END AS pak_${k}_micro""".stripMargin
       }.mkString(",\n")
-      s"""WITH s AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
-         |  FROM (${TextOps.qualityScoredSql}) q),
-         |pool AS (
-         |  SELECT lang, source, doc_id, s6i FROM (
-         |    SELECT lang, source, doc_id, s6i,
-         |      row_number() OVER (PARTITION BY lang, source
-         |        ORDER BY md5(doc_id || ':pak'), doc_id) AS samp
-         |    FROM s) t WHERE samp <= $SamplePoolK),
-         |a AS (
+      s"WITH ${poolSql(":pak")},\n" +
+      s"""a AS (
          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(CASE WHEN s6i >= $PassThresholdMicro
          |      THEN 1 ELSE 0 END) AS BIGINT) AS c
