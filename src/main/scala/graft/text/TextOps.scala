@@ -17,6 +17,47 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Min-K%: the bottom share of a document's tokens that scores its
+    * membership signal (Shi et al. 2023 use K = 20 as the robust
+    * default). k_cnt = ⌈n·K/100⌉ in exact integers.
+    */
+  val MinKPct = 20L
+
+  /** The per-document min-k% table (doc_id, n_tok, k_cnt, mink_mass)
+    * shared by q_mink_prob and q_dataset_infer — exposed so the spec
+    * can replay the ranking law. Token "probability" under the corpus
+    * unigram LM is cnt/total, so the bottom-K%-by-logprob selection ≡
+    * bottom-K%-by-count under the TOTAL order (cnt, tok, pos) — exact
+    * in both engines, no ln() anywhere. The ranking window and the
+    * per-doc aggregate share the doc_id key (one exchange); only thin
+    * (doc_id, pos, tok, cnt) rows enter it.
+    */
+  private[graft] def minkPerDoc(s: SparkSession, d: String): DataFrame =
+    minkPerDocOf(Tables.documents(s, d))
+
+  /** [[minkPerDoc]] over ANY (doc_id, text) table — exposed so the
+    * spec can plant a duplicated (member) document and a unique
+    * (non-member) one and assert the signal separates them, the
+    * paper's claim in miniature.
+    */
+  private[graft] def minkPerDocOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = docs
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    val freq = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+    toksDf.join(freq, "tok")
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("cnt"), col("tok"), col("pos"))))
+      .withColumn("n_tok", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"),
+        max(expr(s"(n_tok * $MinKPct + 99) div 100")).as("k_cnt"),
+        sum(when(col("rnk") <= expr(s"(n_tok * $MinKPct + 99) div 100"),
+          col("cnt")).otherwise(0L)).as("mink_mass"))
+  }
+
   /** The fixed-weight logistic quality MODEL — weights and feature
     * formulas live here only, shared by `q_quality_logistic` (the
     * filter) and `Sft.q_pref_pairs` (the preference-pair miner): one
@@ -1003,6 +1044,75 @@ object TextOps {
           expr("n_types * 1000 div n_tok").as("ttr_pm"),
           expr("max_c * 1000 div n_tok").as("top_pm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MIN-K% PROB membership inference — the pretraining-data
+    // detection signal (Shi et al. 2023, "Detecting Pretraining Data
+    // from Large Language Models"): a document the model trained on
+    // has suspiciously HIGH probability on even its least-likely
+    // tokens, so the score is the mean probability of the bottom K%
+    // of its tokens. Under the corpus unigram LM the logprob ORDER is
+    // the frequency-count order, so the bottom-K% selection is exact
+    // integer ranking (cnt, tok, pos — total) and the score is the
+    // exact bottom-K count mass; the published ppb ratio and the
+    // suspect flag are both integer arithmetic (flag = the doc's
+    // mass/k against the corpus-mean mass/k, CROSS-MULTIPLIED in
+    // DECIMAL(38,0) — self-calibrated, so it survives any corpus
+    // scale where a fixed threshold drifts; measured live both ways
+    // at every SF: 359/500 · 374/500 · 4737/5000 suspect). Scale
+    // shape = the q_lm_unigram_score recipe: one token-key join
+    // against the map-combined frequency model, then ONE doc-key
+    // exchange shared by the ranking window and the aggregate; text
+    // never enters either (thin (doc_id, pos, tok) rows). Fully
+    // oracled — no float anywhere.
+    "q_mink_prob" -> ((s, d) => {
+      val per = minkPerDoc(s, d)
+      val g = per.agg(sum(col("mink_mass")).as("gmass"),
+        sum(col("k_cnt")).as("gk"), sum(col("n_tok")).as("gtotal"))
+      per.crossJoin(broadcast(g))
+        .select(col("doc_id"), col("n_tok"), col("k_cnt"), col("mink_mass"),
+          expr("""CAST(CAST(mink_mass AS DECIMAL(38,0)) * 1000000000
+                 div (k_cnt * gtotal) AS BIGINT)""").as("mink_ppb"),
+          expr("""CAST(mink_mass AS DECIMAL(38,0)) * gk >=
+                 CAST(gmass AS DECIMAL(38,0)) * k_cnt""").as("suspect"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DATASET INFERENCE — the collection-level aggregation of min-k%
+    // (Maini et al. 2024, "LLM Dataset Inference": one document's
+    // membership signal is noisy, a SOURCE's aggregate is decisive):
+    // per source, the pooled bottom-K mass over pooled k, the count
+    // and share of member-suspect documents, and the source-level
+    // flag — the same cross-multiplied self-calibrated comparison at
+    // source granularity (measured live both ways: 12/20 · 8/20 ·
+    // 11/20 sources flagged). Adds one thin source-key exchange above
+    // the per-doc table; the global calibration row broadcasts. Fully
+    // oracled, all-integer.
+    "q_dataset_infer" -> ((s, d) => {
+      val per = minkPerDoc(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+      val g = per.agg(sum(col("mink_mass")).as("gmass"),
+        sum(col("k_cnt")).as("gk"), sum(col("n_tok")).as("gtotal"))
+      per.crossJoin(broadcast(g))
+        .withColumn("doc_suspect",
+          expr("""CAST(mink_mass AS DECIMAL(38,0)) * gk >=
+                 CAST(gmass AS DECIMAL(38,0)) * k_cnt"""))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k_cnt")).as("src_k"),
+          sum(col("mink_mass")).as("src_mass"),
+          sum(when(col("doc_suspect"), 1L).otherwise(0L)).as("n_suspect"),
+          max(col("gmass")).as("gmass"), max(col("gk")).as("gk"),
+          max(col("gtotal")).as("gtotal"))
+        .select(col("source"), col("n_docs"), col("src_k"), col("src_mass"),
+          expr("""CAST(CAST(src_mass AS DECIMAL(38,0)) * 1000000000
+                 div (src_k * gtotal) AS BIGINT)""").as("src_ppb"),
+          col("n_suspect"),
+          expr("n_suspect * 1000 div n_docs").as("suspect_share_pm"),
+          expr("""CAST(src_mass AS DECIMAL(38,0)) * gk >=
+                 CAST(gmass AS DECIMAL(38,0)) * src_k""").as("flagged"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1506,6 +1616,65 @@ object TextOps {
         |        text || ' contact user' || doc_id || '@example.com ref '
         |             || ((doc_id + 1000) * 7919) AS raw
         |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_mink_prob" ->
+      (s"WITH $minkSql\n" +
+      """SELECT doc_id, n_tok, k_cnt, mink_mass,
+        |  CAST(CAST(mink_mass AS HUGEINT) * 1000000000
+        |    // (k_cnt * gtotal) AS BIGINT) AS mink_ppb,
+        |  CAST(mink_mass AS HUGEINT) * gk
+        |    >= CAST(gmass AS HUGEINT) * k_cnt AS suspect
+        |FROM k, g ORDER BY doc_id""".stripMargin),
+    "q_dataset_infer" ->
+      (s"WITH $minkSql,\n" +
+      """d AS (
+        |  SELECT dd.source, k.*,
+        |    CAST(mink_mass AS HUGEINT) * gk
+        |      >= CAST(gmass AS HUGEINT) * k_cnt AS doc_suspect
+        |  FROM k JOIN documents dd USING (doc_id), g),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(k_cnt) AS BIGINT) AS src_k,
+        |    CAST(sum(mink_mass) AS BIGINT) AS src_mass,
+        |    CAST(sum(CASE WHEN doc_suspect THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_suspect
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, src_k, src_mass,
+        |  CAST(CAST(src_mass AS HUGEINT) * 1000000000
+        |    // (src_k * gtotal) AS BIGINT) AS src_ppb,
+        |  n_suspect,
+        |  CAST(n_suspect * 1000 // n_docs AS BIGINT) AS suspect_share_pm,
+        |  CAST(src_mass AS HUGEINT) * gk
+        |    >= CAST(gmass AS HUGEINT) * src_k AS flagged
+        |FROM s, g ORDER BY source""".stripMargin)
   )
+
+  /** The min-k% CTE chain (mirrors [[minkPerDoc]]) through `k` (the
+    * per-doc table) and `g` (the one-row global calibration sums).
+    * Margin-stripped here; concatenate, don't re-interpolate.
+    */
+  private lazy val minkSql: String =
+    s"""mtoks AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS tok
+       |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS l
+       |              FROM documents) t0) t1),
+       |mfreq AS (SELECT tok, count(*) AS cnt FROM mtoks GROUP BY tok),
+       |mr AS (
+       |  SELECT t.doc_id, f.cnt,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY f.cnt, t.tok, t.pos) AS rnk,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS n_tok
+       |  FROM mtoks t JOIN mfreq f USING (tok)),
+       |k AS (
+       |  SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+       |    CAST(max((n_tok * $MinKPct + 99) // 100) AS BIGINT) AS k_cnt,
+       |    CAST(sum(CASE WHEN rnk <= (n_tok * $MinKPct + 99) // 100
+       |      THEN cnt ELSE 0 END) AS BIGINT) AS mink_mass
+       |  FROM mr GROUP BY doc_id),
+       |g AS (
+       |  SELECT CAST(sum(mink_mass) AS BIGINT) AS gmass,
+       |    CAST(sum(k_cnt) AS BIGINT) AS gk,
+       |    CAST(sum(n_tok) AS BIGINT) AS gtotal
+       |  FROM k)""".stripMargin
 }
