@@ -51,6 +51,7 @@ object SparkEntry {
       text.Splits.queries ++
       text.Sft.queries ++
       text.Bpe.queries ++
+      text.Memorize.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -80,6 +81,7 @@ object SparkEntry {
       text.Splits.oracle ++
       text.Sft.oracle ++
       text.Bpe.oracle ++
+      text.Memorize.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++
