@@ -52,6 +52,7 @@ object SparkEntry {
       text.Sft.queries ++
       text.Bpe.queries ++
       text.Memorize.queries ++
+      text.Ifeval.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -82,6 +83,7 @@ object SparkEntry {
       text.Sft.oracle ++
       text.Bpe.oracle ++
       text.Memorize.oracleSql ++
+      text.Ifeval.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++
