@@ -53,6 +53,7 @@ object SparkEntry {
       text.Bpe.queries ++
       text.Memorize.queries ++
       text.Ifeval.queries ++
+      text.Rft.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       text.Bpe.oracle ++
       text.Memorize.oracleSql ++
       text.Ifeval.oracleSql ++
+      text.Rft.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++

@@ -975,7 +975,7 @@ object Sft {
     * re-interpolate into a stripMargin string (the `||` concat
     * operators would be eaten — the packChainSql lesson).
     */
-  private def poolSql(salt: String): String =
+  private[graft] def poolSql(salt: String): String =
     s"""s AS (
        |  SELECT doc_id, lang, source,
        |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
