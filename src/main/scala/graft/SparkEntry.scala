@@ -54,6 +54,7 @@ object SparkEntry {
       text.Memorize.queries ++
       text.Ifeval.queries ++
       text.Rft.queries ++
+      text.Batching.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
       text.Memorize.oracleSql ++
       text.Ifeval.oracleSql ++
       text.Rft.oracleSql ++
+      text.Batching.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++
