@@ -55,6 +55,7 @@ object SparkEntry {
       text.Ifeval.queries ++
       text.Rft.queries ++
       text.Batching.queries ++
+      text.Arena.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -88,6 +89,7 @@ object SparkEntry {
       text.Ifeval.oracleSql ++
       text.Rft.oracleSql ++
       text.Batching.oracleSql ++
+      text.Arena.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++

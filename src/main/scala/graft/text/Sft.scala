@@ -350,15 +350,22 @@ object Sft {
     * carrying the ONE-IEEE-quantization micro reward s6i. Distinct
     * salts keep the evals' pools independent.
     */
+  /** The corpus under the ONE-IEEE-quantization micro reward s6i —
+    * the scoring table every sampling eval (and the arena family)
+    * reads. Single definition site for the quantization.
+    */
+  private[graft] def microScored(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityScored(s, d)
+      .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+
   private[graft] def samplePool(s: SparkSession, d: String,
       salt: String): DataFrame = {
     val grp = Window.partitionBy(col("lang"), col("source"))
     val sampOrd = grp.orderBy(
       md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary")),
       col("doc_id"))
-    TextOps.qualityScored(s, d)
-      .withColumn("s6i", floor(col("score") * lit(1000000.0) + lit(0.5))
-        .cast("long"))
+    microScored(s, d)
       .withColumn("samp", row_number().over(sampOrd))
       .filter(col("samp") <= SamplePoolK)
   }
@@ -975,11 +982,18 @@ object Sft {
     * re-interpolate into a stripMargin string (the `||` concat
     * operators would be eaten — the packChainSql lesson).
     */
-  private[graft] def poolSql(salt: String): String =
+  /** The micro-scored corpus CTE `s` alone (mirrors [[microScored]])
+    * — the arena family composes battles over it without the pool
+    * cut.
+    */
+  private[graft] lazy val microSql: String =
     s"""s AS (
        |  SELECT doc_id, lang, source,
        |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6i
-       |  FROM (${TextOps.qualityScoredSql}) q),
+       |  FROM (${TextOps.qualityScoredSql}) q)""".stripMargin
+
+  private[graft] def poolSql(salt: String): String =
+    s"""$microSql,
        |pool AS (
        |  SELECT lang, source, doc_id, s6i, samp FROM (
        |    SELECT lang, source, doc_id, s6i,
