@@ -676,6 +676,111 @@ object Similarity {
         expr("trainable_tokens * 1000 div total_tokens"))
   }
 
+  /** Eval-item pool bound for [[mcqOf]]: doc_id < 256 stems, the
+    * NIAH constant-pool discipline — eval construction reads a fixed
+    * number of question docs at ANY corpus size (the filter reaches
+    * the scans).
+    */
+  val McqPool = 256L
+
+  /** Cloze span law: the stem is the first [[McqStemTokens]] tokens,
+    * the answer the next [[McqAnswerTokens]] (clipped by doc length;
+    * corpus docs carry ≥ 10 tokens so the answer is never empty).
+    */
+  val McqStemTokens = 8
+  val McqAnswerTokens = 4
+
+  /** MCQ EVAL CONSTRUCTION (the MMLU/ARC shape with mined
+    * distractors): for each pool document, a cloze item — stem =
+    * its opening tokens, correct option = its own continuation span,
+    * distractors = the continuation spans of its top-3 retrieved
+    * neighbors from the written knn graph AFTER the RETRO leakage
+    * rule (a same-near-dup-cluster neighbor would hand the answer to
+    * the model — the [[retroOf]] exclusion, reused), and the answer
+    * POSITION assigned by an independent salted hash mod 4 (the
+    * position-bias hygiene every MCQ release runs: answers spread
+    * over slots, not defaulting to A). Options publish as md5
+    * fingerprints of the exact span bytes (the NIAH discipline);
+    * items short of 3 surviving distractors publish incomplete with
+    * empty slots — the accounting a release gate filters on.
+    *
+    * Exposed over ANY (graph, labels, spans) triple for the spec's
+    * synthetic drives (exclusion, absent-graph, position law).
+    * spans: (doc_id, stem_fp, ans_fp).
+    */
+  private[graft] def mcqOf(graph: DataFrame, labels: DataFrame,
+      spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = labels.select(col("doc_id").as("vid"),
+      col("cluster_keeper").as("qck"))
+    val nc = labels.select(col("doc_id").as("nid"),
+      col("cluster_keeper").as("nck"))
+    val flagged = graph.select(col("vid"), col("rk"), col("nid"))
+      .filter(col("vid") < McqPool)
+      .join(qc, Seq("vid"), "left")
+      .join(nc, Seq("nid"), "left")
+      .withColumn("excl",
+        coalesce(col("qck"), col("vid")) === coalesce(col("nck"), col("nid")))
+    // the neighbor's continuation span is the distractor; the tiny
+    // (≤ pool×5) graph side broadcasts into the corpus-wide span
+    // projection
+    val w = Window.partitionBy(col("vid")).orderBy(col("excl"), col("rk"))
+    val ranked = spans
+      .select(col("doc_id").as("nid"), col("ans_fp").as("dfp"))
+      .join(broadcast(flagged), "nid")
+      .withColumn("crk", row_number().over(w))
+    def surv(k: Int) = !col("excl") && col("crk") === k
+    val ds = ranked.groupBy(col("vid"))
+      .agg(sum(when(col("excl"), 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(!col("excl") && col("crk") <= 3, 1L).otherwise(0L))
+          .as("n_d"),
+        min(when(surv(1), col("nid"))).as("d1"),
+        min(when(surv(2), col("nid"))).as("d2"),
+        min(when(surv(3), col("nid"))).as("d3"),
+        min(when(surv(1), col("dfp"))).as("f1"),
+        min(when(surv(2), col("dfp"))).as("f2"),
+        min(when(surv(3), col("dfp"))).as("f3"))
+    val pos = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":mcq")).cast("binary")), 1, 8), 16, 10).cast("long") % 4
+    // slot s ≠ answer_pos takes the i-th surviving distractor where
+    // i counts the non-answer slots up to s: i = s+1 below the
+    // answer, s above it; missing survivors publish ''
+    def slotFp(s: Int) = {
+      val idx = when(lit(s) < col("answer_pos"), lit(s + 1))
+        .otherwise(lit(s))
+      when(col("answer_pos") === s, col("ans_fp"))
+        .otherwise(coalesce(
+          when(idx === 1, col("f1")).when(idx === 2, col("f2"))
+            .otherwise(col("f3")),
+          lit(""))).as(s"opt${s}_fp")
+    }
+    spans.filter(col("doc_id") < McqPool)
+      .join(broadcast(ds), spans("doc_id") === ds("vid"), "left")
+      .withColumn("answer_pos", pos)
+      .select(col("doc_id"), col("stem_fp"), col("ans_fp").as("answer_fp"),
+        col("answer_pos"),
+        coalesce(col("d1"), lit(-1L)).as("d1"),
+        coalesce(col("d2"), lit(-1L)).as("d2"),
+        coalesce(col("d3"), lit(-1L)).as("d3"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
+        coalesce(col("n_d"), lit(0L)).as("n_distractors"),
+        (coalesce(col("n_d"), lit(0L)) === 3L).as("complete"),
+        slotFp(0), slotFp(1), slotFp(2), slotFp(3))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The span projection feeding [[mcqOf]] — stem and answer
+    * fingerprints; text dies here.
+    */
+  private[graft] def mcqSpans(s: SparkSession, d: String): DataFrame = {
+    val l = split(col("text"), " ")
+    Tables.documents(s, d).select(col("doc_id"),
+      md5(array_join(slice(l, 1, McqStemTokens), " ").cast("binary"))
+        .as("stem_fp"),
+      md5(array_join(slice(l, McqStemTokens + 1, McqAnswerTokens), " ")
+        .cast("binary")).as("ans_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for a query subset.
     "q_sim_topk" -> ((s, d) => {
@@ -1151,6 +1256,27 @@ object Similarity {
         graft.dedup.Dedup.clusterLabels(s, d),
         graft.text.TextOps.docStats(s, d))
         .orderBy(col("doc_id"))),
+
+    // MCQ EVAL CONSTRUCTION — the MMLU/ARC shape with MINED
+    // distractors (the standard recipe: distractors should be
+    // PLAUSIBLE — near in embedding space — but WRONG — not the
+    // answer's near-dup): per pool doc, a cloze stem, its own
+    // continuation as the correct option, the top-3 retrieved
+    // neighbors' continuations as distractors after the RETRO
+    // leakage exclusion, and the answer slot assigned by an
+    // independent salted hash mod 4 (position-bias hygiene). Law +
+    // span rule in [[mcqOf]]/[[mcqSpans]].
+    //
+    // Scale shape: the graph read prunes to the constant pool
+    // (vid < 256) and BROADCASTS into the one corpus-wide span
+    // projection (text dies at the scan); everything downstream is
+    // pool-sized. Eval-build cost is O(pool + one projection pass),
+    // not O(corpus²). FULLY ORACLED (composes the generated LSH SQL
+    // with the recursive cluster CTE and the span fingerprints).
+    "q_mcq_build" -> ((s, d) =>
+      mcqOf(knnGraphLayout(s, d),
+        graft.dedup.Dedup.clusterLabels(s, d),
+        mcqSpans(s, d))),
 
     // INCREMENTAL KNN-graph maintenance — the q_sim_ivf_append twin
     // for the graph layout: a delta batch of arriving vectors probes
@@ -1727,6 +1853,72 @@ object Similarity {
          |    AS mask_pm
          |FROM dl d LEFT JOIN ctx ON ctx.vid = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the graph CTE + cluster labels + the span fingerprints; the
+    // exclusion, survivor rank, position law and slot CASEs mirror
+    // mcqOf column-for-column
+    "q_mcq_build" -> {
+      def slotCase(s: Int): String =
+        s"""CASE WHEN answer_pos = $s THEN ans_fp ELSE coalesce(
+           |    CASE (CASE WHEN $s < answer_pos THEN ${s + 1} ELSE $s END)
+           |      WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END, '')
+           |  END AS opt${s}_fp""".stripMargin
+      s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterLabelCtes},
+         |$lshCtes,
+         |g AS (SELECT vid, rk, nid
+         |      FROM (${lshRankedSql("kcand", "vid")}) r WHERE rk <= 5),
+         |sp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(l[1:$McqStemTokens], ' ')) AS stem_fp,
+         |    md5(array_to_string(
+         |      l[${McqStemTokens + 1}:${McqStemTokens + McqAnswerTokens}],
+         |      ' ')) AS ans_fp
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents) t),
+         |mfl AS (
+         |  SELECT g.vid, g.rk, g.nid,
+         |    coalesce(ql.cluster_keeper, g.vid)
+         |      = coalesce(nl.cluster_keeper, g.nid) AS excl
+         |  FROM g LEFT JOIN labels ql ON ql.doc_id = g.vid
+         |  LEFT JOIN labels nl ON nl.doc_id = g.nid
+         |  WHERE g.vid < $McqPool),
+         |mrk AS (
+         |  SELECT mfl.*, sp.ans_fp AS dfp,
+         |    row_number() OVER (PARTITION BY vid ORDER BY excl, rk) AS crk
+         |  FROM mfl JOIN sp ON sp.doc_id = mfl.nid),
+         |mds AS (
+         |  SELECT vid,
+         |    CAST(sum(CASE WHEN excl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_excluded,
+         |    CAST(sum(CASE WHEN NOT excl AND crk <= 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_d,
+         |    min(CASE WHEN NOT excl AND crk = 1 THEN nid END) AS d1,
+         |    min(CASE WHEN NOT excl AND crk = 2 THEN nid END) AS d2,
+         |    min(CASE WHEN NOT excl AND crk = 3 THEN nid END) AS d3,
+         |    min(CASE WHEN NOT excl AND crk = 1 THEN dfp END) AS f1,
+         |    min(CASE WHEN NOT excl AND crk = 2 THEN dfp END) AS f2,
+         |    min(CASE WHEN NOT excl AND crk = 3 THEN dfp END) AS f3
+         |  FROM mrk GROUP BY vid),
+         |mb AS (
+         |  SELECT sp.doc_id, sp.stem_fp, sp.ans_fp,
+         |    CAST(('0x' || substr(md5(sp.doc_id || ':mcq'), 1, 8))::BIGINT
+         |      % 4 AS BIGINT) AS answer_pos,
+         |    d1, d2, d3, f1, f2, f3, n_excluded, n_d
+         |  FROM sp LEFT JOIN mds ON mds.vid = sp.doc_id
+         |  WHERE sp.doc_id < $McqPool)
+         |SELECT doc_id, stem_fp, ans_fp AS answer_fp, answer_pos,
+         |  CAST(coalesce(d1, -1) AS BIGINT) AS d1,
+         |  CAST(coalesce(d2, -1) AS BIGINT) AS d2,
+         |  CAST(coalesce(d3, -1) AS BIGINT) AS d3,
+         |  CAST(coalesce(n_excluded, 0) AS BIGINT) AS n_excluded,
+         |  CAST(coalesce(n_d, 0) AS BIGINT) AS n_distractors,
+         |  coalesce(n_d, 0) = 3 AS complete,
+         |  ${slotCase(0)},
+         |  ${slotCase(1)},
+         |  ${slotCase(2)},
+         |  ${slotCase(3)}
+         |FROM mb ORDER BY doc_id""".stripMargin
+    },
 
     // incremental append: delta probes against the corpus index; the
     // audit column certifies inc ≡ the written graph's rows for the
