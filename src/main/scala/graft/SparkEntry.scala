@@ -56,6 +56,7 @@ object SparkEntry {
       text.Rft.queries ++
       text.Batching.queries ++
       text.Arena.queries ++
+      text.Watermark.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.Ivf2.queries ++
@@ -90,6 +91,7 @@ object SparkEntry {
       text.Rft.oracleSql ++
       text.Batching.oracleSql ++
       text.Arena.oracleSql ++
+      text.Watermark.oracleSql ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf2.oracle ++
