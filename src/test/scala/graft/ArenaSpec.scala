@@ -112,6 +112,64 @@ class ArenaSpec extends SparkSpec {
     }
   }
 
+  test("length bias replays pairwise from the pool; the corpus is genuinely shorter-biased") {
+    val pool = text.Sft.samplePool(spark, sf, ":lb")
+      .select(col("lang"), col("source"), col("doc_id"), col("samp"),
+        col("s6i")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    val lenOf = spark.read.parquet(sf + "/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = run("q_length_bias").collect()
+    val byTask = pool.groupBy(p => (p._1, p._2))
+    // tasks with ≥ 2 members publish; singletons have no pairs
+    assert(out.length == byTask.count(_._2.length >= 2))
+    out.foreach { r =>
+      val members = byTask((r.getAs[String]("lang"), r.getAs[String]("source")))
+      val pairs = for {
+        i <- members; j <- members if i._4 < j._4
+      } yield (lenOf(i._3) - lenOf(j._3)) * (i._5 - j._5)
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+      assert(r.getAs[Long]("concordant") == pairs.count(_ > 0).toLong)
+      assert(r.getAs[Long]("discordant") == pairs.count(_ < 0).toLong)
+      assert(r.getAs[Long]("tied") == pairs.count(_ == 0).toLong)
+      val tau = (pairs.count(_ > 0).toLong - pairs.count(_ < 0)) * 1000 /
+        pairs.length
+      assert(r.getAs[Long]("tau_pm") == tau)
+    }
+    // the real finding: this reward runs shorter-biased (duplication
+    // grows with length under a bounded vocabulary)
+    assert(out.count(_.getAs[String]("direction") == "shorter") >
+      out.length / 2)
+  }
+
+  test("designed pools drive both bias signs and the exact-zero tie") {
+    val s = spark
+    import s.implicits._
+    // task L: reward rises with length (concordant); task S: falls;
+    // task N: one concordant, one discordant, one exactly-tied pair
+    // (equal rewards) — conc = disc → neutral, tau 0
+    val rows = Seq(
+      ("en", "L", 1, 10L, 100L), ("en", "L", 2, 20L, 200L),
+      ("en", "L", 3, 30L, 300L),
+      ("en", "S", 1, 10L, 300L), ("en", "S", 2, 20L, 200L),
+      ("en", "S", 3, 30L, 100L),
+      ("en", "N", 1, 10L, 200L), ("en", "N", 2, 20L, 100L),
+      ("en", "N", 3, 30L, 200L))
+      .toDF("lang", "source", "samp", "n_tok", "s6i")
+    val out = text.Arena.lengthBiasOf(rows).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("L").getAs[String]("direction") == "longer")
+    assert(out("L").getAs[Long]("tau_pm") == 1000L)
+    assert(out("S").getAs[String]("direction") == "shorter")
+    assert(out("S").getAs[Long]("tau_pm") == -1000L)
+    assert(out("N").getAs[String]("direction") == "neutral")
+    assert(out("N").getAs[Long]("tau_pm") == 0L)
+    assert(out("N").getAs[Long]("concordant") ==
+      out("N").getAs[Long]("discordant"))
+  }
+
   test("arena plan: corpus never reaches the pairwise stage; battles broadcast") {
     import org.apache.spark.sql.execution.exchange.Exchange
     for (q <- Seq("q_arena_battles", "q_arena_leaderboard")) {
