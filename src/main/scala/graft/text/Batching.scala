@@ -125,6 +125,57 @@ object Batching {
       .orderBy(col("bucket_len"))
   }
 
+  /** Epoch cap for [[epochPlanOf]]: Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models") measure that repeating data
+    * up to ~4 epochs costs little vs fresh tokens and decays fast
+    * beyond — the standard repetition budget.
+    */
+  val MaxEpochs = 4L
+
+  /** Token budget multiple: the plan allocates budget = 2× the corpus
+    * token mass (a data-constrained run: less unique data than the
+    * compute-optimal token count). 2 is measured to keep all three
+    * grant branches live at every SF (10 full / 1 partial / 9 starved
+    * sources).
+    */
+  val EpochBudgetX = 2L
+
+  /** QUALITY-FIRST EPOCH ALLOCATION — the data-constrained scaling
+    * plan: given a token budget exceeding the unique corpus, grant
+    * epochs source-by-source in QUALITY order (mean micro reward
+    * rank), each source capped at [[MaxEpochs]] epochs, until the
+    * budget exhausts — exact integer water-filling via one prefix
+    * sum. The marginal source gets a partial grant; sources past the
+    * boundary publish starved rows (the accounting a mixture review
+    * starts from). Exposed over ANY (source, mean_pm, n_tok) cell
+    * table for the spec's designed boundary drives.
+    *
+    * The rank/prefix windows span |sources| rows — metadata-sized,
+    * single-partition by construction; the corpus contributes only
+    * the two map-combined aggregates feeding the cells.
+    */
+  private[graft] def epochPlanOf(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(col("mean_pm").desc, col("source"))
+    val wCum = Window.orderBy(col("q_rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = cells.agg(sum(col("n_tok")).as("tot"))
+    cells
+      .withColumn("q_rank", row_number().over(wRank).cast("long"))
+      .withColumn("max_grant", lit(MaxEpochs) * col("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("max_grant")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("budget", lit(EpochBudgetX) * col("tot"))
+      .withColumn("granted", greatest(lit(0L),
+        least(col("max_grant"), col("budget") - col("cum_before"))))
+      .select(col("source"), col("q_rank"), col("mean_pm"), col("n_tok"),
+        col("max_grant"), col("cum_before"), col("budget"), col("granted"),
+        expr("granted * 1000 div n_tok").as("epochs_mpm"),
+        (col("granted") === 0L).as("starved"))
+      .orderBy(col("q_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The batch table: power-of-two buckets, shard-local fill in
@@ -135,7 +186,23 @@ object Batching {
     // The bucket readout with the pad-to-max counterfactual the
     // operator exists to beat.
     "q_batch_plan" -> ((s, d) =>
-      planOf(batchesOf(Tables.documents(s, d))))
+      planOf(batchesOf(Tables.documents(s, d)))),
+
+    // The data-constrained epoch plan: two map-combined corpus
+    // aggregates (quality cells + token mass) feed a metadata-sized
+    // water-filling pass.
+    "q_epoch_plan" -> ((s, d) => {
+      val sc = Sft.microScored(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("s6i")).as("tot_s"))
+        .withColumn("mean_pm", expr("tot_s * 1000 div (n * 1000000)"))
+      val tk = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
+      epochPlanOf(sc.join(tk, "source")
+        .select(col("source"), col("mean_pm"), col("n_tok")))
+    })
   )
 
   /** The batch CTE chain (mirrors [[batchesOf]]). Margin-stripped;
@@ -183,6 +250,39 @@ object Batching {
           |  n_docs * max_bucket AS naive_padded,
           |  1000 - padded_tokens * 1000 // (n_docs * max_bucket)
           |    AS savings_pm
-          |FROM pb, mx ORDER BY bucket_len""".stripMargin)
+          |FROM pb, mx ORDER BY bucket_len""".stripMargin),
+    "q_epoch_plan" ->
+      (s"WITH ${Sft.microSql},\n" +
+        s"""esc AS (
+           |  SELECT source,
+           |    CAST(sum(s6i) AS BIGINT) * 1000
+           |      // (count(*) * 1000000) AS mean_pm
+           |  FROM s GROUP BY source),
+           |etk AS (
+           |  SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+           |  FROM documents GROUP BY source),
+           |er AS (
+           |  SELECT esc.source, esc.mean_pm, etk.n_tok,
+           |    CAST(row_number() OVER (ORDER BY esc.mean_pm DESC,
+           |      esc.source) AS BIGINT) AS q_rank
+           |  FROM esc JOIN etk USING (source)),
+           |ew AS (
+           |  SELECT *, $MaxEpochs * n_tok AS max_grant,
+           |    coalesce(sum($MaxEpochs * n_tok) OVER (ORDER BY q_rank
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_before,
+           |    (SELECT $EpochBudgetX * sum(n_tok) FROM etk) AS budget
+           |  FROM er)
+           |SELECT source, q_rank, mean_pm, n_tok, max_grant,
+           |  CAST(cum_before AS BIGINT) AS cum_before,
+           |  CAST(budget AS BIGINT) AS budget,
+           |  CAST(greatest(0, least(max_grant, budget - cum_before))
+           |    AS BIGINT) AS granted,
+           |  CAST(greatest(0, least(max_grant, budget - cum_before))
+           |    * 1000 // n_tok AS BIGINT) AS epochs_mpm,
+           |  greatest(0, least(max_grant, budget - cum_before)) = 0
+           |    AS starved
+           |FROM ew ORDER BY q_rank""".stripMargin)
   )
 }

@@ -118,6 +118,63 @@ class BatchSpec extends SparkSpec {
     assert(plan.exists(_.getAs[Long]("savings_pm") > 500L))
   }
 
+  test("epoch plan: water-filling replays; grants conserve the budget exactly") {
+    val out = run("q_epoch_plan").collect().sortBy(_.getAs[Long]("q_rank"))
+    val budget = out.head.getAs[Long]("budget")
+    // quality order is the (mean_pm desc, source) total order
+    out.sliding(2).foreach { p =>
+      val (a, b) = (p(0), p(1))
+      assert(a.getAs[Long]("mean_pm") > b.getAs[Long]("mean_pm") ||
+        (a.getAs[Long]("mean_pm") == b.getAs[Long]("mean_pm") &&
+          a.getAs[String]("source") < b.getAs[String]("source")))
+    }
+    // the prefix-sum law and the clamp, replayed
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_before") == cum)
+      val mg = text.Batching.MaxEpochs * r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("max_grant") == mg)
+      val g = math.max(0L, math.min(mg, budget - cum))
+      assert(r.getAs[Long]("granted") == g)
+      assert(r.getAs[Long]("epochs_mpm") == g * 1000 / r.getAs[Long]("n_tok"))
+      assert(r.getAs[Boolean]("starved") == (g == 0L))
+      cum += mg
+    }
+    // budget < 4x corpus here, so grants exhaust it exactly
+    assert(out.map(_.getAs[Long]("granted")).sum == budget)
+    // all three branches live
+    assert(out.exists(r =>
+      r.getAs[Long]("granted") == r.getAs[Long]("max_grant")))
+    assert(out.exists(r => r.getAs[Long]("granted") > 0 &&
+      r.getAs[Long]("granted") < r.getAs[Long]("max_grant")))
+    assert(out.exists(_.getAs[Boolean]("starved")))
+  }
+
+  test("designed cells: exact boundary, over-budget, and tiny-budget plans") {
+    val s = spark
+    import s.implicits._
+    // three equal sources of 100 tokens; budget = 2*300 = 600;
+    // max grants 400 each: A full 400, B partial 200, C starved —
+    // and the boundary between B and C is exact (cum 800 = budget+200)
+    val cells = Seq(("A", 900L, 100L), ("B", 800L, 100L),
+      ("C", 700L, 100L)).toDF("source", "mean_pm", "n_tok")
+    val out = text.Batching.epochPlanOf(cells).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("A").getAs[Long]("granted") == 400L)
+    assert(out("A").getAs[Long]("epochs_mpm") == 4000L)
+    assert(out("B").getAs[Long]("granted") == 200L)
+    assert(out("B").getAs[Long]("epochs_mpm") == 2000L)
+    assert(out("C").getAs[Long]("granted") == 0L)
+    assert(out("C").getAs[Boolean]("starved"))
+    // a single tiny source: budget 2x exceeds nothing — the cap rules
+    // (granted = min(4n, 2n) = 2n, nobody starves)
+    val solo = Seq(("Z", 500L, 50L)).toDF("source", "mean_pm", "n_tok")
+    val so = text.Batching.epochPlanOf(solo).collect().head
+    assert(so.getAs[Long]("granted") == 100L)
+    assert(so.getAs[Long]("epochs_mpm") == 2000L)
+    assert(!so.getAs[Boolean]("starved"))
+  }
+
   test("batch plan: thin exchanges only — text dies at the scan") {
     import org.apache.spark.sql.execution.exchange.Exchange
     for (q <- Seq("q_batch_bucketize", "q_batch_plan")) {
