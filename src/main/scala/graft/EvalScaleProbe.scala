@@ -24,7 +24,9 @@ object EvalScaleProbe {
     "q_ifeval_check", "q_ifeval_report",
     "q_rft_select", "q_rft_dataset",
     "q_batch_bucketize", "q_batch_plan",
-    "q_arena_battles", "q_arena_leaderboard")
+    "q_arena_battles", "q_arena_leaderboard",
+    "q_watermark_detect", "q_watermark_audit",
+    "q_mcq_build", "q_length_bias", "q_epoch_plan")
 
   private def sec(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

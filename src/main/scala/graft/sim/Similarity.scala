@@ -1869,10 +1869,11 @@ object Similarity {
          |      FROM (${lshRankedSql("kcand", "vid")}) r WHERE rk <= 5),
          |sp AS (
          |  SELECT doc_id,
-         |    md5(array_to_string(l[1:$McqStemTokens], ' ')) AS stem_fp,
-         |    md5(array_to_string(
+         |    md5(coalesce(array_to_string(l[1:$McqStemTokens], ' '), ''))
+         |      AS stem_fp,
+         |    md5(coalesce(array_to_string(
          |      l[${McqStemTokens + 1}:${McqStemTokens + McqAnswerTokens}],
-         |      ' ')) AS ans_fp
+         |      ' '), '')) AS ans_fp
          |  FROM (SELECT doc_id, string_split(text, ' ') AS l
          |        FROM documents) t),
          |mfl AS (

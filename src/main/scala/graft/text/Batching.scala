@@ -2,7 +2,6 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LENGTH-BUCKETED BATCH CONSTRUCTION — the dynamic-batching step
@@ -78,9 +77,7 @@ object Batching {
     * the exact rows_per_batch truncation) through the production
     * path.
     */
-  private[graft] def batchesOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("bucket_len"), col("shard"))
-      .orderBy(col("doc_id"))
+  private[graft] def batchesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -100,7 +97,6 @@ object Batching {
       .withColumn("waste_pm",
         lit(1000L) - expr("real_tokens * 1000 div padded_tokens"))
       .orderBy(col("bucket_len"), col("shard"), col("batch_seq"))
-  }
 
   /** The bucket-level readout over a batch table — exposed for the
     * spec's designed-corpus drive.

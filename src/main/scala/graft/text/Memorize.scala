@@ -118,11 +118,16 @@ object Memorize {
   private[graft] def plantedOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("canary_idx", expr(slotCaseSql))
-      .join(broadcast(poolOf(docs)), col("canary_idx") === col("cidx"))
+      // LEFT join keeps the law total on ANY corpus: with a
+      // vocabulary smaller than the pool (cidx range < 16), slots
+      // mapping past it stay unplanted instead of silently dropping
+      // their documents from the output
+      .join(broadcast(poolOf(docs)), col("canary_idx") === col("cidx"),
+        "left")
       .select(col("doc_id"), col("canary_idx"),
-        when(col("canary_idx") === 0L, lit(""))
+        when(col("canary_idx") === 0L || col("secret").isNull, lit(""))
           .otherwise(col("secret")).as("secret"),
-        when(col("canary_idx") === 0L, col("text"))
+        when(col("canary_idx") === 0L || col("secret").isNull, col("text"))
           .otherwise(concat(col("text"), lit(" canarymark "), col("secret")))
           .as("planted"))
 

@@ -1072,7 +1072,8 @@ object TextOps {
       per.crossJoin(broadcast(g))
         .select(col("doc_id"), col("n_tok"), col("k_cnt"), col("mink_mass"),
           expr("""CAST(CAST(mink_mass AS DECIMAL(38,0)) * 1000000000
-                 div (k_cnt * gtotal) AS BIGINT)""").as("mink_ppb"),
+                 div (CAST(k_cnt AS DECIMAL(38,0)) * gtotal)
+                 AS BIGINT)""").as("mink_ppb"),
           expr("""CAST(mink_mass AS DECIMAL(38,0)) * gk >=
                  CAST(gmass AS DECIMAL(38,0)) * k_cnt""").as("suspect"))
         .orderBy(col("doc_id"))
@@ -1107,7 +1108,8 @@ object TextOps {
           max(col("gtotal")).as("gtotal"))
         .select(col("source"), col("n_docs"), col("src_k"), col("src_mass"),
           expr("""CAST(CAST(src_mass AS DECIMAL(38,0)) * 1000000000
-                 div (src_k * gtotal) AS BIGINT)""").as("src_ppb"),
+                 div (CAST(src_k AS DECIMAL(38,0)) * gtotal)
+                 AS BIGINT)""").as("src_ppb"),
           col("n_suspect"),
           expr("n_suspect * 1000 div n_docs").as("suspect_share_pm"),
           expr("""CAST(src_mass AS DECIMAL(38,0)) * gk >=
@@ -1621,7 +1623,7 @@ object TextOps {
       (s"WITH $minkSql\n" +
       """SELECT doc_id, n_tok, k_cnt, mink_mass,
         |  CAST(CAST(mink_mass AS HUGEINT) * 1000000000
-        |    // (k_cnt * gtotal) AS BIGINT) AS mink_ppb,
+        |    // (CAST(k_cnt AS HUGEINT) * gtotal) AS BIGINT) AS mink_ppb,
         |  CAST(mink_mass AS HUGEINT) * gk
         |    >= CAST(gmass AS HUGEINT) * k_cnt AS suspect
         |FROM k, g ORDER BY doc_id""".stripMargin),
@@ -1641,7 +1643,7 @@ object TextOps {
         |  FROM d GROUP BY source)
         |SELECT source, n_docs, src_k, src_mass,
         |  CAST(CAST(src_mass AS HUGEINT) * 1000000000
-        |    // (src_k * gtotal) AS BIGINT) AS src_ppb,
+        |    // (CAST(src_k AS HUGEINT) * gtotal) AS BIGINT) AS src_ppb,
         |  n_suspect,
         |  CAST(n_suspect * 1000 // n_docs AS BIGINT) AS suspect_share_pm,
         |  CAST(src_mass AS HUGEINT) * gk

@@ -87,9 +87,13 @@ object Watermark {
       .withColumn("flagged_pm", expr("n_flagged * 1000 div n_docs"))
       .withColumn("pooled_excess",
         lit(2L) * col("pooled_green") - col("pooled_bigrams"))
+      // the square is widened to DECIMAL(38,0): pooled_excess is
+      // O(pooled_bigrams), so a source past ~3.1e9 bigrams — routine
+      // at the 100 TB target — would overflow a 64-bit square and
+      // silently flip the verdict in Spark (DuckDB would error)
       .withColumn("source_flagged",
         col("pooled_excess") > 0 &&
-          col("pooled_excess") * col("pooled_excess") >
+          col("pooled_excess").cast("decimal(38,0)") * col("pooled_excess") >
             lit(4L) * col("pooled_bigrams"))
       .orderBy(col("source"))
 
@@ -159,8 +163,8 @@ object Watermark {
           |    - CAST(sum(n_bigrams) AS BIGINT) AS pooled_excess,
           |  (2 * CAST(sum(n_green) AS BIGINT)
           |    - CAST(sum(n_bigrams) AS BIGINT)) > 0 AND
-          |    (2 * CAST(sum(n_green) AS BIGINT)
-          |      - CAST(sum(n_bigrams) AS BIGINT))
+          |    CAST(2 * CAST(sum(n_green) AS BIGINT)
+          |      - CAST(sum(n_bigrams) AS BIGINT) AS HUGEINT)
           |    * (2 * CAST(sum(n_green) AS BIGINT)
           |      - CAST(sum(n_bigrams) AS BIGINT))
           |    > 4 * CAST(sum(n_bigrams) AS BIGINT) AS source_flagged

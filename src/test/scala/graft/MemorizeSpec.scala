@@ -130,6 +130,33 @@ class MemorizeSpec extends SparkSpec {
       text.Memorize.ExposureMb(3))
   }
 
+  test("tiny vocabulary: the plant law stays total — no document drops") {
+    val s = spark
+    import s.implicits._
+    // 3 distinct tokens < CanaryPoolK = 16: slots mapping to canary
+    // idx >= 3 have no secret and must stay UNPLANTED, not vanish.
+    // Triangular slot law: slot 0 -> idx 1, slot 1 -> idx 2, slot 3
+    // -> idx 3 (past the 3-token pool), slot 50 -> idx 10 (past),
+    // slot 120 -> idx 0 (the control)
+    val docs = Seq(0L, 1L, 3L, 50L, 120L).map(id => (id, "ca cb cc"))
+      .toDF("doc_id", "text")
+    val out = text.Memorize.plantedOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5, "a slot past the pool dropped its document")
+    // pool by byte order: cidx 0 = ca, 1 = cb, 2 = cc
+    assert(out(0L).getAs[Long]("canary_idx") == 1L)
+    assert(out(0L).getAs[String]("secret") == "cb")
+    assert(out(0L).getAs[String]("planted") == "ca cb cc canarymark cb")
+    assert(out(1L).getAs[Long]("canary_idx") == 2L)
+    assert(out(1L).getAs[String]("secret") == "cc")
+    // idx 3 and 10 sit past the 3-candidate pool; idx 0 is the
+    // control — all three publish unplanted
+    for (id <- Seq(3L, 50L, 120L)) {
+      assert(out(id).getAs[String]("secret") == "")
+      assert(out(id).getAs[String]("planted") == "ca cb cc")
+    }
+  }
+
   test("canary plan: pool broadcasts, no cartesian, no text in any exchange-feeding window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     for (q <- Seq("q_canary_plant", "q_canary_exposure")) {
