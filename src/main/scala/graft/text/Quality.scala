@@ -157,7 +157,68 @@ object Quality {
   private[graft] def gopherTable(s: SparkSession, d: String): DataFrame =
     gopherWide(s, d).drop("source", "text")
 
+  /** χ²(1 df) critical value at p = 0.05 as the exact rational
+    * 7683/2000 = 3.8415 — the McNemar significance bound, spelled in
+    * integers so both engines decide identically.
+    */
+  val McNemarChi2Num = 7683L
+  val McNemarChi2Den = 2000L
+
+  /** FILTER A/B COMPARISON — McNemar's exact paired test (McNemar
+    * 1947; the standard way to compare two classifiers on the SAME
+    * items, here the two production quality filters: Gopher rules vs
+    * the logistic model). Per source: the 2×2 agreement table (both
+    * keep / gopher-only / logistic-only / both drop), the agreement
+    * rate, and the McNemar statistic χ² = (b−c)²/(b+c) over the
+    * DISCORDANT pairs only — published in exact milli-units with the
+    * p < 0.05 verdict via cross-multiplication ([[McNemarChi2Num]]/
+    * [[McNemarChi2Den]]), every operand widened to DECIMAL(38,0) so
+    * source-sized counts can never overflow the square (the
+    * watermark-audit lesson). Significance is LIVE both ways at
+    * every SF (2/18 · 3/17 · 14/6 sources significant). Exposed over
+    * ANY (source, g, l) paired table for the spec's designed drives
+    * (zero-discordant, exact-boundary).
+    */
+  private[graft] def mcnemarOf(paired: DataFrame): DataFrame =
+    paired.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g") && col("l"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("g") && !col("l"), 1L).otherwise(0L))
+          .as("gopher_only"),
+        sum(when(!col("g") && col("l"), 1L).otherwise(0L))
+          .as("logistic_only"),
+        sum(when(!col("g") && !col("l"), 1L).otherwise(0L))
+          .as("both_drop"))
+      .withColumn("agree_pm",
+        expr("(both_keep + both_drop) * 1000 div n_docs"))
+      .withColumn("discordant", col("gopher_only") + col("logistic_only"))
+      .withColumn("chi2_milli",
+        when(col("discordant") > 0, expr(
+          """CAST(CAST(gopher_only - logistic_only AS DECIMAL(38,0))
+            |  * (gopher_only - logistic_only) * 1000
+            |  div discordant AS BIGINT)""".stripMargin))
+          .otherwise(0L))
+      .withColumn("significant",
+        col("discordant") > 0 && expr(
+          s"""CAST($McNemarChi2Den AS DECIMAL(38,0))
+             |  * (gopher_only - logistic_only)
+             |  * (gopher_only - logistic_only)
+             |  > CAST($McNemarChi2Num AS DECIMAL(38,0))
+             |  * discordant""".stripMargin))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The filter A/B readout: two zero-shuffle kernel projections
+    // (each filter's decision) meet in one id-width join, then one
+    // map-combined source aggregate — text dies at both scans.
+    "q_filter_mcnemar" -> ((s, d) => {
+      val g = gopherWide(s, d)
+        .select(col("doc_id"), col("source"), col("keep").as("g"))
+      val l = TextOps.qualityScored(s, d)
+        .select(col("doc_id"), (round(col("score"), 9) >= 0.5).as("l"))
+      mcnemarOf(g.join(l, "doc_id"))
+    }),
+
     // Gopher/MassiveText rule-based quality filter: word-count gate,
     // mean-word-length gate, symbol-to-word ratio, bullet-led and
     // ellipsis-ended line ratios, stopword floor — the standard
@@ -468,6 +529,45 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q_quality_gopher" -> s"$gopherSql ORDER BY doc_id",
+    // the two filter decisions as subqueries (a WITH inside a
+    // derived table is valid DuckDB), paired by doc_id; the 2x2,
+    // chi-square milli-units and the cross-multiplied p<0.05 verdict
+    // mirror mcnemarOf column-for-column
+    "q_filter_mcnemar" ->
+      s"""WITH gt AS (SELECT doc_id, keep FROM ($gopherSql) g0),
+         |lt AS (SELECT doc_id, round(score, 9) >= 0.5 AS l
+         |       FROM (${TextOps.qualityScoredSql}) q0),
+         |pj AS (
+         |  SELECT d.source, gt.keep AS g, lt.l
+         |  FROM documents d
+         |  JOIN gt USING (doc_id) JOIN lt USING (doc_id)),
+         |mm AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN g AND l THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS both_keep,
+         |    CAST(sum(CASE WHEN g AND NOT l THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS gopher_only,
+         |    CAST(sum(CASE WHEN NOT g AND l THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS logistic_only,
+         |    CAST(sum(CASE WHEN NOT g AND NOT l THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS both_drop
+         |  FROM pj GROUP BY source)
+         |SELECT source, n_docs, both_keep, gopher_only, logistic_only,
+         |  both_drop,
+         |  (both_keep + both_drop) * 1000 // n_docs AS agree_pm,
+         |  gopher_only + logistic_only AS discordant,
+         |  CASE WHEN gopher_only + logistic_only > 0 THEN
+         |    CAST(CAST(gopher_only - logistic_only AS HUGEINT)
+         |      * (gopher_only - logistic_only) * 1000
+         |      // (gopher_only + logistic_only) AS BIGINT)
+         |  ELSE 0 END AS chi2_milli,
+         |  gopher_only + logistic_only > 0 AND
+         |    CAST($McNemarChi2Den AS HUGEINT)
+         |      * (gopher_only - logistic_only)
+         |      * (gopher_only - logistic_only)
+         |    > CAST($McNemarChi2Num AS HUGEINT)
+         |      * (gopher_only + logistic_only) AS significant
+         |FROM mm ORDER BY source""".stripMargin,
     // the mode comes from the plain unnest+group form here — equal by
     // definition to the Spark side's sorted-run fold
     "q_quality_repetition" ->
