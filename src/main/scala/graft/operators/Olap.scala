@@ -216,18 +216,48 @@ object Olap {
     // Rolling EXACT median (+ envelope) over each user's last 25
     // events — the robust smoother for noisy per-entity telemetry
     // (q_ewma's mean-based twin; medians shrug off the spikes
-    // q_anomaly_mad hunts). One window pass partitioned by user_id:
-    // fully parallel across users, frames bounded at 25 rows, so the
-    // per-row exact percentile costs O(25) regardless of corpus size.
-    // The published median is rounded: the two engines' midpoint
-    // interpolation can differ in the last ulp.
-    "q_rolling_median" -> ((s, d) =>
-      Tables.events(s, d).selectExpr(
-        "user_id", "event_id", "value",
-        "round(percentile(value, 0.5D) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25",
-        "min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS lo25",
-        "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS hi25")
-        .orderBy(col("user_id"), col("event_id"))),
+    // q_anomaly_mad hunts).
+    //
+    // Formulated as 25 O(1) lag offsets + one sorted-array projection,
+    // NOT as percentile()/min()/max() aggregates over a 25-row sliding
+    // frame: Spark evaluates a sliding-frame aggregate by REBUILDING
+    // the whole buffer every time the frame slides (no retraction), so
+    // the imperative percentile paid a per-row OpenHashMap build +
+    // sort, ×3 aggregates — 3.1 s at sf0.1 for 100k rows. The offset
+    // frames are O(1)/row pointer reads and the 25-element sort runs
+    // in the codegen'd projection (~0.6 s; OPTIMIZATION_r17.md).
+    //
+    // Exact equivalence with the old form (oracle unchanged,
+    // re-proven at both SFs): filtering nulls from the lag array is
+    // precisely the aggregates' null-skipping; the median replays
+    // Percentile.getPercentile's arithmetic — position p = 0.5·(n−1),
+    // exact element when p is integral (odd n), else the weighted form
+    // (higher−p)·lo + (p−lower)·hi with both weights exactly 0.5 —
+    // and min/max are the sorted frame's endpoints. The published
+    // median is rounded: the two engines' midpoint interpolation can
+    // differ in the last ulp.
+    "q_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frameVals = col("value") +:
+        (1 to 24).map(k => lag(col("value"), k).over(w))
+      val n = size(col("frame"))
+      def at(i: Column) = element_at(col("frame"), i)
+      // Column./ is double division; the quotients here are exact in
+      // double for n <= 25, so the int cast recovers the exact index.
+      val medEven = lit(0.5) * at((n / 2).cast("int")) +
+        lit(0.5) * at((n / 2 + 1).cast("int"))
+      Tables.events(s, d)
+        .withColumn("frame",
+          sort_array(filter(array(frameVals: _*), v => v.isNotNull)))
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(when(n === 0, lit(null).cast("double"))
+            .when(n % 2 === 1, at(((n + 1) / 2).cast("int")))
+            .otherwise(medEven), 6).as("med25"),
+          when(n > 0, at(lit(1))).as("lo25"),
+          when(n > 0, at(n)).as("hi25"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
 
     // Mergeable exact-moments rollup: mean/std per return flag AND
     // globally, derived ONLY from the written 16-shard partial layout

@@ -33,6 +33,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
 object Streams {
 
   private val sinkCounter = new AtomicInteger(0)
+  // highest graft_sink_<i> already dropped by the drain() hygiene pass
+  private val sinkDropped = new AtomicInteger(0)
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -291,8 +293,22 @@ object Streams {
 
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, DrainStatePartitions)
+    // No trailing no-data micro-batch (r17 optimization): every output
+    // here is a pure function of the DATA batches by construction —
+    // the terminal-flush fixtures advance the watermark with SENTINEL
+    // DATA batches precisely so that no query's output leans on the
+    // optional no-data batch (eventsStreamMultiFlush scaladoc), and
+    // the post-drain caps discard whatever sentinel-era rows it would
+    // or wouldn't emit. The batch itself is not free: it re-plans and
+    // runs one more round of state-store commits on EVERY stateful
+    // operator (~40 ms/store instance, ×4 stores for a stream-stream
+    // join) — pure fixed cost with zero output effect, re-proven by
+    // the unchanged oracle sweep (OPTIMIZATION_r17.md).
+    s.conf.set(ndKey, "false")
     val name = s"graft_sink_${sinkCounter.incrementAndGet()}"
     val ckpt = s"$ckptRoot/graft_ckpt_$name"
     try {
@@ -300,9 +316,23 @@ object Streams {
         .queryName(name).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Session hygiene for the 300+-query shared bench session: memory
+      // sinks from EARLIER drains are dead (each bench trial re-drains
+      // into a fresh sink) but stay registered holding their rows on
+      // the driver heap. Drop all but the last few so a long session's
+      // heap doesn't accumulate every streaming result ever produced
+      // (keep a margin of 4 — the current sink plus any sibling sink a
+      // composed query may still read within one trial).
+      val cur = sinkCounter.get()
+      var last = sinkDropped.get()
+      while (last < cur - 5 && sinkDropped.compareAndSet(last, last + 1)) {
+        s.catalog.dropTempView(s"graft_sink_${last + 1}")
+        last = sinkDropped.get()
+      }
       s.table(name)
     } finally {
       s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
       rmTree(ckpt)
     }
   }

@@ -98,6 +98,23 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_median lag-array form is bit-identical to the sliding " +
+      "percentile/min/max aggregate form it replaced") {
+    // The r17 optimization pin: the O(1)-offset formulation must equal
+    // the imperative sliding-frame aggregates BIT-FOR-BIT (same
+    // interpolation arithmetic, same null skipping), not just within
+    // tolerance — the driver hash is exact.
+    val old = Tables.events(spark, sf).selectExpr(
+      "user_id", "event_id", "value",
+      "round(percentile(value, 0.5D) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25",
+      "min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS lo25",
+      "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS hi25")
+      .orderBy(col("user_id"), col("event_id")).collect()
+    val neu = run("q_rolling_median").collect()
+    assert(old.length == neu.length)
+    old.zip(neu).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("q_moments_merge equals a direct single-pass over lineitem") {
     val direct = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag").as("flag"))
