@@ -292,7 +292,12 @@ object Multimodal {
     */
   private[graft] def mmKeptImages(s: SparkSession, d: String): DataFrame = {
     val gated = imageVariantPool(s, d).filter(col("n_bytes") >= MetaGateBytes)
-    val hashed = phashOf(s, gated)
+    // checkpoint the THIN (img_id, phash) table (16 bytes/image): it
+    // feeds the banded self-join AND the keeper anti-join — three
+    // consumer subtrees whose exchanges differ, so without the barrier
+    // the payload-consuming pHash kernel pass re-ran per consumer
+    // (r17; the mm chain's plan carried 3 MapPartitions kernel passes)
+    val hashed = phashOf(s, gated).localCheckpoint()
     val drops = phashNearDupPairs(hashed)
       .select(col("b_id").as("img_id")).distinct()
     hashed.select(col("img_id")).join(drops, Seq("img_id"), "leftanti")
@@ -345,7 +350,10 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val placed = mmPlacedImages(s, d, docs)
+    // thin (doc_id, img_id, anchor) rows, checkpointed: placed feeds
+    // the span window (twice) and the per-doc max-anchor tail — the
+    // barrier runs the image pool + placement exactly once per trial
+    val placed = mmPlacedImages(s, d, docs).localCheckpoint()
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("anchor"), col("img_id"))
     val withPrev = placed.withColumn("prev",

@@ -444,9 +444,16 @@ object Layouts {
     // math is bit-identical in DuckDB (fully oracled). One thin
     // shuffle on the bucket id; everything else is per-row map work.
     "q_zorder_skipping" -> ((s, d) => {
-      val zExpr = """aggregate(sequence(0, 7), cast(0 as bigint),
-        |  (acc, i) -> acc + shiftleft(shiftright(a8, i) & 1, 2 * i)
-        |                  + shiftleft(shiftright(b8, i) & 1, 2 * i + 1))""".stripMargin
+      // UNROLLED bit interleave (r17): the lambda form
+      // aggregate(sequence(0,7), ...) materializes an array and runs
+      // interpreted per element — higher-order functions fall out of
+      // whole-stage codegen — for what is 16 constant shift/mask terms.
+      // The unrolled sum is the same integer arithmetic bit for bit
+      // (oracle unchanged, still the aggregate-lambda SQL in DuckDB).
+      val zExpr = (0 to 7).map(i =>
+        s"shiftleft(shiftright(a8, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright(b8, $i) & 1, ${2 * i + 1})")
+        .mkString("cast(0 as bigint) + ", " + ", "")
       // checkpointed: both clustering passes read the same tagged
       // rows, and the per-row Morton fold is the expensive projection
       // — one scan + one z-compute instead of two
