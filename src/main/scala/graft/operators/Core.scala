@@ -90,6 +90,12 @@ object Core {
           to_json(struct(lit(2).as("tag"), col("o_orderstatus").as("s"))))
         .otherwise(to_json(struct(lit(9).as("tag"))))
       Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        // range-exchange FIRST (the declared sort needs it anyway; the
+        // single-row-group scan otherwise runs the whole JSON
+        // encode/decode in one task), then the codec runs on every
+        // core and the final orderBy reuses the partitioning (r17)
+        .repartitionByRange(col("o_orderkey"))
         .select(col("o_orderkey"), variant.as("var"))
         .withColumn("p", from_json(col("var"), StructType(Seq(
           StructField("tag", IntegerType),
