@@ -96,13 +96,8 @@ object Windows {
         .select(col("o_orderstatus"), col("bin"), col("off"), col("n_part"))
       val wLoc = Window.partitionBy(col("o_orderstatus"), col("bin"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
-      // checkpointed (r17): ranked feeds BOTH the heads aggregate and
-      // the final join — without the barrier the scan→offsets→window
-      // pass ran twice (the dumped before-plan carries the whole
-      // subtree duplicated under ops (1-23) and (24-48))
       val ranked = rows.join(broadcast(offsets), Seq("o_orderstatus", "bin"))
         .withColumn("rk", col("off") + row_number().over(wLoc))
-        .localCheckpoint()
       val heads = ranked.filter(col("rk") <= 2)
         .groupBy(col("o_orderstatus"))
         .agg(min(when(col("rk") === 1, col("o_orderkey"))).as("head_key"),

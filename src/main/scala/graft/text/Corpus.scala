@@ -480,26 +480,15 @@ object Corpus {
     "q_corpus_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
-      // Each stage's survivor set feeds BOTH its own count branch and
-      // every downstream stage; without a barrier Catalyst re-derives
-      // the stage subtree (the Gopher text kernels, the md5 keeper
-      // aggregate, the decontam index probe) once per consumer.
-      // Checkpointing the THIN doc_id sets (a few KB) runs each stage
-      // exactly once per trial — composition cost becomes the sum of
-      // stage costs, not its consumer-count multiple (r17; a modest
-      // 1.94 → 1.85 s isolated at sf0.1 — exchange reuse was already
-      // deduplicating most branches; the barrier makes it structural
-      // rather than optimizer-dependent).
-      val s1 = Quality.gopherTable(s, d).filter(col("keep"))
-        .select("doc_id").localCheckpoint()
+      val s1 = Quality.gopherTable(s, d).filter(col("keep")).select("doc_id")
       val keepers = docs
         .groupBy(md5(col("text").cast("binary")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val s2 = s1.join(keepers, Seq("doc_id"), "leftsemi").localCheckpoint()
+      val s2 = s1.join(keepers, Seq("doc_id"), "leftsemi")
       val contaminated = decontamTable(s, d)
         .filter(col("contaminated")).select("doc_id")
       val s3 = s2.filter(col("doc_id") % 97 =!= 0)
-        .join(contaminated, Seq("doc_id"), "leftanti").localCheckpoint()
+        .join(contaminated, Seq("doc_id"), "leftanti")
       val s3d = docs.join(s3, Seq("doc_id"), "leftsemi").localCheckpoint()
       val cnts = s3d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       val nMin = cnts.agg(min(col("n_src")).as("n_min"))
